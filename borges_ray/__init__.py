@@ -1,0 +1,31 @@
+"""borges_ray — a Ray-Data-native URL-frontier + fetch-scheduler engine.
+
+A from-scratch reimplementation of the data-processing capabilities of
+kevcruse96/Borges (a Scrapy + MongoDB scientific-publisher scraper) as one
+coherent Ray Data engine:
+
+- ``ray.data.Dataset`` pipelines of ``map_batches`` over zero-copy Arrow
+  batches for every per-record transform (canonicalize, fetch, extract,
+  language-tag, parse).
+- Actor pools for stateful stages (politeness token buckets, Bloom URL-seen
+  shards, fetch sessions).
+- Explicit groupby / join / repartition for the wide steps (dedup, fetch-join,
+  per-host politeness), with documented partitioning keys and skew handling.
+- Immutable per-round Parquet checkpoints with ``_COMMITTED`` markers for
+  exact resume (the reference's Mongo crawl-flag resume, done as tables).
+
+Package layout (see SURVEY.md §7):
+
+- :mod:`borges_ray.schemas`    — declared pyarrow schemas for every table
+- :mod:`borges_ray.canonical`  — URL canonicalization, host extraction, stable hash partitioner
+- :mod:`borges_ray.extract`    — HTML→text extraction + link extraction + CJK language tagging
+- :mod:`borges_ray.synth`      — deterministic synthetic web generator (pages/seeds/robots)
+- :mod:`borges_ray.state`      — URL-seen Bloom filter, checkpoint layout
+- :mod:`borges_ray.stages`     — Ray Data stages (fetch, extract, politeness, dedup)
+- :mod:`borges_ray.pipelines`  — the BSP crawl-round driver loop
+- :mod:`borges_ray.ops`        — general relational + training-data operators
+  (groupby/join/topk/dedup/minhash/simhash/ANN/text-analysis) used by
+  ``__ray_entry__.queries()``
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,106 @@
+"""URL canonicalization, host extraction, and the stable hash partitioner.
+
+The reference resolves relative links ad hoc with ``response.urljoin`` /
+``urljoin(base, href)`` (``Borges/spiders/RSC/metadata.py:58,68,98-100``,
+``Borges/spiders/ECS/abstract_link.py:39``, ``Borges/spiders/AIP/aip_spider.py:87``)
+and dedups on whatever string resulted.  We define ONE canonical form and use
+it as the engine-wide dedup / join / partition key:
+
+- scheme and host lowercased
+- default ports stripped (``:80`` http, ``:443`` https)
+- fragment stripped (a fragment link is the same page)
+- dot-segments resolved, empty path -> ``/``
+- query parameters sorted by (key, value); empty query dropped
+
+Every stage keys on ``canonicalize(url)``; the partitioner is a **stable**
+64-bit blake2b hash (Python's builtin ``hash`` is salted per process and must
+never be used for cross-process partitioning).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from urllib.parse import parse_qsl, urlencode, urljoin, urlsplit, urlunsplit
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonicalize(url: str, base: str | None = None) -> str | None:
+    """Return the canonical form of ``url`` (resolved against ``base`` if
+    relative), or ``None`` for non-http(s) / unparseable URLs."""
+    if base is not None:
+        url = urljoin(base, url)
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return None
+    scheme = parts.scheme.lower()
+    if scheme not in ("http", "https"):
+        return None
+    host = (parts.hostname or "").lower()
+    if not host:
+        return None
+    netloc = host
+    port = parts.port
+    if port is not None and str(port) != _DEFAULT_PORTS[scheme]:
+        netloc = f"{host}:{port}"
+    path = parts.path or "/"
+    # resolve dot-segments deterministically
+    if "." in path:
+        segs: list[str] = []
+        for seg in path.split("/"):
+            if seg == ".":
+                continue
+            if seg == "..":
+                if segs and segs[-1]:
+                    segs.pop()
+                continue
+            segs.append(seg)
+        path = "/".join(segs)
+        if not path.startswith("/"):
+            path = "/" + path
+    query = ""
+    if parts.query:
+        pairs = sorted(parse_qsl(parts.query, keep_blank_values=True))
+        query = urlencode(pairs)
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def host_of(url: str) -> str:
+    """Host (lowercased, no port) of an already-canonical URL."""
+    return urlsplit(url).hostname or ""
+
+
+def stable_hash(s: str) -> int:
+    """Stable non-negative 64-bit hash of a string (cross-process safe)."""
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def partition_of(url: str, num_partitions: int) -> int:
+    """Hash partition for a canonical URL — the engine-wide partitioner used
+    by the seen-set shards, the Bloom shards, and the dedup shuffle."""
+    return stable_hash(url) % num_partitions
+
+
+def canonicalize_batch(urls: list[str], bases: list[str] | None = None) -> list[str | None]:
+    """Canonicalize a batch with memoization (crawl batches repeat hosts and
+    frequently repeat whole URLs; the cache removes redundant parses)."""
+    cache: dict[tuple[str, str | None], str | None] = {}
+    out: list[str | None] = []
+    if bases is None:
+        for u in urls:
+            key = (u, None)
+            v = cache.get(key)
+            if v is None and key not in cache:
+                v = canonicalize(u)
+                cache[key] = v
+            out.append(v)
+    else:
+        for u, b in zip(urls, bases):
+            key = (u, b)
+            v = cache.get(key)
+            if v is None and key not in cache:
+                v = canonicalize(u, b)
+                cache[key] = v
+            out.append(v)
+    return out

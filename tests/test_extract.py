@@ -1,0 +1,61 @@
+from borges_ray.extract import (
+    COPYRIGHT_SENTINEL,
+    extract_links,
+    extract_text,
+    tag_lang,
+    tag_lang_batch,
+)
+
+
+def page(body: str, anchors: str = "") -> bytes:
+    return (
+        f'<html><head><title>t</title></head><body><div id="maincontent">{body}</div>'
+        f'<div id="nav">{anchors}</div></body></html>'
+    ).encode()
+
+
+def test_extract_basic():
+    assert extract_text(page("hello world")) == "hello world"
+
+
+def test_extract_strips_inline_tags_and_entities():
+    assert extract_text(page("a <b>bold</b> &amp; done")) == "a bold & done"
+
+
+def test_extract_replaces_newlines_not_spaces():
+    # itertext-join + replace('\n','') parity (article_xml_extractor.py:201)
+    assert extract_text(page("line1\nline2  spaced")) == "line1line2  spaced"
+
+
+def test_extract_strips_copyright_sentinel():
+    import html as h
+
+    assert extract_text(page("abstract." + h.escape(COPYRIGHT_SENTINEL))) == "abstract."
+
+
+def test_extract_nested_div_balanced():
+    assert extract_text(page('<div class="s">inner</div> tail')) == "inner tail"
+
+
+def test_extract_missing_div_empty():
+    assert extract_text(b"<html><body>no content div</body></html>") == ""
+
+
+def test_links_filtering():
+    anchors = (
+        '<a href="/p/1" class="article">a</a>'
+        '<a href="/p/2" class="cover">c</a>'
+        '<a href="/p/3" class="article" rel="nofollow">n</a>'
+        '<a class="article">missing href</a>'
+        '<a href="/p/4" class="article">d</a>'
+    )
+    links = extract_links(page("x", anchors))
+    assert links == [("/p/1", "article"), ("/p/4", "article")]
+
+
+def test_lang_tagging():
+    assert tag_lang("plain english text") == "en"
+    assert tag_lang("一丁丂") == "cjk"
+    assert tag_lang("abc 一") == "mixed"
+    assert tag_lang("") == "en"
+    assert tag_lang_batch(["abc", "一丁", ""]) == ["en", "cjk", "en"]
