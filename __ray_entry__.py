@@ -1,44 +1,444 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline on sf0.001; ``queries()`` exposes one
+callable per implemented operator/pipeline from SURVEY.md §2 (+ the
+training-data operators); ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for every SQL-expressible query (same column names, rounded floats).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in borges_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
 
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: the full crawl-round pipeline on a synthetic web derived
+    from sf0.001 scale, falling back to the documents text pipeline until
+    the crawl engine lands (round-1 bootstrap)."""
+    from borges_ray.pipelines.crawl import crawl_entry
+
+    return crawl_entry("/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries — each callable: sf_dir -> Dataset | DataFrame | pa.Table
+# ---------------------------------------------------------------------------
+
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered grouped aggregate with map-side partials
+    (A2 — the per-journal-per-year ledger counters as a groupby)."""
+    from borges_ray.ops.relational import filter_batches, grouped_agg, load
+
+    ds = load(sf_dir, "lineitem",
+              columns=["l_returnflag", "l_linestatus", "l_quantity",
+                       "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), type=pa.timestamp("us"))
+    ds = filter_batches(ds, lambda t: pc.less_equal(t["l_shipdate"], cutoff))
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    ds = ds.map_batches(revenue, batch_format="pyarrow")
+    out = grouped_agg(ds, ["l_returnflag", "l_linestatus"],
+                      {"sum_qty": ("sum", "l_quantity"),
+                       "sum_revenue": ("sum", "revenue"),
+                       "avg_qty": ("mean", "l_quantity"),
+                       "n": ("count", "l_quantity")})
+    df = out.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_revenue"] = df["sum_revenue"].round(2)
+    df["avg_qty"] = df["avg_qty"].round(6)
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+def _q_filter_revenue(sf_dir: str):
+    """Vectorized filter + scalar aggregate (F1 horizon filter + A1 census)."""
+    from borges_ray.ops.relational import filter_batches, load
+
+    ds = load(sf_dir, "lineitem", columns=["l_shipdate", "l_discount", "l_extendedprice"])
+    lo = pa.scalar(pd.Timestamp("1995-01-01"), type=pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01"), type=pa.timestamp("us"))
+
+    def pred(t: pa.Table):
+        return pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)),
+            pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+        )
+
+    ds = filter_batches(ds, pred)
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py() or 0.0
+        return pa.table({"s": pa.array([rev], pa.float64())})
+
+    total = sum(r["s"] for r in ds.map_batches(partial, batch_format="pyarrow").take_all())
+    return pd.DataFrame({"sum_revenue": [round(total, 2)]})
+
+
+def _q_topk_orders(sf_dir: str):
+    """Top-k without global sort (O4 priority-frontier selection shape)."""
+    from borges_ray.ops.relational import load, topk
+
+    ds = load(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    df = topk(ds, ["o_totalprice"], 10, descending=True, tiebreak=["o_orderkey"])
+    df["o_totalprice"] = df["o_totalprice"].round(2)
+    return df
+
+
+def _q_distinct_segments(sf_dir: str):
+    """Distinct with per-block pre-dedup (A5/D1)."""
+    from borges_ray.ops.relational import distinct, load
+
+    ds = load(sf_dir, "customer", columns=["c_mktsegment"])
+    return distinct(ds, ["c_mktsegment"])
+
+
+def _q_dedup_docs(sf_dir: str):
+    """Exact dedup on content hash, deterministic min-id winner (D1)."""
+    from borges_ray.ops.dedup import exact_dedup
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(ds, "text", "doc_id")
+    return out.select_columns(["doc_id"])
+
+
+def _q_token_counts(sf_dir: str):
+    """Whitespace token counting (text analysis op)."""
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        from borges_ray.ops.textops import token_count_batch
+
+        ws, _ = token_count_batch(df["text"])
+        return pd.DataFrame({"doc_id": df["doc_id"], "n_ws_tokens": ws})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _q_quality(sf_dir: str):
+    """Quality scoring signals (length / punct / word stats)."""
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        import re
+
+        texts = df["text"].fillna("")
+        n_chars = texts.str.len().astype("int64")
+        n_punct = texts.str.count(r"[^\w\s]", flags=re.ASCII).astype("int64")
+        n_words = texts.str.count(r"[A-Za-z]+").astype("int64")
+        n_word_chars = texts.str.count(r"[A-Za-z]").astype("int64")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_chars": n_chars,
+            "n_punct": n_punct,
+            "n_words": n_words,
+            "mean_word_len": (n_word_chars / n_words.clip(lower=1)).round(6),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _q_join_broadcast(sf_dir: str):
+    """Broadcast dimension join (J3/J4) + grouped aggregate."""
+    from borges_ray.ops.relational import broadcast_join, grouped_agg, load
+
+    orders = load(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(orders, cust, on=["o_custkey"], how="inner")
+    out = grouped_agg(joined, ["c_mktsegment"],
+                      {"sum_price": ("sum", "o_totalprice"), "n_orders": ("count", "o_totalprice")})
+    df = out.to_pandas()
+    df["sum_price"] = df["sum_price"].round(2)
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return df
+
+
+def _q_hash_join(sf_dir: str):
+    """Large×large hash-shuffle join (J1) + grouped aggregate."""
+    from borges_ray.ops.relational import grouped_agg, hash_join, load
+
+    li = load(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = load(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = li.map_batches(lambda t: t.rename_columns(["o_orderkey", "l_quantity"]),
+                        batch_format="pyarrow")
+    joined = hash_join(li, orders, on=["o_orderkey"], num_partitions=8)
+    out = grouped_agg(joined, ["o_orderpriority"],
+                      {"sum_qty": ("sum", "l_quantity"), "n": ("count", "l_quantity")})
+    df = out.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+def _q_anti_join(sf_dir: str):
+    """Anti-join: customers with no URGENT order (J2 skip-if-present)."""
+    from borges_ray.ops.relational import broadcast_semi_join, load
+
+    cust = load(sf_dir, "customer", columns=["c_custkey"])
+    okeys = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_custkey", "o_orderpriority"])
+    okeys = okeys[okeys["o_orderpriority"] == "1-URGENT"][["o_custkey"]]
+    okeys = okeys.rename(columns={"o_custkey": "c_custkey"}).drop_duplicates()
+    return broadcast_semi_join(cust, okeys, on=["c_custkey"], anti=True)
+
+
+def _q_semi_join(sf_dir: str):
+    """Semi-join: parts that appear in lineitem (J2 membership)."""
+    from borges_ray.ops.relational import broadcast_semi_join, load
+
+    part = load(sf_dir, "part", columns=["p_partkey"])
+    pkeys = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    pkeys = pkeys.rename(columns={"l_partkey": "p_partkey"}).drop_duplicates()
+    return broadcast_semi_join(part, pkeys, on=["p_partkey"], anti=False)
+
+
+def _q_explode_tokens(sf_dir: str):
+    """Explode/flat_map (J6 fan-out) + grouped count + top-k."""
+    from borges_ray.ops.relational import grouped_agg, load, topk
+
+    ds = load(sf_dir, "documents", columns=["text"])
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].fillna("").str.split().explode().dropna()
+        return pd.DataFrame({"token": s})
+
+    tokens = ds.map_batches(tok, batch_format="pandas")
+    counts = grouped_agg(tokens, ["token"], {"n": ("count", "token")})
+    df = topk(counts, ["n"], 20, descending=True, tiebreak=["token"])
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+def _q_window_hourly(sf_dir: str):
+    """Tumbling event-time window aggregate (§2.10 re-expression)."""
+    from borges_ray.ops.relational import load, windowed_agg
+
+    ds = load(sf_dir, "events", columns=["event_type", "ts", "value"])
+    out = windowed_agg(ds, "event_type", "ts", 3_600_000_000,
+                       {"n": ("count", "value"), "sum_value": ("sum", "value")})
+    df = out.to_pandas()
+    df["sum_value"] = df["sum_value"].round(4)
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+def _q_sessionize(sf_dir: str):
+    """Session windows (30-min gap) per user (§2.10)."""
+    from borges_ray.ops.relational import grouped_agg, load, sessionize
+
+    ds = load(sf_dir, "events", columns=["user_id", "ts"])
+    sessions = sessionize(ds, "user_id", "ts", 1_800_000_000)
+    out = grouped_agg(sessions, ["user_id"], {"n_sessions": ("count", "n_events")})
+    df = out.to_pandas()
+    df["n_sessions"] = df["n_sessions"].astype("int64")
+    return df
+
+
+def _q_asof_lag(sf_dir: str):
+    """Per-key ordered lag — the as-of/previous-record primitive (§2.10
+    re-crawl lineage: previous fetch of the same key)."""
+    from borges_ray.ops.relational import asof_self_lag, load
+
+    ds = load(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+    out = asof_self_lag(ds, "o_custkey", "o_orderdate", ["o_orderkey"])
+    return out.select_columns(["o_orderkey", "prev_o_orderdate"])
+
+
+def _q_group_having(sf_dir: str):
+    """Group-having (A3 unindexed-journal detection shape)."""
+    from borges_ray.ops.relational import grouped_agg, load
+
+    cust = load(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    agg = grouped_agg(cust, ["c_nationkey"], {"max_bal": ("max", "c_acctbal")})
+    df = agg.to_pandas()
+    df = df[df["max_bal"] < 9900.0].copy()
+    df["max_bal"] = df["max_bal"].round(2)
+    df["c_nationkey"] = df["c_nationkey"].astype("int32")
+    return df.reset_index(drop=True)
+
+
+def _q_union_distinct(sf_dir: str):
+    """Union of record streams then dedup (D4 Scopus ∪ SciDir)."""
+    from borges_ray.ops.relational import distinct, filter_batches, load, union_all
+
+    a = load(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    urgent = filter_batches(a, lambda t: pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT")))
+    b = load(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    high = filter_batches(b, lambda t: pc.equal(t["o_orderpriority"], pa.scalar("2-HIGH")))
+    u = union_all([urgent.select_columns(["o_custkey"]), high.select_columns(["o_custkey"])])
+    return distinct(u, ["o_custkey"])
+
+
+def _q_knn(sf_dir: str):
+    """Brute-force cosine top-k over the embedding column (ANN baseline)."""
+    from borges_ray.ops.embed import knn_brute
+    from borges_ray.ops.relational import load
+
+    q = pd.read_parquet(f"{sf_dir}/embeddings.parquet").pipe(
+        lambda d: d[d.vec_id == 0]["embedding"].iloc[0]
+    )
+    ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = knn_brute(ds, np.asarray(q), 10)
+    return df[["vec_id", "cos"]]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "pricing_summary": _q_pricing_summary,
+        "filter_revenue": _q_filter_revenue,
+        "topk_orders": _q_topk_orders,
+        "distinct_segments": _q_distinct_segments,
+        "dedup_docs_exact": _q_dedup_docs,
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality,
+        "join_broadcast": _q_join_broadcast,
+        "join_hash": _q_hash_join,
+        "anti_join": _q_anti_join,
+        "semi_join": _q_semi_join,
+        "explode_tokens": _q_explode_tokens,
+        "window_hourly": _q_window_hourly,
+        "sessionize": _q_sessionize,
+        "asof_lag": _q_asof_lag,
+        "group_having": _q_group_having,
+        "union_distinct": _q_union_distinct,
+        "knn_cosine": _q_knn,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP_SQL = "('the','a','an','and','or','of','to','in','on','for','with','at','by','from','as','is','are','was','were','be','been','it','this','that')"  # noqa: E501  (kept for later stopword oracle)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS n
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS sum_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer",
+        "dedup_docs_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)
+                     AS n_ws_tokens
+            FROM documents
+        """,
+        "quality_scores": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS BIGINT) AS n_punct,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                         / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1), 6) AS mean_word_len
+            FROM documents
+        """,
+        "join_broadcast": """
+            SELECT c_mktsegment, round(sum(o_totalprice), 2) AS sum_price,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "join_hash": """
+            SELECT o_orderpriority, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "anti_join": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+        """,
+        "semi_join": """
+            SELECT p_partkey FROM part
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        """,
+        "explode_tokens": """
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+                  FROM documents)
+            GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        "window_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "sessionize": """
+            WITH lagged AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                FROM events
+            )
+            SELECT user_id, count(*) AS n_sessions
+            FROM lagged
+            WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+            GROUP BY user_id
+        """,
+        "asof_lag": """
+            SELECT o_orderkey,
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS prev_o_orderdate
+            FROM orders
+        """,
+        "group_having": """
+            SELECT c_nationkey, round(max(c_acctbal), 2) AS max_bal
+            FROM customer GROUP BY c_nationkey HAVING max(c_acctbal) < 9900.0
+        """,
+        "union_distinct": """
+            SELECT DISTINCT o_custkey FROM (
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+                UNION ALL
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+            )
+        """,
+        "knn_cosine": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding, q.embedding), 6) AS cos
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+    }

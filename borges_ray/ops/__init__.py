@@ -1,0 +1,17 @@
+"""General-purpose Ray Data operators re-expressing the reference's operator
+inventory (SURVEY.md §2) plus the large-scale training-data operations
+(dedup family, similarity search, text analysis, multimodal plumbing).
+
+Modules:
+
+- :mod:`borges_ray.ops.relational` — scan/filter/project/groupby/topk/
+  distinct/joins/explode/window (SURVEY.md §2.1-2.10)
+- :mod:`borges_ray.ops.textops`    — token counting, quality scoring,
+  language-ID, document fingerprinting
+- :mod:`borges_ray.ops.dedup`      — exact dedup, MinHash+LSH, SimHash,
+  n-gram Jaccard near-dup
+- :mod:`borges_ray.ops.embed`      — brute-force / LSH-bucketed cosine
+  similarity search and embedding near-dup
+- :mod:`borges_ray.ops.multimodal` — binary-payload (image/audio) decode
+  plumbing with stubbed codecs
+"""

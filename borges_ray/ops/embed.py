@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+- :func:`knn_brute` — baseline exact cosine top-k: the query matrix is
+  ``ray.put`` ONCE and every batch does one numpy matmul against it; each
+  block emits only its local top-k, the driver merges ≤ k·blocks rows.
+- :func:`knn_lsh` — the scale path: random-hyperplane LSH buckets; only the
+  query's bucket(s) are scanned.  (An IVF variant would replace the random
+  planes with k-means centroids; same bucket-scan shape.)
+- :func:`cosine_near_dup_pairs` — embedding near-dup via the same LSH
+  banding + exact cosine verify within buckets.
+
+All floats are rounded to 6 dp at the boundary so results are stable across
+BLAS orderings (and hash-comparable against the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+
+def _matrix(col: pd.Series) -> np.ndarray:
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_brute(
+    ds: rd.Dataset, query_vecs: np.ndarray, k: int, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> pd.DataFrame:
+    """Exact cosine top-k per query vector.  Returns
+    ``(query_idx, vec_id, cos)`` — ``cos`` rounded to 6 dp, deterministic
+    tiebreak on (cos desc, vec_id asc)."""
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    q_ref = ray.put(q)
+
+    class Scorer:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize(_matrix(df[vec_col]))
+            cos = np.round(m @ self.q.T, 6)  # (rows, n_query)
+            parts = []
+            for qi in range(cos.shape[1]):
+                p = pd.DataFrame({id_col: df[id_col].to_numpy(), "cos": cos[:, qi]})
+                p["query_idx"] = qi
+                p = p.sort_values(["cos", id_col], ascending=[False, True], kind="mergesort").head(k)
+                parts.append(p)
+            return pd.concat(parts, ignore_index=True)
+
+        # per-block partial top-k: ≤ k rows per (block, query) reach the driver
+
+    tops = ds.map_batches(Scorer, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+    return (
+        tops.sort_values(["query_idx", "cos", id_col], ascending=[True, False, True], kind="mergesort")
+        .groupby("query_idx", sort=True)
+        .head(k)
+        .reset_index(drop=True)[["query_idx", id_col, "cos"]]
+    )
+
+
+def lsh_bucket_ids(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Random-hyperplane signature → integer bucket id per row."""
+    bits = (m @ planes.T) > 0
+    return (bits.astype(np.uint64) << np.arange(planes.shape[0], dtype=np.uint64)).sum(axis=1)
+
+
+def knn_lsh(
+    ds: rd.Dataset,
+    query_vecs: np.ndarray,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 13,
+) -> pd.DataFrame:
+    """Approximate top-k: only rows whose hyperplane bucket matches the
+    query's bucket are scored.  At 100 TB this is the difference between a
+    full scan per query and a 1/2^planes partition-pruned scan; recall is
+    tunable via ``n_planes`` (fewer planes → bigger buckets → higher
+    recall)."""
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    dim = q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    q_buckets = lsh_bucket_ids(q, planes)
+    state = ray.put((q, planes, set(int(b) for b in q_buckets)))
+
+    class Scorer:
+        def __init__(self):
+            self.q, self.planes, self.q_buckets = ray.get(state)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize(_matrix(df[vec_col]))
+            buckets = lsh_bucket_ids(m, self.planes)
+            mask = np.isin(buckets, list(self.q_buckets))
+            if not mask.any():
+                return pd.DataFrame({id_col: pd.Series(dtype=df[id_col].dtype),
+                                     "cos": pd.Series(dtype="float64"),
+                                     "query_idx": pd.Series(dtype="int64")})
+            sub = m[mask]
+            ids = df[id_col].to_numpy()[mask]
+            cos = np.round(sub @ self.q.T, 6)
+            parts = []
+            for qi in range(cos.shape[1]):
+                p = pd.DataFrame({id_col: ids, "cos": cos[:, qi], "query_idx": qi})
+                parts.append(p.sort_values(["cos", id_col], ascending=[False, True], kind="mergesort").head(k))
+            return pd.concat(parts, ignore_index=True)
+
+    tops = ds.map_batches(Scorer, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+    return (
+        tops.sort_values(["query_idx", "cos", id_col], ascending=[True, False, True], kind="mergesort")
+        .groupby("query_idx", sort=True)
+        .head(k)
+        .reset_index(drop=True)[["query_idx", id_col, "cos"]]
+    )
+
+
+def cosine_near_dup_pairs(
+    ds: rd.Dataset,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 13,
+) -> pd.DataFrame:
+    """Embedding near-dup pairs (cos ≥ threshold): LSH-band rows into
+    hyperplane buckets, exact cosine verify within each bucket, union over a
+    few plane seeds to recover pairs split by one plane.  Returns
+    (id_a < id_b, cos)."""
+    sample = ds.take(1)
+    dim = len(sample[0][vec_col])
+    all_pairs: list[pd.DataFrame] = []
+    for rep in range(3):  # 3 independent plane sets → higher recall
+        rng = np.random.default_rng(seed + rep)
+        planes = rng.standard_normal((n_planes, dim))
+        planes_ref = ray.put(planes)
+
+        class Bucketer:
+            def __init__(self):
+                self.planes = ray.get(planes_ref)
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                m = _normalize(_matrix(df[vec_col]))
+                b = lsh_bucket_ids(m, self.planes)
+                return pd.DataFrame({id_col: df[id_col].to_numpy(), "bucket": b,
+                                     vec_col: df[vec_col]})
+
+        bucketed = ds.map_batches(Bucketer, batch_format="pandas", concurrency=(1, 8))
+
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) < 2:
+                return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                     "id_b": pd.Series(dtype="int64"),
+                                     "cos": pd.Series(dtype="float64")})
+            df = df.sort_values(id_col, kind="mergesort")
+            m = _normalize(_matrix(df[vec_col]))
+            ids = df[id_col].to_numpy()
+            cos = np.round(m @ m.T, 6)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = cos[ia, ib] >= threshold
+            return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                                 "cos": cos[ia[keep], ib[keep]]})
+
+        pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+        all_pairs.append(pairs.to_pandas())
+    out = pd.concat(all_pairs, ignore_index=True).drop_duplicates(subset=["id_a", "id_b"])
+    return out.sort_values(["id_a", "id_b"], kind="mergesort").reset_index(drop=True)

@@ -1,0 +1,320 @@
+"""Relational operators as Ray Data idioms.
+
+Each function is the scale-conscious version of an operator the reference
+performs record-at-a-time against Mongo (SURVEY.md §2): filters are
+vectorized Arrow predicates inside ``map_batches`` (not per-row ``ds.filter``),
+aggregations pre-aggregate per batch before the shuffle, top-k is a per-block
+partial top-k followed by one tiny final sort, and small-side joins broadcast
+via ``ray.put`` instead of shuffling both sides.
+
+Design rules (documented per SURVEY.md §4):
+
+- A bare ``groupby().aggregate()`` shuffles every row; ``grouped_agg`` first
+  collapses each batch to one row per key (the combiner the reference's
+  per-page partial counters imply, ``Borges/spiders/Elsevier/paper_index.py:150-266``).
+- ``topk`` never globally sorts the input: each block keeps its own top-k
+  (``k`` rows max per block), and only ``k × num_blocks`` rows reach the
+  final sort — the reference's priority-frontier selection (SURVEY.md §2.7 O4).
+- ``broadcast_join`` is for dimension tables (the reference's
+  zipname↔journal in-memory dict, ``download_via_sftp.py:117-122``): the
+  small side is ``ray.put`` once and merged per batch; no shuffle.
+- ``hash_join`` delegates to Ray's native hash-shuffle ``Dataset.join``
+  for the large×large case (the DOI↔record equi-join, J1).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Iterable
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import AggregateFn  # noqa: F401  (re-export surface)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load(sf_dir: str, table: str, columns: list[str] | None = None, **kw) -> rd.Dataset:
+    """Column-pruned Parquet scan (S1/S6/S16 analogue). Always pass
+    ``columns`` in pipelines — a read that loads all columns for a 2-column
+    transform ships 100 TB where it should ship 2."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    return rd.read_parquet(path, columns=columns, **kw)
+
+
+def filter_batches(ds: rd.Dataset, pred: Callable[[pa.Table], pa.ChunkedArray | pa.Array]) -> rd.Dataset:
+    """Vectorized filter: ``pred`` computes a boolean mask per Arrow batch.
+    (F1-F8 semantics; never per-row ``ds.filter(fn)`` in a hot path.)"""
+    return ds.map_batches(lambda t: t.filter(pred(t)), batch_format="pyarrow")
+
+
+def with_columns(ds: rd.Dataset, fn: Callable[[pa.Table], pa.Table]) -> rd.Dataset:
+    """Arrow-in/Arrow-out projection / computed-column stage (M16/M19)."""
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation with map-side partial aggregation
+# ---------------------------------------------------------------------------
+
+_AGG_PANDAS = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
+
+
+def grouped_agg(
+    ds: rd.Dataset,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    preagg_batch_size: int = 65536,
+) -> rd.Dataset:
+    """``aggs`` maps output-column → (op, input-column); op in
+    {sum, count, min, max, mean}.
+
+    Two-phase: per-batch pandas groupby collapses each Arrow batch to ≤
+    |distinct keys in batch| rows (the partial/combiner), then one shuffled
+    ``groupby`` over the partials merges. ``mean`` is decomposed into
+    sum+count partials and finalized after the merge, so it stays exact.
+    This keeps the all-to-all exchange proportional to the number of
+    groups, not the number of rows.
+    """
+    # decompose: build partial ops and the final merge ops
+    partial_cols: dict[str, tuple[str, str]] = {}  # partial_name -> (op, src)
+    finalize: list[tuple[str, str, str | None]] = []  # (out, kind, aux)
+    for out, (op, src) in aggs.items():
+        if op == "mean":
+            partial_cols[f"__{out}_s"] = ("sum", src)
+            partial_cols[f"__{out}_c"] = ("count", src)
+            finalize.append((out, "mean", None))
+        elif op == "count":
+            partial_cols[f"__{out}_c"] = ("count", src)
+            finalize.append((out, "count", None))
+        else:
+            partial_cols[f"__{out}_p"] = (op, src)
+            finalize.append((out, op, None))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False)
+        cols = {}
+        for name, (op, src) in partial_cols.items():
+            if op == "count":
+                cols[name] = g[src].count() if src else g.size()
+            else:
+                cols[name] = getattr(g[src], _AGG_PANDAS[op])()
+        return pd.DataFrame(cols).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=preagg_batch_size)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False)
+        cols = {}
+        for name, (op, _src) in partial_cols.items():
+            # counts merge by SUM; min/max/sum merge by themselves
+            merge_op = "sum" if op in ("count", "sum") else op
+            cols[name] = getattr(g[name], merge_op)()
+        out = pd.DataFrame(cols).reset_index()
+        for out_name, kind, _ in finalize:
+            if kind == "mean":
+                out[out_name] = out[f"__{out_name}_s"] / out[f"__{out_name}_c"]
+            elif kind == "count":
+                out[out_name] = out[f"__{out_name}_c"]
+            else:
+                out[out_name] = out[f"__{out_name}_p"]
+        return out[keys + [o for o, _, _ in finalize]]
+
+    # the partials are small: one groupby+map_groups merge over them
+    return partials.groupby(keys).map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Top-k without a global sort
+# ---------------------------------------------------------------------------
+
+def topk(
+    ds: rd.Dataset,
+    sort_cols: list[str],
+    k: int,
+    *,
+    descending: bool | list[bool] = True,
+    tiebreak: list[str] | None = None,
+) -> pd.DataFrame:
+    """Global top-k: per-block partial top-k (map_batches keeps ≤k rows per
+    block) then one driver-side final sort of ≤ k·num_blocks rows.  Always
+    pass ``tiebreak`` columns for a deterministic result.  Returns pandas
+    (top-k results are small by construction)."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_cols)
+    order_cols = sort_cols + (tiebreak or [])
+    ascending = [not d for d in descending] + [True] * len(tiebreak or [])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(order_cols, ascending=ascending, kind="mergesort").head(k)
+
+    tops = ds.map_batches(partial, batch_format="pandas")
+    final = tops.to_pandas()
+    return (
+        final.sort_values(order_cols, ascending=ascending, kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def distinct(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """Distinct rows of a column subset: per-block dedup first (combiner), so
+    the shuffle only moves already-unique rows (A5/D1 census semantics)."""
+    pre = ds.map_batches(
+        lambda df: df[cols].drop_duplicates(), batch_format="pandas"
+    )
+    return pre.groupby(cols).map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+def broadcast_join(
+    ds: rd.Dataset,
+    small: pd.DataFrame,
+    on: list[str],
+    how: str = "inner",
+    *,
+    suffix: str = "_r",
+) -> rd.Dataset:
+    """Broadcast hash join for a small side (dimension table).  The small
+    side is ``ray.put`` ONCE; every task reads it zero-copy from the object
+    store — never re-shipped per batch (J3/J4 semantics)."""
+    ref = ray.put(small)
+
+    class Joiner:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.small, on=on, how=how, suffixes=("", suffix))
+
+    return ds.map_batches(Joiner, batch_format="pandas", concurrency=(1, 8))
+
+
+def broadcast_semi_join(ds: rd.Dataset, keys: pd.DataFrame, on: list[str], *, anti: bool = False) -> rd.Dataset:
+    """Semi/anti join against a broadcast key set (J2: the reference's
+    skip-if-present / insert-if-absent membership checks)."""
+    ref = ray.put(keys[on].drop_duplicates())
+
+    class Semi:
+        def __init__(self):
+            self.keys = ray.get(ref)
+            self.keyset = set(map(tuple, self.keys.itertuples(index=False)))
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            member = pd.Series(
+                list(map(tuple, df[on].itertuples(index=False))), index=df.index
+            ).isin(self.keyset)
+            return df[~member] if anti else df[member]
+
+    return ds.map_batches(Semi, batch_format="pandas", concurrency=(1, 8))
+
+
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: list[str],
+    *,
+    join_type: str = "inner",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Large×large equi-join → Ray's native hash-shuffle join (both sides
+    hash-partitioned on the key across aggregator actors).  ``num_partitions``
+    is the shuffle fan-out: size it to cluster CPUs at real scale."""
+    return left.join(
+        right, join_type=join_type, num_partitions=num_partitions, on=tuple(on)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explode / flat-map (J6) and windowed aggregation (§2.10)
+# ---------------------------------------------------------------------------
+
+def explode(ds: rd.Dataset, list_col: str, out_col: str, keep: list[str]) -> rd.Dataset:
+    """Explode a ``list<...>`` column to one row per element — vectorized via
+    pandas ``explode`` per batch (the reference's issue→papers fan-out,
+    ``Borges/spiders/ECS/build_paper_col.py:27-33``)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[keep + [list_col]].explode(list_col, ignore_index=True)
+        out = out.rename(columns={list_col: out_col})
+        return out.dropna(subset=[out_col])
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def windowed_agg(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    window_us: int,
+    aggs: dict[str, tuple[str, str]],
+) -> rd.Dataset:
+    """Tumbling event-time window aggregate: assign ``window_start`` per
+    batch (vectorized), then :func:`grouped_agg` on (key, window_start).
+    Ray Data has no native watermarks; this is the batch re-expression
+    (ray_guide: streaming-shaped workloads)."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t[ts_col], pa.int64())
+        start = pc.multiply(pc.divide(ts, window_us), window_us)
+        return t.append_column("window_start", pc.cast(start, pa.timestamp("us")))
+
+    return grouped_agg(ds.map_batches(assign, batch_format="pyarrow"), [key, "window_start"], aggs)
+
+
+def sessionize(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    gap_us: int,
+) -> rd.Dataset:
+    """Session windows per key with inactivity gap: groupby(key) →
+    per-group sorted pandas scan (``map_groups``).  Partitioning assumption:
+    one key's events fit in one group block (documented §2.10)."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(ts_col, kind="mergesort")
+        ts = df[ts_col].astype("int64")
+        new_session = (ts.diff() > gap_us).fillna(True)
+        sid = new_session.cumsum()
+        out = df.groupby(sid).agg(
+            session_start=(ts_col, "min"), session_end=(ts_col, "max"), n_events=(ts_col, "count")
+        )
+        out[key] = df[key].iloc[0]
+        return out[[key, "session_start", "session_end", "n_events"]]
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def asof_self_lag(ds: rd.Dataset, key: str, ts_col: str, value_cols: list[str], out_prefix: str = "prev_") -> rd.Dataset:
+    """Per-key ordered lag (the as-of-join primitive): groupby(key), sort by
+    (ts, value_cols) within the group, shift by one.  Deterministic tie order
+    via the full sort key."""
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ts_col] + value_cols, kind="mergesort")
+        for c in [ts_col]:
+            df[out_prefix + c] = df[c].shift(1)
+        return df
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def union_all(datasets: Iterable[rd.Dataset]) -> rd.Dataset:
+    """Union of record streams (D4 — Scopus ∪ SciDir writing one sink)."""
+    ds_list = list(datasets)
+    out = ds_list[0]
+    for d in ds_list[1:]:
+        out = out.union(d)
+    return out

@@ -1,0 +1,146 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All kernels are vectorized (pandas ``.str`` / numpy over codepoints /
+compiled regex applied per batch) and pure — no model downloads, no network.
+Stateful pieces (compiled patterns, stopword banks) live in callable-class
+``__init__`` so they build once per actor, not once per batch.
+
+These generalize the reference's scalar string kernels (SURVEY.md §2.9):
+whitespace collapse (``download_abstract.py:71-73``), acronym/stopword banks
+(``aip_journals.py:40-59``), CJK char-class language rules
+(``article_xml_extractor.py:34-49``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..extract import CJK_RANGES
+
+STOPWORDS = frozenset(
+    "the a an and or of to in on for with at by from as is are was were be been it this that".split()
+)
+
+#: BPE-ish token pattern: word pieces, numbers, or single non-space symbols
+#: (a public GPT-2-style pre-tokenizer shape, re-implemented with stdlib re).
+TOKEN_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+
+_WS_RE = re.compile(r"\s+")
+
+
+def token_count_batch(texts: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """(whitespace_tokens, bpe_ish_tokens) per text — both vectorized."""
+    ws = texts.str.split().str.len().fillna(0).astype("int64")
+    bpe = texts.str.count(TOKEN_RE.pattern).astype("int64")
+    return ws, bpe
+
+
+class QualityScorer:
+    """Per-document quality signals: length, punctuation ratio, stopword
+    ratio, mean word length — the standard cheap pre-training filters.
+    Compile-once state (actor-pool friendly)."""
+
+    def __init__(self):
+        self.punct_re = re.compile(r"[^\w\s]")
+        self.word_re = re.compile(r"[A-Za-z]+")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        n_chars = texts.str.len().astype("int64")
+        n_punct = texts.str.count(self.punct_re.pattern).astype("int64")
+        words = texts.str.findall(self.word_re.pattern)
+        n_words = words.str.len().astype("int64")
+        n_stop = words.map(lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS)).astype("int64")
+        word_chars = words.map(lambda ws: sum(len(w) for w in ws)).astype("int64")
+        out = df.copy()
+        out["n_chars"] = n_chars
+        out["n_words"] = n_words
+        out["punct_ratio"] = (n_punct / n_chars.clip(lower=1)).round(6)
+        out["stopword_ratio"] = (n_stop / n_words.clip(lower=1)).round(6)
+        out["mean_word_len"] = (word_chars / n_words.clip(lower=1)).round(6)
+        return out
+
+
+class LangId:
+    """Heuristic language ID over Unicode char classes + stopword hits.
+
+    Classes: ``cjk`` (CJK codepoint share ≥ 0.25 of letters), else the
+    latin-script language whose marker-word bank hits most (en/de/fr/es),
+    else ``und``.  Deterministic; banks built once per actor."""
+
+    BANKS = {
+        "en": frozenset("the and of to in that with for is are".split()),
+        "de": frozenset("der die das und ist mit für nicht von ein".split()),
+        "fr": frozenset("le la les et de des est pour avec une".split()),
+        "es": frozenset("el la los y de en que es para con una".split()),
+    }
+
+    def __init__(self):
+        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+    def _cjk_share(self, texts: pd.Series) -> np.ndarray:
+        joined = "".join(texts.tolist())
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        is_cjk = np.zeros(len(cp), dtype=bool)
+        for lo, hi in CJK_RANGES:
+            is_cjk |= (cp >= lo) & (cp <= hi)
+        lengths = texts.str.len().fillna(0).astype("int64").to_numpy()
+        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        out = np.zeros(len(texts))
+        for i in range(len(texts)):
+            seg = is_cjk[offsets[i] : offsets[i + 1]]
+            out[i] = seg.mean() if len(seg) else 0.0
+        return out
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("")
+        share = self._cjk_share(texts)
+        words = texts.str.lower().str.findall(self.word_re.pattern)
+        preds = []
+        for i, ws in enumerate(words):
+            if share[i] >= 0.25:
+                preds.append("zh")
+                continue
+            scores = {lang: sum(1 for w in ws if w in bank) for lang, bank in self.BANKS.items()}
+            best = max(scores, key=lambda l: (scores[l], l))
+            preds.append(best if scores[best] > 0 else "und")
+        out = df.copy()
+        out["pred_lang"] = preds
+        return out
+
+
+FP_BASE = 1_000_003
+FP_MOD = (1 << 61) - 1
+
+
+def fingerprint_batch(texts: pd.Series) -> pd.Series:
+    """Deterministic polynomial rolling-hash fingerprint of the
+    whitespace-normalized text (document identity for exact/near dedup
+    ledgers).  Pure integers — stable across processes and platforms."""
+
+    def fp(t: str) -> int:
+        h = 0
+        for b in _WS_RE.sub(" ", t.strip()).encode("utf-8"):
+            h = (h * FP_BASE + b) % FP_MOD
+        return h
+
+    return texts.fillna("").map(fp).astype("uint64")
+
+
+def add_text_stats(ds: rd.Dataset) -> rd.Dataset:
+    """documents → + n_ws_tokens, n_bpe_tokens, fingerprint columns."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ws, bpe = token_count_batch(df["text"].fillna(""))
+        out = df.copy()
+        out["n_ws_tokens"] = ws
+        out["n_bpe_tokens"] = bpe
+        out["fingerprint"] = fingerprint_batch(df["text"])
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -1,0 +1,336 @@
+"""The crawl engine: BSP rounds of Ray Data stages with Parquet checkpoints.
+
+One crawl round (mirrors the oracle spec in ``reference_crawl.py`` exactly):
+
+    frontier_r ──combiner──shuffle(host)──► selected (host_seq assigned)
+        │                                     │
+        │ broadcast(selected urls)            ├──groupby(bucket)──► fetch-join pages
+        ▼                                     ▼
+    deferred                                parse (extract/lang/links)
+        │                                     │ explode→winner dedup→seen+robots gate
+        ▼                                     ▼
+    frontier_{r+1} = deferred ∪ new_allowed;  crawled_r, seen_delta, metrics
+
+Checkpoint layout (see :mod:`borges_ray.state.checkpoint`): ``round=r`` is
+the state *entering* round r — resume replays at most one uncommitted round,
+idempotently (the seen shards rebuild from committed deltas; crawled rows are
+keyed by (url), each url fetched exactly once).
+
+Scale notes: the frontier is only ever *scanned* (combiner + deferral
+passes), never shuffled in full — the host-shuffle moves ≤ budget×blocks
+rows/host, the bucket-shuffle moves only the politeness-bounded selection,
+and the pages corpus is probed per-bucket, never shuffled (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from .. import schemas
+from ..canonical import canonicalize, host_of, partition_of
+from ..stages.fetch import fetch_selected
+from ..stages.links import WINNER_ASC, WINNER_SORT, gate_candidates, link_candidates
+from ..stages.parse import parse_fetched
+from ..stages.politeness import budgets_from_robots, defer_frontier, select_frontier
+from ..state import checkpoint as ckpt
+from ..state.urlseen import create_seen_index
+
+
+@dataclass
+class EngineConfig:
+    round_ms: int = 10_000
+    default_delay_ms: int = 1000
+    max_rounds: int = 50
+    max_depth: int | None = None
+    num_partitions: int = 16
+    num_buckets: int = 16       # pages-corpus hash buckets
+    num_seen_shards: int = 4
+    seen_capacity: int = 1_000_000
+
+
+def _count_rows(path: str) -> int:
+    if not os.path.isdir(path):
+        return 0
+    return pads.dataset(path, format="parquet").count_rows()
+
+
+def _write_ds_into(final_dir: str, ds_or_table, tag: str) -> None:
+    """Write a Dataset (or small Arrow table) as parquet files inside
+    ``final_dir`` under a unique ``tag`` prefix (atomic: tmp + rename)."""
+    tmp = final_dir + f".__tmp_{tag}"
+    os.makedirs(tmp, exist_ok=True)
+    if isinstance(ds_or_table, pa.Table):
+        pq.write_table(ds_or_table, os.path.join(tmp, f"{tag}-0.parquet"))
+    else:
+        ds_or_table.write_parquet(tmp)
+    os.makedirs(final_dir, exist_ok=True)
+    for i, f in enumerate(sorted(os.listdir(tmp))):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(tmp, f), os.path.join(final_dir, f"{tag}-{i}.parquet"))
+    import shutil
+
+    shutil.rmtree(tmp)
+
+
+def bootstrap(seeds: pa.Table, robots_df: pd.DataFrame, cfg: EngineConfig,
+              ckpt_dir: str) -> None:
+    """Round-0 checkpoint from the seed table (driver-side; seeds are tiny —
+    the reference's start_urls.yaml scale)."""
+    robots_map = {h: tuple(p) for h, p in zip(robots_df["host"], robots_df["disallow_prefixes"])}
+    rows, crawled, seen_rows = [], [], []
+    seen: set[str] = set()
+    cands = []
+    for url, prio in zip(seeds["url"].to_pylist(), seeds["priority"].to_pylist()):
+        cu = canonicalize(url)
+        if cu is not None:
+            cands.append((cu, prio))
+    for cu, prio in sorted(cands):
+        if cu in seen:
+            continue
+        seen.add(cu)
+        host = host_of(cu)
+        part = partition_of(cu, cfg.num_partitions)
+        seen_rows.append({"url": cu, "partition": part, "seen_round": 0})
+        path = cu.split(host, 1)[1] if host in cu else "/"
+        if any(path.startswith(p) for p in robots_map.get(host, ())):
+            crawled.append({"url": cu, "host": host, "depth": 0, "priority": prio,
+                            "fetch_round": 0, "host_seq": -1, "status": 999,
+                            "extracted_text": "", "lang": "", "n_links": 0,
+                            "links": [], "partition": part})
+            continue
+        rows.append({"url": cu, "host": host, "depth": 0, "priority": prio,
+                     "discovered_round": 0, "parent_url": "", "partition": part})
+
+    rd0 = ckpt.round_dir(ckpt_dir, 0)
+    os.makedirs(rd0, exist_ok=True)
+    frontier_t = (
+        pa.Table.from_pylist(rows).cast(schemas.FRONTIER) if rows
+        else schemas.FRONTIER.empty_table()
+    )
+    _write_ds_into(os.path.join(rd0, "frontier"), frontier_t, "seed")
+    seen_t = pa.Table.from_pylist(seen_rows).cast(schemas.SEEN) if seen_rows else schemas.SEEN.empty_table()
+    _write_ds_into(os.path.join(rd0, "seen_delta"), seen_t, "seed")
+    if crawled:
+        from ..stages.parse import PARSED_SCHEMA
+
+        ct = pa.Table.from_pylist(crawled).select(PARSED_SCHEMA.names).cast(PARSED_SCHEMA)
+        _write_ds_into(os.path.join(rd0, "crawled"), ct, "blocked")
+    host_t = pa.table({"host": pa.array([], pa.string()), "next_seq": pa.array([], pa.int64())})
+    _write_ds_into(os.path.join(rd0, "host_state"), host_t, "hs")
+    ckpt.commit_round(ckpt_dir, 0)
+
+
+def run_crawl(
+    pages_root: str,
+    seeds: pa.Table,
+    robots_df: pd.DataFrame,
+    cfg: EngineConfig,
+    ckpt_dir: str,
+    resume: bool = True,
+) -> dict:
+    """Run (or resume) the crawl to completion; returns summary paths/counts.
+
+    ``pages_root`` must be the hash-bucketed corpus layout produced by
+    :func:`borges_ray.stages.fetch.write_pages_bucketed`.
+    """
+    if not resume:
+        import shutil
+
+        if os.path.isdir(ckpt_dir):
+            shutil.rmtree(ckpt_dir)
+    ckpt.clean_uncommitted(ckpt_dir)
+    last = ckpt.last_committed_round(ckpt_dir)
+    if last < 0:
+        bootstrap(seeds, robots_df, cfg, ckpt_dir)
+        last = 0
+
+    # --- rebuild run-wide state from committed checkpoints ----------------
+    shards = create_seen_index(cfg.num_seen_shards, cfg.seen_capacity)
+    seen_all = ckpt.read_all_rounds(ckpt_dir, "seen_delta", last)
+    if seen_all is not None and seen_all.num_rows:
+        urls = seen_all["url"].to_pylist()
+        from ..canonical import stable_hash
+
+        per_shard: dict[int, list[str]] = {}
+        for u in urls:
+            per_shard.setdefault(stable_hash(u) % cfg.num_seen_shards, []).append(u)
+        ray.get([shards[s].load_keys.remote(us) for s, us in per_shard.items()])
+
+    budgets = budgets_from_robots(robots_df, cfg.round_ms, cfg.default_delay_ms)
+    budgets_ref = ray.put(budgets)
+    robots_ref = ray.put(
+        {h: tuple(p) for h, p in zip(robots_df["host"], robots_df["disallow_prefixes"])}
+    )
+
+    rnd = last
+    while rnd < cfg.max_rounds:
+        this_dir = ckpt.round_dir(ckpt_dir, rnd)
+        next_dir = ckpt.round_dir(ckpt_dir, rnd + 1)
+        frontier_path = os.path.join(this_dir, "frontier")
+        frontier_size = _count_rows(frontier_path)
+        if frontier_size == 0:
+            break
+        os.makedirs(next_dir, exist_ok=True)
+
+        host_state = pq.read_table(os.path.join(this_dir, "host_state")).to_pandas()
+        host_offsets = dict(zip(host_state["host"], host_state["next_seq"].astype(int)))
+
+        frontier = rd.read_parquet(frontier_path)
+
+        # 1. politeness selection (host_seq assigned)
+        selected = select_frontier(frontier, budgets_ref, host_offsets)
+        sel_dir = os.path.join(next_dir, "selected")
+        _write_ds_into(sel_dir, selected, "sel")
+        sel_small = pq.read_table(sel_dir, columns=["url", "host", "partition"]).to_pandas()
+
+        # 2. deferral (frontier scan minus selected urls)
+        frontier2 = rd.read_parquet(frontier_path)
+        deferred = defer_frontier(frontier2, set(sel_small["url"]))
+        frontier_next_dir = os.path.join(next_dir, "frontier")
+        _write_ds_into(frontier_next_dir, deferred, "deferred")
+
+        # 3-4. fetch-join + parse
+        sel_ds = rd.read_parquet(sel_dir)
+        fetched = fetch_selected(sel_ds, pages_root, cfg.num_buckets)
+        parsed = parse_fetched(fetched, rnd)
+        crawled_dir = os.path.join(next_dir, "crawled")
+        _write_ds_into(crawled_dir, parsed, "fetched")
+
+        # 5. link candidates → winner dedup → seen + robots gate
+        parsed_back = rd.read_parquet(crawled_dir, columns=[
+            "url", "status", "priority", "depth", "links"])
+        cands = link_candidates(parsed_back, rnd, cfg.num_partitions, cfg.max_depth)
+        gated = gate_candidates(cands, shards, robots_ref)
+        new_dir = os.path.join(next_dir, "new")
+        _write_ds_into(new_dir, gated, "new")
+
+        new_t = pq.read_table(new_dir) if os.path.isdir(new_dir) and os.listdir(new_dir) else None
+        if new_t is not None and new_t.num_rows:
+            new_df = new_t.to_pandas()
+            allowed = new_df[~new_df["blocked"]]
+            blocked = new_df[new_df["blocked"]]
+            if len(allowed):
+                ft = pa.Table.from_pandas(
+                    allowed[["url", "host", "depth", "priority", "discovered_round",
+                             "parent_url", "partition"]], preserve_index=False
+                ).cast(schemas.FRONTIER)
+                _write_ds_into(frontier_next_dir, ft, "new")
+            if len(blocked):
+                bt = blocked.assign(
+                    fetch_round=rnd + 1, host_seq=-1, status=999,
+                    extracted_text="", lang="", n_links=0,
+                )
+                bt["links"] = [[] for _ in range(len(bt))]
+                from ..stages.parse import PARSED_SCHEMA
+
+                bt = bt[PARSED_SCHEMA.names]
+                bt_t = pa.Table.from_pandas(bt, preserve_index=False).cast(PARSED_SCHEMA)
+                _write_ds_into(crawled_dir, bt_t, "blocked")
+            sd = new_df.assign(seen_round=rnd + 1)[["url", "partition", "seen_round"]]
+            sd_t = pa.Table.from_pandas(sd, preserve_index=False).cast(schemas.SEEN)
+        else:
+            new_df = pd.DataFrame(columns=["url", "blocked", "partition"])
+            allowed = blocked = new_df
+            sd_t = schemas.SEEN.empty_table()
+        _write_ds_into(os.path.join(next_dir, "seen_delta"), sd_t, "links")
+
+        # 6. host_state + metrics (small, driver-side)
+        sel_counts = sel_small.groupby("host").size()
+        for h, c in sel_counts.items():
+            host_offsets[h] = host_offsets.get(h, 0) + int(c)
+        hs_t = pa.table({"host": pa.array(list(host_offsets), pa.string()),
+                         "next_seq": pa.array([host_offsets[h] for h in host_offsets], pa.int64())})
+        _write_ds_into(os.path.join(next_dir, "host_state"), hs_t, "hs")
+
+        crawled_t = pq.read_table(crawled_dir, columns=["status", "partition", "n_links"]).to_pandas()
+        fetched_rows = crawled_t[crawled_t.status == 200]
+        missed_rows = crawled_t[crawled_t.status == 404]
+        per_part = pd.DataFrame({"partition": range(cfg.num_partitions)})
+        per_part["round"] = rnd
+        per_part = per_part.merge(
+            sel_small.groupby("partition").size().rename("selected"), on="partition", how="left"
+        ).merge(
+            fetched_rows.groupby("partition").size().rename("fetched"), on="partition", how="left"
+        ).merge(
+            missed_rows.groupby("partition").size().rename("missed"), on="partition", how="left"
+        ).merge(
+            fetched_rows.groupby("partition")["n_links"].sum().rename("links_emitted"),
+            on="partition", how="left",
+        )
+        if len(new_df):
+            per_part = per_part.merge(
+                new_df[~new_df["blocked"]].groupby("partition").size().rename("links_new"),
+                on="partition", how="left",
+            ).merge(
+                new_df[new_df["blocked"]].groupby("partition").size().rename("blocked"),
+                on="partition", how="left",
+            )
+        else:
+            per_part["links_new"] = 0
+            per_part["blocked"] = 0
+        per_part["frontier_size"] = frontier_size
+        per_part = per_part.fillna(0)
+        for c in ("selected", "fetched", "missed", "blocked", "links_emitted", "links_new", "frontier_size"):
+            per_part[c] = per_part[c].astype("int64")
+        per_part["round"] = per_part["round"].astype("int32")
+        per_part["partition"] = per_part["partition"].astype("int32")
+        m_t = pa.Table.from_pandas(
+            per_part[[f.name for f in schemas.METRICS]], preserve_index=False
+        ).cast(schemas.METRICS)
+        _write_ds_into(os.path.join(next_dir, "metrics"), m_t, "m")
+
+        ckpt.commit_round(ckpt_dir, rnd + 1)
+        rnd += 1
+
+    return {
+        "ckpt_dir": ckpt_dir,
+        "rounds": rnd,
+        "crawled_rows": sum(
+            _count_rows(os.path.join(ckpt.round_dir(ckpt_dir, r), "crawled"))
+            for r in range(rnd + 1)
+        ),
+    }
+
+
+def collect_crawled(ckpt_dir: str) -> pa.Table:
+    """All crawled rows across committed rounds (official CRAWLED columns)."""
+    last = ckpt.last_committed_round(ckpt_dir)
+    t = ckpt.read_all_rounds(ckpt_dir, "crawled", last)
+    if t is None:
+        return schemas.CRAWLED.empty_table()
+    cols = [f.name for f in schemas.CRAWLED]
+    return t.select(cols)
+
+
+def collect_seen(ckpt_dir: str) -> pa.Table:
+    last = ckpt.last_committed_round(ckpt_dir)
+    t = ckpt.read_all_rounds(ckpt_dir, "seen_delta", last)
+    return t if t is not None else schemas.SEEN.empty_table()
+
+
+def crawl_entry(sf_dir: str) -> rd.Dataset:
+    """Flagship entry: full engine on the deterministic synthetic web
+    (sized by sf tier), returning the crawled table as a Dataset."""
+    import tempfile
+
+    from ..stages.fetch import write_pages_bucketed
+    from ..synth import synth_pages, synth_robots, synth_seeds
+
+    n_pages = 2000
+    cfg = EngineConfig(max_rounds=8, num_buckets=8, num_partitions=8)
+    tmp = tempfile.mkdtemp(prefix="borges_entry_")
+    pages_root = os.path.join(tmp, "pages")
+    pages = synth_pages(42, n_pages)
+    write_pages_bucketed(pages.select(["url", "html"]), pages_root, cfg.num_buckets)
+    robots_df = synth_robots(42, n_pages).to_pandas()
+    run_crawl(pages_root, synth_seeds(42, n_pages), robots_df, cfg,
+              os.path.join(tmp, "ckpt"), resume=False)
+    return rd.from_arrow(collect_crawled(os.path.join(tmp, "ckpt")))

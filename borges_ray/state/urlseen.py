@@ -1,0 +1,91 @@
+"""Partitioned URL-seen index: Bloom prefilter + exact confirm, as shard
+actors.
+
+This is the one place the engine drops below the Dataset API to raw Ray
+actors, and deliberately so (SURVEY.md §2.11 / build-brief rule: shared
+mutable index): the seen-set must support *check-and-add within a round*
+with exactly-once semantics across concurrently-running dedup tasks.  Each
+shard owns a fixed range of ``hash(url) % num_shards``; a batch of candidate
+URLs is routed to its shard, which answers atomically.  Per-shard state:
+
+- a Bloom bitmap (fast "definitely new" path — the T3 dupefilter analogue),
+- an exact Python set for confirmation (kept exact; at the 10^10 design
+  point this set is replaced by per-partition seen-Parquet probes for
+  Bloom-positives — the Bloom then filters ~99% of probes).
+
+Rebuildable from the checkpointed seen-delta Parquet on resume
+(:func:`UrlSeenShard.load_keys`), so a killed job reconstructs the exact
+same membership.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from ..canonical import stable_hash
+from .bloom import BloomFilter
+
+
+@ray.remote(num_cpus=0.25)
+class UrlSeenShard:
+    """One shard of the partitioned URL-seen filter."""
+
+    def __init__(self, shard_id: int, capacity: int = 1_000_000):
+        self.shard_id = shard_id
+        self.bloom = BloomFilter(capacity)
+        self.exact: set[str] = set()
+
+    def check_and_add(self, urls: list[str]) -> np.ndarray:
+        """Mark all ``urls`` seen; return mask of which were NEW (unseen
+        before this call).  Atomic within the actor — concurrent callers
+        serialize, so a URL is new for exactly one caller."""
+        maybe = self.bloom.maybe_contains_batch(urls)
+        out = np.zeros(len(urls), dtype=bool)
+        to_add: list[str] = []
+        for i, u in enumerate(urls):
+            if maybe[i] and u in self.exact:  # bloom positive confirmed
+                continue
+            if u in self.exact:  # bloom false-negative cannot happen; safety
+                continue
+            self.exact.add(u)
+            to_add.append(u)
+            out[i] = True
+        self.bloom.add_batch(to_add)
+        return out
+
+    def load_keys(self, urls: list[str]) -> int:
+        """Resume path: re-register already-seen URLs without reporting them
+        as new."""
+        fresh = [u for u in urls if u not in self.exact]
+        self.exact.update(fresh)
+        self.bloom.add_batch(fresh)
+        return len(self.exact)
+
+    def size(self) -> int:
+        return len(self.exact)
+
+
+def create_seen_index(num_shards: int, capacity_per_shard: int = 1_000_000) -> list:
+    """Spawn the shard actor pool (detached-per-run, owned by the driver)."""
+    return [
+        UrlSeenShard.remote(i, capacity_per_shard) for i in range(num_shards)
+    ]
+
+
+def seen_check_and_add(shards: list, urls: list[str]) -> np.ndarray:
+    """Route a URL batch to its shards; returns the new-mask aligned with
+    ``urls``.  One round-trip per shard, issued concurrently."""
+    if not urls:
+        return np.zeros(0, dtype=bool)
+    n = len(shards)
+    shard_of = np.fromiter((stable_hash(u) % n for u in urls), dtype=np.int64, count=len(urls))
+    mask = np.zeros(len(urls), dtype=bool)
+    futures = {}
+    for s in range(n):
+        idx = np.nonzero(shard_of == s)[0]
+        if len(idx):
+            futures[s] = (idx, shards[s].check_and_add.remote([urls[i] for i in idx]))
+    for s, (idx, fut) in futures.items():
+        mask[idx] = ray.get(fut)
+    return mask

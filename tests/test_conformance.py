@@ -1,0 +1,105 @@
+"""Engine ↔ oracle conformance (FIXTURES.md §4): URL-seen set equality,
+per-host fetch order equality, byte-identical extracted text, status parity.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from borges_ray.pipelines.crawl import (
+    EngineConfig,
+    collect_crawled,
+    collect_seen,
+    run_crawl,
+)
+from borges_ray.stages.fetch import write_pages_bucketed
+from borges_ray.synth import synth_pages, synth_robots, synth_seeds
+from reference_crawl import CrawlConfig, crawl
+
+N_PAGES = 600
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def web(tmp_path_factory):
+    pages = synth_pages(SEED, N_PAGES)
+    seeds = synth_seeds(SEED, N_PAGES)
+    robots = synth_robots(SEED, N_PAGES)
+    root = tmp_path_factory.mktemp("web")
+    pages_root = str(root / "pages")
+    write_pages_bucketed(pages.select(["url", "html"]), pages_root, num_buckets=4)
+    return pages, seeds, robots, pages_root, str(root)
+
+
+@pytest.fixture(scope="module")
+def oracle_result(web):
+    pages, seeds, robots, _, _ = web
+    pages_map = dict(zip(pages["url"].to_pylist(), pages["html"].to_pylist()))
+    seed_list = list(zip(seeds["url"].to_pylist(), seeds["priority"].to_pylist()))
+    robots_map = {
+        r["host"]: {"disallow_prefixes": r["disallow_prefixes"],
+                    "crawl_delay_ms": r["crawl_delay_ms"]}
+        for r in robots.to_pylist()
+    }
+    return crawl(pages_map, seed_list, robots_map,
+                 CrawlConfig(max_rounds=6, num_partitions=8))
+
+
+@pytest.fixture(scope="module")
+def engine_result(web, ray_session):
+    _, seeds, robots, pages_root, root = web
+    cfg = EngineConfig(max_rounds=6, num_partitions=8, num_buckets=4, num_seen_shards=2)
+    ckpt_dir = os.path.join(root, "ckpt")
+    run_crawl(pages_root, seeds, robots.to_pandas(), cfg, ckpt_dir, resume=False)
+    return collect_crawled(ckpt_dir).to_pandas(), collect_seen(ckpt_dir).to_pandas(), ckpt_dir
+
+
+def test_seen_set_equality(oracle_result, engine_result):
+    _, seen_df, _ = engine_result
+    oracle_seen = {r["url"] for r in oracle_result.seen}
+    assert set(seen_df["url"]) == oracle_seen
+    assert len(seen_df) == len(seen_df["url"].unique())
+    # seen_round parity too
+    oracle_rounds = {r["url"]: r["seen_round"] for r in oracle_result.seen}
+    eng_rounds = dict(zip(seen_df["url"], seen_df["seen_round"]))
+    assert eng_rounds == oracle_rounds
+
+
+def test_crawled_status_and_text_byte_identical(oracle_result, engine_result):
+    crawled_df, _, _ = engine_result
+    oracle_df = pd.DataFrame(oracle_result.crawled)
+    assert len(crawled_df) == len(oracle_df)
+    m = crawled_df.set_index("url").sort_index()
+    o = oracle_df.set_index("url").sort_index()
+    assert list(m.index) == list(o.index)
+    assert (m["status"].to_numpy() == o["status"].to_numpy()).all()
+    # THE byte-identical invariant
+    assert (m["extracted_text"].to_numpy() == o["extracted_text"].to_numpy()).all()
+    assert (m["lang"].to_numpy() == o["lang"].to_numpy()).all()
+    assert (m["depth"].to_numpy() == o["depth"].to_numpy()).all()
+    assert (m["fetch_round"].to_numpy() == o["fetch_round"].to_numpy()).all()
+    assert (m["n_links"].to_numpy() == o["n_links"].to_numpy()).all()
+
+
+def test_per_host_order_equality(oracle_result, engine_result):
+    crawled_df, _, _ = engine_result
+    oracle_df = pd.DataFrame(oracle_result.crawled)
+    eng_fetched = crawled_df[crawled_df.status != 999]
+    ora_fetched = oracle_df[oracle_df.status != 999]
+    for host, g in ora_fetched.groupby("host"):
+        ora_order = g.sort_values("host_seq")["url"].tolist()
+        eng_order = (
+            eng_fetched[eng_fetched.host == host].sort_values("host_seq")["url"].tolist()
+        )
+        assert eng_order == ora_order, f"order mismatch for {host}"
+
+
+def test_crawl_made_progress(oracle_result):
+    statuses = pd.Series([r["status"] for r in oracle_result.crawled])
+    # the fixture web must exercise every path: fetches, 404s, robots blocks
+    assert (statuses == 200).sum() > 50
+    assert (statuses == 404).sum() > 0
+    assert (statuses == 999).sum() > 0
