@@ -309,8 +309,157 @@ def _q_knn(sf_dir: str):
     return df[["vec_id", "cos"]]
 
 
+def _q_bpe_tokens(sf_dir: str):
+    """BPE-ish token counting (GPT-2-style pre-tokenizer shape)."""
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        from borges_ray.ops.textops import token_count_batch
+
+        _, bpe = token_count_batch(df["text"])
+        return pd.DataFrame({"doc_id": df["doc_id"], "n_bpe_tokens": bpe})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _q_cosine_neardup(sf_dir: str):
+    """Embedding near-dup pairs (exact broadcast variant, oracle-checked;
+    the LSH-bucketed variant is the rows-only scale path below)."""
+    from borges_ray.ops.embed import cosine_near_dup_exact
+    from borges_ray.ops.relational import filter_batches, load
+
+    ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sub = filter_batches(ds, lambda t: pc.less(t["vec_id"], pa.scalar(300)))
+    small = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    small = small[small.vec_id < 300]
+    out = cosine_near_dup_exact(sub, small, 0.38)
+    out["cos"] = out["cos"].round(4)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out
+
+
+def _q_cosine_neardup_lsh(sf_dir: str):
+    """LSH-bucketed embedding near-dup — the scale path (approximate,
+    rows-only check)."""
+    from borges_ray.ops.embed import cosine_near_dup_pairs
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return cosine_near_dup_pairs(ds, 0.38, n_planes=4)
+
+
+def _q_knn_lsh(sf_dir: str):
+    """Approximate ANN via hyperplane-LSH bucket pruning (rows-only)."""
+    from borges_ray.ops.embed import knn_lsh
+    from borges_ray.ops.relational import load
+
+    q = pd.read_parquet(f"{sf_dir}/embeddings.parquet").pipe(
+        lambda d: d[d.vec_id == 0]["embedding"].iloc[0]
+    )
+    ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = knn_lsh(ds, np.asarray(q), 10, n_planes=4)
+    return df[["vec_id", "cos"]]
+
+
+def _q_minhash_neardup(sf_dir: str):
+    """MinHash+LSH near-dup pairs over documents (rows-only: approximate)."""
+    from borges_ray.ops.dedup import minhash_near_dup_pairs
+    from borges_ray.ops.relational import load
+
+    texts = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_near_dup_pairs(ds, "doc_id", threshold=0.5, texts_by_id=texts)
+
+
+def _q_simhash(sf_dir: str):
+    """64-bit SimHash signatures per document (rows-only: deterministic
+    custom hash, not SQL-expressible)."""
+    from borges_ray.ops.dedup import simhash_signatures
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    out = simhash_signatures(ds).to_pandas()[["doc_id", "simhash"]]
+    out["simhash"] = out["simhash"].astype("uint64")
+    return out
+
+
+def _q_lang_id(sf_dir: str):
+    """Heuristic language-ID vs the table's ground-truth lang column
+    (rows-only; accuracy asserted in unit tests)."""
+    from borges_ray.ops.relational import grouped_agg, load
+    from borges_ray.ops.textops import LangId
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+    out = grouped_agg(pred, ["lang", "pred_lang"], {"n": ("count", "doc_id")})
+    df = out.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return df
+
+
+def _q_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprints (rows-only)."""
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        from borges_ray.ops.textops import fingerprint_batch
+
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "fingerprint": fingerprint_batch(df["text"])})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing: binary payloads → actor-pool feature extraction
+    (decode stubbed; rows-only)."""
+    import ray.data as rd
+
+    from borges_ray.ops.multimodal import extract_media_features, synth_media
+
+    media = rd.from_arrow(synth_media(42, 500))
+    out = extract_media_features(media).to_pandas()
+    out["f0"] = [f[0] for f in out["features"]]
+    return out[["media_id", "media_type", "n_bytes", "f0"]]
+
+
+def _q_crawl_pipeline(sf_dir: str):
+    """The full crawl engine on a small synthetic web (rows-only; full
+    conformance vs the oracle is pytest-gated)."""
+    import tempfile
+
+    from borges_ray.pipelines.crawl import EngineConfig, collect_crawled, run_crawl
+    from borges_ray.stages.fetch import write_pages_bucketed
+    from borges_ray.synth import synth_pages, synth_robots, synth_seeds
+
+    n = 600
+    tmp = tempfile.mkdtemp(prefix="borges_q_")
+    pages = synth_pages(42, n)
+    write_pages_bucketed(pages.select(["url", "html"]), f"{tmp}/pages", 4)
+    cfg = EngineConfig(max_rounds=4, num_partitions=8, num_buckets=4, num_seen_shards=2)
+    run_crawl(f"{tmp}/pages", synth_seeds(42, n), synth_robots(42, n).to_pandas(),
+              cfg, f"{tmp}/ckpt", resume=False)
+    return collect_crawled(f"{tmp}/ckpt")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "bpe_tokens": _q_bpe_tokens,
+        "cosine_neardup": _q_cosine_neardup,
+        "cosine_neardup_lsh": _q_cosine_neardup_lsh,
+        "knn_lsh": _q_knn_lsh,
+        "minhash_neardup": _q_minhash_neardup,
+        "simhash_signatures": _q_simhash,
+        "lang_id_confusion": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        "media_features": _q_media_features,
+        "crawl_pipeline": _q_crawl_pipeline,
         "pricing_summary": _q_pricing_summary,
         "filter_revenue": _q_filter_revenue,
         "topk_orders": _q_topk_orders,
@@ -337,6 +486,19 @@ _STOP_SQL = "('the','a','an','and','or','of','to','in','on','for','with','at','b
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bpe_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS BIGINT)
+                     AS n_bpe_tokens
+            FROM documents
+        """,
+        "cosine_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id AND a.vec_id < 300 AND b.vec_id < 300
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.38
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -67,9 +67,12 @@ def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
     hashed = ds.map_batches(add_hash, batch_format="pandas")
 
     def winner(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(id_col, kind="mergesort").head(1).drop(columns="__h")
+        df = df.sort_values([id_col], kind="mergesort")
+        return df.drop_duplicates(subset="__h", keep="first").drop(columns="__h")
 
-    return hashed.groupby("__h").map_groups(winner, batch_format="pandas")
+    from .relational import groupby_buckets
+
+    return groupby_buckets(hashed, ["__h"], winner)
 
 
 # ---------------------------------------------------------------------------
@@ -157,14 +160,22 @@ def minhash_near_dup_pairs(
     band_rows = minhash_band_rows(ds, id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k)
     texts_ref = ray.put(texts_by_id.set_index(id_col)["text"].to_dict()) if texts_by_id is not None else None
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df[id_col].unique().tolist())
-        if len(ids) < 2:
+    def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per band: only band_hash values shared by ≥2 docs spawn
+        # pairs; one Python loop over *colliding buckets*, not all buckets
+        counts = df["band_hash"].value_counts()
+        hot = counts[counts >= 2].index
+        sub = df[df["band_hash"].isin(hot)]
+        out: list[tuple] = []
+        for _, g in sub.groupby("band_hash", sort=False):
+            ids = sorted(g[id_col].unique().tolist())
+            out.extend((a, b) for i, a in enumerate(ids) for b in ids[i + 1 :])
+        if not out:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+        return pd.DataFrame(out, columns=["id_a", "id_b"])
 
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+    pairs = band_rows.groupby("band", num_partitions=min(bands, 32)).map_groups(
+        band_pairs, batch_format="pandas")
     pairs_df = pairs.to_pandas().drop_duplicates(ignore_index=True)
     if texts_ref is None or pairs_df.empty:
         pairs_df["jaccard"] = pd.Series(dtype="float64")
@@ -220,15 +231,19 @@ def simhash_near_dup_pairs(ds: rd.Dataset, id_col: str, *, max_hamming: int = 3)
 
     chunks = sigs.map_batches(explode_chunks, batch_format="pandas")
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        rows = df[[id_col, "simhash"]].drop_duplicates().sort_values(id_col).values
+    def chunk_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df["chunk_val"].value_counts()
+        hot = counts[counts >= 2].index
+        sub = df[df["chunk_val"].isin(hot)]
         out = []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                h = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")
-                if h <= max_hamming:
-                    out.append((rows[i][0], rows[j][0], h))
+        for _, g in sub.groupby("chunk_val", sort=False):
+            rows = g[[id_col, "simhash"]].drop_duplicates().sort_values(id_col).values
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    h = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")
+                    if h <= max_hamming:
+                        out.append((rows[i][0], rows[j][0], h))
         return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
 
-    pairs = chunks.groupby(["chunk", "chunk_val"]).map_groups(bucket_pairs, batch_format="pandas")
+    pairs = chunks.groupby("chunk", num_partitions=4).map_groups(chunk_pairs, batch_format="pandas")
     return pairs.to_pandas().drop_duplicates(ignore_index=True).reset_index(drop=True)

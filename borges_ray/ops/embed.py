@@ -40,24 +40,20 @@ def knn_brute(
     q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
     q_ref = ray.put(q)
 
-    class Scorer:
-        def __init__(self):
-            self.q = ray.get(q_ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = _normalize(_matrix(df[vec_col]))
-            cos = np.round(m @ self.q.T, 6)  # (rows, n_query)
-            parts = []
-            for qi in range(cos.shape[1]):
-                p = pd.DataFrame({id_col: df[id_col].to_numpy(), "cos": cos[:, qi]})
-                p["query_idx"] = qi
-                p = p.sort_values(["cos", id_col], ascending=[False, True], kind="mergesort").head(k)
-                parts.append(p)
-            return pd.concat(parts, ignore_index=True)
-
+    def score(df: pd.DataFrame) -> pd.DataFrame:
         # per-block partial top-k: ≤ k rows per (block, query) reach the driver
+        q_ = ray.get(q_ref)
+        m = _normalize(_matrix(df[vec_col]))
+        cos = np.round(m @ q_.T, 6)  # (rows, n_query)
+        parts = []
+        for qi in range(cos.shape[1]):
+            p = pd.DataFrame({id_col: df[id_col].to_numpy(), "cos": cos[:, qi]})
+            p["query_idx"] = qi
+            p = p.sort_values(["cos", id_col], ascending=[False, True], kind="mergesort").head(k)
+            parts.append(p)
+        return pd.concat(parts, ignore_index=True)
 
-    tops = ds.map_batches(Scorer, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+    tops = ds.map_batches(score, batch_format="pandas").to_pandas()
     return (
         tops.sort_values(["query_idx", "cos", id_col], ascending=[True, False, True], kind="mergesort")
         .groupby("query_idx", sort=True)
@@ -94,28 +90,25 @@ def knn_lsh(
     q_buckets = lsh_bucket_ids(q, planes)
     state = ray.put((q, planes, set(int(b) for b in q_buckets)))
 
-    class Scorer:
-        def __init__(self):
-            self.q, self.planes, self.q_buckets = ray.get(state)
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        q_, planes_, q_buckets_ = ray.get(state)
+        m = _normalize(_matrix(df[vec_col]))
+        buckets = lsh_bucket_ids(m, planes_)
+        mask = np.isin(buckets, list(q_buckets_))
+        if not mask.any():
+            return pd.DataFrame({id_col: pd.Series(dtype=df[id_col].dtype),
+                                 "cos": pd.Series(dtype="float64"),
+                                 "query_idx": pd.Series(dtype="int64")})
+        sub = m[mask]
+        ids = df[id_col].to_numpy()[mask]
+        cos = np.round(sub @ q_.T, 6)
+        parts = []
+        for qi in range(cos.shape[1]):
+            p = pd.DataFrame({id_col: ids, "cos": cos[:, qi], "query_idx": qi})
+            parts.append(p.sort_values(["cos", id_col], ascending=[False, True], kind="mergesort").head(k))
+        return pd.concat(parts, ignore_index=True)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = _normalize(_matrix(df[vec_col]))
-            buckets = lsh_bucket_ids(m, self.planes)
-            mask = np.isin(buckets, list(self.q_buckets))
-            if not mask.any():
-                return pd.DataFrame({id_col: pd.Series(dtype=df[id_col].dtype),
-                                     "cos": pd.Series(dtype="float64"),
-                                     "query_idx": pd.Series(dtype="int64")})
-            sub = m[mask]
-            ids = df[id_col].to_numpy()[mask]
-            cos = np.round(sub @ self.q.T, 6)
-            parts = []
-            for qi in range(cos.shape[1]):
-                p = pd.DataFrame({id_col: ids, "cos": cos[:, qi], "query_idx": qi})
-                parts.append(p.sort_values(["cos", id_col], ascending=[False, True], kind="mergesort").head(k))
-            return pd.concat(parts, ignore_index=True)
-
-    tops = ds.map_batches(Scorer, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+    tops = ds.map_batches(score, batch_format="pandas").to_pandas()
     return (
         tops.sort_values(["query_idx", "cos", id_col], ascending=[True, False, True], kind="mergesort")
         .groupby("query_idx", sort=True)
@@ -145,17 +138,13 @@ def cosine_near_dup_pairs(
         planes = rng.standard_normal((n_planes, dim))
         planes_ref = ray.put(planes)
 
-        class Bucketer:
-            def __init__(self):
-                self.planes = ray.get(planes_ref)
+        def bucketer(df: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize(_matrix(df[vec_col]))
+            b = lsh_bucket_ids(m, ray.get(planes_ref))
+            return pd.DataFrame({id_col: df[id_col].to_numpy(), "bucket": b,
+                                 vec_col: df[vec_col]})
 
-            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-                m = _normalize(_matrix(df[vec_col]))
-                b = lsh_bucket_ids(m, self.planes)
-                return pd.DataFrame({id_col: df[id_col].to_numpy(), "bucket": b,
-                                     vec_col: df[vec_col]})
-
-        bucketed = ds.map_batches(Bucketer, batch_format="pandas", concurrency=(1, 8))
+        bucketed = ds.map_batches(bucketer, batch_format="pandas")
 
         def verify(df: pd.DataFrame) -> pd.DataFrame:
             if len(df) < 2:
@@ -175,3 +164,39 @@ def cosine_near_dup_pairs(
         all_pairs.append(pairs.to_pandas())
     out = pd.concat(all_pairs, ignore_index=True).drop_duplicates(subset=["id_a", "id_b"])
     return out.sort_values(["id_a", "id_b"], kind="mergesort").reset_index(drop=True)
+
+
+def cosine_near_dup_exact(
+    ds: rd.Dataset,
+    small: pd.DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact near-dup pairs against a broadcast side: every batch of ``ds``
+    is scored against the full ``small`` matrix (ray.put once, one matmul
+    per batch).  Exact — the oracle-checkable baseline; use the LSH variant
+    when both sides are large.  Returns (id_a < id_b, cos ≥ threshold)."""
+    sm = _normalize(_matrix(small[vec_col]))
+    sm_ids = small[id_col].to_numpy()
+    ref = ray.put((sm, sm_ids))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        sm_, sm_ids_ = ray.get(ref)
+        m = _normalize(_matrix(df[vec_col]))
+        ids = df[id_col].to_numpy()
+        cos = np.round(m @ sm_.T, 6)
+        ia, ib = np.nonzero(cos >= threshold)
+        id_a = ids[ia]
+        id_b = sm_ids_[ib]
+        keep = id_a < id_b
+        return pd.DataFrame({"id_a": id_a[keep], "id_b": id_b[keep],
+                             "cos": cos[ia[keep], ib[keep]]})
+
+    return (
+        ds.map_batches(score, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"], kind="mergesort")
+        .reset_index(drop=True)
+    )

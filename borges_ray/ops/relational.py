@@ -126,8 +126,35 @@ def grouped_agg(
                 out[out_name] = out[f"__{out_name}_p"]
         return out[keys + [o for o, _, _ in finalize]]
 
-    # the partials are small: one groupby+map_groups merge over them
-    return partials.groupby(keys).map_groups(merge, batch_format="pandas")
+    # merge the (already small) partials: shuffle by a hash BUCKET of the
+    # key, then one vectorized pandas groupby per bucket — one Python call
+    # per bucket, not one per distinct key
+    return groupby_buckets(partials, keys, merge)
+
+
+N_KEY_BUCKETS = 32
+
+
+def _add_key_bucket(df: pd.DataFrame, keys: list[str], n: int = N_KEY_BUCKETS) -> pd.DataFrame:
+    out = df.copy()
+    h = pd.util.hash_pandas_object(df[keys].astype(str), index=False)  # deterministic
+    out["__kb"] = (h % n).astype("int64")
+    return out
+
+
+def groupby_buckets(ds: rd.Dataset, keys: list[str], fn: Callable[[pd.DataFrame], pd.DataFrame],
+                    n_buckets: int = N_KEY_BUCKETS) -> rd.Dataset:
+    """Hash-bucketed grouped map: co-locates each key's rows into one of
+    ``n_buckets`` groups and applies a VECTORIZED ``fn`` per bucket.  ``fn``
+    must itself handle multiple keys (pandas groupby inside).  This is the
+    scale-safe alternative to ``groupby(key).map_groups`` when the number of
+    distinct keys is large (millions of per-group Python calls)."""
+    bucketed = ds.map_batches(lambda df: _add_key_bucket(df, keys, n_buckets),
+                              batch_format="pandas")
+    out = bucketed.groupby("__kb", num_partitions=min(n_buckets, 64)).map_groups(
+        lambda df: fn(df.drop(columns="__kb")), batch_format="pandas"
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -169,9 +196,7 @@ def distinct(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
     pre = ds.map_batches(
         lambda df: df[cols].drop_duplicates(), batch_format="pandas"
     )
-    return pre.groupby(cols).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
-    )
+    return groupby_buckets(pre, cols, lambda df: df.drop_duplicates())
 
 
 # ---------------------------------------------------------------------------
@@ -191,14 +216,10 @@ def broadcast_join(
     store — never re-shipped per batch (J3/J4 semantics)."""
     ref = ray.put(small)
 
-    class Joiner:
-        def __init__(self):
-            self.small = ray.get(ref)
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(ray.get(ref), on=on, how=how, suffixes=("", suffix))
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return df.merge(self.small, on=on, how=how, suffixes=("", suffix))
-
-    return ds.map_batches(Joiner, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(join, batch_format="pandas")
 
 
 def broadcast_semi_join(ds: rd.Dataset, keys: pd.DataFrame, on: list[str], *, anti: bool = False) -> rd.Dataset:
@@ -206,18 +227,13 @@ def broadcast_semi_join(ds: rd.Dataset, keys: pd.DataFrame, on: list[str], *, an
     skip-if-present / insert-if-absent membership checks)."""
     ref = ray.put(keys[on].drop_duplicates())
 
-    class Semi:
-        def __init__(self):
-            self.keys = ray.get(ref)
-            self.keyset = set(map(tuple, self.keys.itertuples(index=False)))
+    def semi(df: pd.DataFrame) -> pd.DataFrame:
+        small = ray.get(ref)
+        member = df.merge(small.assign(__hit=1), on=on, how="left")["__hit"].notna()
+        member.index = df.index
+        return df[~member] if anti else df[member]
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            member = pd.Series(
-                list(map(tuple, df[on].itertuples(index=False))), index=df.index
-            ).isin(self.keyset)
-            return df[~member] if anti else df[member]
-
-    return ds.map_batches(Semi, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(semi, batch_format="pandas")
 
 
 def hash_join(
@@ -283,18 +299,20 @@ def sessionize(
     per-group sorted pandas scan (``map_groups``).  Partitioning assumption:
     one key's events fit in one group block (documented §2.10)."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(ts_col, kind="mergesort")
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized sessionization across all keys in the bucket:
+        # sort by (key, ts); a session break is a key change or a gap
+        df = df.sort_values([key, ts_col], kind="mergesort")
         ts = df[ts_col].astype("int64")
-        new_session = (ts.diff() > gap_us).fillna(True)
-        sid = new_session.cumsum()
-        out = df.groupby(sid).agg(
+        key_change = df[key] != df[key].shift(1)
+        gap = ts.diff() > gap_us
+        sid = (key_change | gap).cumsum()
+        out = df.assign(__sid=sid).groupby([key, "__sid"], sort=False).agg(
             session_start=(ts_col, "min"), session_end=(ts_col, "max"), n_events=(ts_col, "count")
-        )
-        out[key] = df[key].iloc[0]
+        ).reset_index().drop(columns="__sid")
         return out[[key, "session_start", "session_end", "n_events"]]
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return groupby_buckets(ds, [key], per_bucket)
 
 
 def asof_self_lag(ds: rd.Dataset, key: str, ts_col: str, value_cols: list[str], out_prefix: str = "prev_") -> rd.Dataset:
@@ -302,13 +320,13 @@ def asof_self_lag(ds: rd.Dataset, key: str, ts_col: str, value_cols: list[str], 
     (ts, value_cols) within the group, shift by one.  Deterministic tie order
     via the full sort key."""
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col] + value_cols, kind="mergesort")
-        for c in [ts_col]:
-            df[out_prefix + c] = df[c].shift(1)
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col] + value_cols, kind="mergesort")
+        df = df.copy()
+        df[out_prefix + ts_col] = df.groupby(key, sort=False)[ts_col].shift(1)
         return df
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return groupby_buckets(ds, [key], per_bucket)
 
 
 def union_all(datasets: Iterable[rd.Dataset]) -> rd.Dataset:

@@ -186,7 +186,8 @@ def run_crawl(
         frontier = rd.read_parquet(frontier_path)
 
         # 1. politeness selection (host_seq assigned)
-        selected = select_frontier(frontier, budgets_ref, host_offsets)
+        selected = select_frontier(frontier, budgets_ref, host_offsets,
+                                   num_partitions=cfg.num_partitions)
         sel_dir = os.path.join(next_dir, "selected")
         _write_ds_into(sel_dir, selected, "sel")
         sel_small = pq.read_table(sel_dir, columns=["url", "host", "partition"]).to_pandas()

@@ -46,10 +46,17 @@ def link_candidates(parsed: rd.Dataset, rnd: int, num_partitions: int,
     exploded = parsed.map_batches(explode, batch_format="pandas")
 
     def winner(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(WINNER_SORT, ascending=WINNER_ASC, kind="mergesort")
-        return df.head(1)
+        df = df.sort_values(WINNER_SORT + ["url"], ascending=WINNER_ASC + [True], kind="mergesort")
+        return df.drop_duplicates(subset=["url"], keep="first")
 
-    return exploded.groupby("url").map_groups(winner, batch_format="pandas")
+    # Shuffle by the engine-wide hash partition (hash(url) % P), NOT by url:
+    # every url's candidates co-locate in one partition-group, and the winner
+    # is a single vectorized drop_duplicates per partition — one Python call
+    # per partition instead of one per url (the per-group-call trap at 10^8
+    # urls/round).
+    return exploded.groupby("partition", num_partitions=min(num_partitions, 64)).map_groups(
+        winner, batch_format="pandas"
+    )
 
 
 def gate_candidates(cands: rd.Dataset, seen_shards: list,
@@ -61,26 +68,22 @@ def gate_candidates(cands: rd.Dataset, seen_shards: list,
     winner dedup upstream guarantees each url reaches the shards once, so
     check-and-add is exactly-once."""
 
-    class Gate:
-        def __init__(self):
-            self.shards = seen_shards
-            self.robots = ray.get(robots_ref)  # host -> tuple(disallow prefixes)
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        from ..state.urlseen import seen_check_and_add
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            from ..state.urlseen import seen_check_and_add
-
-            if df.empty:
-                out = df.copy()
-                out["blocked"] = pd.Series(dtype=bool)
-                return out
-            new_mask = seen_check_and_add(self.shards, df["url"].tolist())
-            out = df[new_mask].copy()
-            blocked = []
-            for u, h in zip(out["url"], out["host"]):
-                prefixes = self.robots.get(h, ())
-                path = u.split(h, 1)[1] if h in u else "/"
-                blocked.append(any(path.startswith(p) for p in prefixes))
-            out["blocked"] = blocked
+        if df.empty:
+            out = df.copy()
+            out["blocked"] = pd.Series(dtype=bool)
             return out
+        robots = ray.get(robots_ref)  # host -> tuple(disallow prefixes)
+        new_mask = seen_check_and_add(seen_shards, df["url"].tolist())
+        out = df[new_mask].copy()
+        blocked = []
+        for u, h in zip(out["url"], out["host"]):
+            prefixes = robots.get(h, ())
+            path = u.split(h, 1)[1] if h in u else "/"
+            blocked.append(any(path.startswith(p) for p in prefixes))
+        out["blocked"] = blocked
+        return out
 
-    return cands.map_batches(Gate, batch_format="pandas", concurrency=(1, 4))
+    return cands.map_batches(gate, batch_format="pandas")

@@ -1,0 +1,136 @@
+"""Unit tests for the training-data operators (dedup family, embeddings,
+text analysis) on small synthesized corpora with planted duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    rng = np.random.default_rng(5)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    texts, ids = [], []
+    for i in range(60):
+        words = [vocab[j] for j in rng.integers(0, len(vocab), 30)]
+        texts.append(" ".join(words))
+        ids.append(i)
+    # planted exact dup of doc 0 and near-dup of doc 1 (one word changed)
+    texts.append(texts[0]); ids.append(100)
+    near = texts[1].split(); near[5] = "OMEGA"
+    texts.append(" ".join(near)); ids.append(101)
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    return df, rd.from_pandas(df)
+
+
+def test_exact_dedup(docs):
+    df, ds = docs
+    from borges_ray.ops.dedup import exact_dedup
+
+    out = exact_dedup(ds, "text", "doc_id").to_pandas()
+    assert len(out) == len(df) - 1          # one exact dup removed
+    assert 0 in set(out.doc_id) and 100 not in set(out.doc_id)  # min-id wins
+
+
+def test_minhash_near_dup(docs):
+    df, ds = docs
+    from borges_ray.ops.dedup import minhash_near_dup_pairs
+
+    pairs = minhash_near_dup_pairs(ds, "doc_id", threshold=0.5, texts_by_id=df)
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 100) in got                   # exact dup found
+    assert (1, 101) in got                   # near dup found
+    assert pairs.loc[(pairs.id_a == 0) & (pairs.id_b == 100), "jaccard"].iloc[0] == 1.0
+
+
+def test_simhash_near_dup(docs):
+    df, ds = docs
+    from borges_ray.ops.dedup import simhash_near_dup_pairs
+
+    pairs = simhash_near_dup_pairs(ds, "doc_id", max_hamming=6)
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 100) in got
+    h0 = pairs.loc[(pairs.id_a == 0) & (pairs.id_b == 100), "hamming"].iloc[0]
+    assert h0 == 0
+
+
+def test_ngram_jaccard_kernel():
+    from borges_ray.ops.dedup import jaccard
+
+    assert jaccard("a b c d e", "a b c d e") == 1.0
+    assert jaccard("a b c d e", "x y z w v") == 0.0
+    assert 0.0 < jaccard("a b c d e f", "a b c d e g") < 1.0
+
+
+@pytest.fixture(scope="module")
+def vecs(ray_session):
+    rng = np.random.default_rng(6)
+    m = rng.standard_normal((80, 16))
+    m[70] = m[0] + 0.001 * rng.standard_normal(16)   # planted near-dup of row 0
+    df = pd.DataFrame({"vec_id": range(80), "embedding": [list(r) for r in m]})
+    return m, rd.from_pandas(df)
+
+
+def test_knn_brute_matches_numpy(vecs):
+    m, ds = vecs
+    from borges_ray.ops.embed import knn_brute
+
+    q = m[3]
+    out = knn_brute(ds, q, 5)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    cos = np.round(mn @ qn, 6)
+    expect = sorted(range(80), key=lambda i: (-cos[i], i))[:5]
+    assert out["vec_id"].tolist() == expect
+    assert out["cos"].iloc[0] == 1.0  # itself
+
+
+def test_knn_lsh_finds_near_dup(vecs):
+    m, ds = vecs
+    from borges_ray.ops.embed import knn_lsh
+
+    out = knn_lsh(ds, m[0], 3, n_planes=4)
+    assert 0 in out["vec_id"].tolist() and 70 in out["vec_id"].tolist()
+
+
+def test_cosine_near_dup_pairs(vecs):
+    m, ds = vecs
+    from borges_ray.ops.embed import cosine_near_dup_pairs
+
+    pairs = cosine_near_dup_pairs(ds, 0.999)
+    assert (0, 70) in set(map(tuple, pairs[["id_a", "id_b"]].values))
+
+
+def test_lang_id(ray_session):
+    from borges_ray.ops.textops import LangId
+
+    df = pd.DataFrame({"text": [
+        "the cat and the dog are in that house",
+        "der Hund ist nicht mit der Katze",
+        "le chat et les chiens est pour une maison",
+        "el perro y el gato es para la casa",
+        "你好 世界 这是 中文 文本",
+    ]})
+    out = LangId()(df)
+    assert out["pred_lang"].tolist() == ["en", "de", "fr", "es", "zh"]
+
+
+def test_fingerprint_stability():
+    from borges_ray.ops.textops import fingerprint_batch
+
+    a = fingerprint_batch(pd.Series(["hello  world", "hello world", "other"]))
+    # whitespace-normalized: runs collapse → first two equal
+    assert a.iloc[0] == a.iloc[1]
+    assert a.iloc[0] != a.iloc[2]
+
+
+def test_quality_scorer():
+    from borges_ray.ops.textops import QualityScorer
+
+    out = QualityScorer()(pd.DataFrame({"text": ["The cat, the hat!", ""]}))
+    assert out["n_words"].tolist() == [4, 0]
+    assert out["punct_ratio"].iloc[0] > 0
+    assert out["stopword_ratio"].iloc[0] == 0.5
