@@ -54,6 +54,8 @@ class EngineConfig:
     num_buckets: int = 16       # pages-corpus hash buckets
     num_seen_shards: int = 4
     seen_capacity: int = 1_000_000
+    flaky: bool = False          # T6 deterministic transient-failure + retry model
+    night_shift: bool = False    # F9 time-of-day host gating
 
 
 def _count_rows(path: str) -> int:
@@ -103,8 +105,8 @@ def bootstrap(seeds: pa.Table, robots_df: pd.DataFrame, cfg: EngineConfig,
         if any(path.startswith(p) for p in robots_map.get(host, ())):
             crawled.append({"url": cu, "host": host, "depth": 0, "priority": prio,
                             "fetch_round": 0, "host_seq": -1, "status": 999,
-                            "extracted_text": "", "lang": "", "n_links": 0,
-                            "links": [], "partition": part})
+                            "attempts": 0, "extracted_text": "", "lang": "",
+                            "n_links": 0, "links": [], "partition": part})
             continue
         rows.append({"url": cu, "host": host, "depth": 0, "priority": prio,
                      "discovered_round": 0, "parent_url": "", "partition": part})
@@ -183,13 +185,17 @@ def run_crawl(
         host_state = pq.read_table(os.path.join(this_dir, "host_state")).to_pandas()
         host_offsets = dict(zip(host_state["host"], host_state["next_seq"].astype(int)))
 
-        frontier = rd.read_parquet(frontier_path)
+        # force ≥ num_partitions read blocks: a small frontier otherwise
+        # coalesces into one ~128 MB block and the combiner pass serializes
+        frontier = rd.read_parquet(frontier_path,
+                                   override_num_blocks=cfg.num_partitions)
 
         # 1. politeness selection (host_seq assigned).  The selection is
         # politeness-BOUNDED (≤ budget × hosts rows), so pinning it in the
         # object store is safe and saves a write→read round trip.
         selected = select_frontier(frontier, budgets_ref, host_offsets,
-                                   num_partitions=cfg.num_partitions).materialize()
+                                   num_partitions=cfg.num_partitions,
+                                   rnd=rnd, night_shift=cfg.night_shift).materialize()
         sel_dir = os.path.join(next_dir, "selected")
         _write_ds_into(sel_dir, selected, "sel")
         sel_small = pq.read_table(sel_dir, columns=["url", "host", "partition"]).to_pandas()
@@ -197,7 +203,8 @@ def run_crawl(
         # 2. deferral (frontier scan minus selected urls) — runs CONCURRENTLY
         # with fetch+parse on a driver thread: the two pipelines share no
         # data dependency, so their Ray executions overlap
-        frontier2 = rd.read_parquet(frontier_path)
+        frontier2 = rd.read_parquet(frontier_path,
+                                    override_num_blocks=cfg.num_partitions)
         deferred = defer_frontier(frontier2, set(sel_small["url"]))
         frontier_next_dir = os.path.join(next_dir, "frontier")
         import threading
@@ -215,17 +222,21 @@ def run_crawl(
 
         # 3-4. fetch-join + parse (bounded like the selection → materialize;
         # html is dropped by parse, only text+links are pinned)
-        parsed = parse_fetched(fetch_selected(selected, pages_root, cfg.num_buckets),
-                               rnd).materialize()
+        parsed = parse_fetched(
+            fetch_selected(selected, pages_root, cfg.num_buckets, flaky=cfg.flaky),
+            rnd).materialize()
         crawled_dir = os.path.join(next_dir, "crawled")
         _write_ds_into(crawled_dir, parsed, "fetched")
 
         # 5. link candidates → winner dedup → seen + robots gate
-        parsed_back = parsed.select_columns(["url", "status", "priority", "depth", "links"])
-        cands = link_candidates(parsed_back, rnd, cfg.num_partitions, cfg.max_depth)
-        gated = gate_candidates(cands, shards, robots_ref)
+        has_crawled = os.path.isdir(crawled_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(crawled_dir))
         new_dir = os.path.join(next_dir, "new")
-        _write_ds_into(new_dir, gated, "new")
+        if has_crawled:
+            parsed_back = parsed.select_columns(["url", "status", "priority", "depth", "links"])
+            cands = link_candidates(parsed_back, rnd, cfg.num_partitions, cfg.max_depth)
+            gated = gate_candidates(cands, shards, robots_ref)
+            _write_ds_into(new_dir, gated, "new")
 
         defer_thread.join()
         if defer_err:
@@ -244,7 +255,7 @@ def run_crawl(
                 _write_ds_into(frontier_next_dir, ft, "new")
             if len(blocked):
                 bt = blocked.assign(
-                    fetch_round=rnd + 1, host_seq=-1, status=999,
+                    fetch_round=rnd + 1, host_seq=-1, status=999, attempts=0,
                     extracted_text="", lang="", n_links=0,
                 )
                 bt["links"] = [[] for _ in range(len(bt))]
@@ -269,7 +280,13 @@ def run_crawl(
                          "next_seq": pa.array([host_offsets[h] for h in host_offsets], pa.int64())})
         _write_ds_into(os.path.join(next_dir, "host_state"), hs_t, "hs")
 
-        crawled_t = pq.read_table(crawled_dir, columns=["status", "partition", "n_links"]).to_pandas()
+        if has_crawled:
+            crawled_t = pq.read_table(crawled_dir,
+                                      columns=["status", "partition", "n_links"]).to_pandas()
+        else:
+            crawled_t = pd.DataFrame({"status": pd.Series(dtype="int32"),
+                                      "partition": pd.Series(dtype="int32"),
+                                      "n_links": pd.Series(dtype="int32")})
         fetched_rows = crawled_t[crawled_t.status == 200]
         missed_rows = crawled_t[crawled_t.status == 404]
         per_part = pd.DataFrame({"partition": range(cfg.num_partitions)})

@@ -101,7 +101,14 @@ def bulk_ingest(
     """
     import os
 
-    ds = rd.read_parquet(pages_path, columns=["url", "html"])
+    # Parallelism note: Ray coalesces small Parquet files into ~128 MB
+    # blocks, and a fused read→map task processes ONE block — on a modest
+    # corpus that collapses the featurize stage to a handful of tasks.
+    # Force enough blocks to keep every CPU busy (cheap: block metadata
+    # only; at 100 TB the natural block count is already ≫ CPUs).
+    n_blocks = max(4 * (num_cpus_hint or 8), 64)
+    ds = rd.read_parquet(pages_path, columns=["url", "html"],
+                         override_num_blocks=n_blocks)
     feats = ds.map_batches(
         _featurize_batch,
         batch_format="pyarrow",

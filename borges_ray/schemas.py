@@ -62,7 +62,8 @@ CRAWLED = pa.schema(
         ("depth", pa.int32()),
         ("fetch_round", pa.int32()),
         ("host_seq", pa.int32()),      # fetch order within host (per-host ordering contract)
-        ("status", pa.int32()),        # 200 ok, 404 miss, 999 robots-blocked
+        ("status", pa.int32()),        # 200 ok, 404 miss, 503 retries exhausted, 999 robots-blocked
+        ("attempts", pa.int32()),      # fetch attempts consumed (T6 retry model)
         ("extracted_text", pa.string()),
         ("lang", pa.string()),
         ("n_links", pa.int32()),

@@ -33,6 +33,36 @@ from ..canonical import stable_hash
 
 BUCKET_COL = "pbucket"
 
+#: Deterministic transient-failure model (T6/F5 parity — the reference
+#: retries each DOI up to 3 times with widening waits,
+#: ``Borges/spiders/Elsevier/paper_xml.py:141-173``, and records hard
+#: failures as error rows rather than failing the job).  A url fails its
+#: first k attempts where k is a stable function of the url — so the oracle
+#: and the engine observe identical outcomes with zero wall-clock sleeps.
+MAX_FETCH_ATTEMPTS = 3
+
+
+def transient_fail_count(url: str) -> int:
+    """How many initial attempts fail for this url (0 for ~93%)."""
+    h = stable_hash("flaky:" + url) % 100
+    if h < 5:
+        return 1
+    if h < 7:
+        return 2
+    if h < 8:
+        return MAX_FETCH_ATTEMPTS  # permanent: exhausts the retry budget
+    return 0
+
+
+def apply_flaky(url: str, status: int) -> tuple[int, int]:
+    """(final_status, attempts) under the retry policy; 404s don't retry."""
+    if status != 200:
+        return status, 1
+    fails = transient_fail_count(url)
+    if fails >= MAX_FETCH_ATTEMPTS:
+        return 503, MAX_FETCH_ATTEMPTS
+    return 200, fails + 1
+
 
 def bucket_of_urls(urls: pd.Series | list[str], num_buckets: int) -> list[int]:
     return [stable_hash(u) % num_buckets for u in urls]
@@ -62,12 +92,17 @@ def write_pages_bucketed_ds(pages_ds: rd.Dataset, root: str, num_buckets: int = 
     )
 
 
-def fetch_selected(selected: rd.Dataset, pages_root: str, num_buckets: int) -> rd.Dataset:
+def fetch_selected(selected: rd.Dataset, pages_root: str, num_buckets: int,
+                   flaky: bool = False) -> rd.Dataset:
     """selected(url, host, depth, priority, host_seq, partition) →
-    + (status, html): left-join against the bucketed corpus.
+    + (status, attempts, html): left-join against the bucketed corpus.
 
     One ``groupby(bucket)`` over the politeness-bounded selection (tiny
-    shuffle), then a bucket-local Parquet probe per group.
+    shuffle), then a bucket-local Parquet probe per group.  With ``flaky``
+    the deterministic transient-failure + retry model applies (T6):
+    exhausted retries become status-503 error rows that flow to metrics
+    instead of failing the job (the reference's except-pass ≈
+    error-row-and-continue, SURVEY.md §4 Retries).
     """
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -89,8 +124,16 @@ def fetch_selected(selected: rd.Dataset, pages_root: str, num_buckets: int) -> r
         else:
             hits = {}
         out = df.drop(columns=[BUCKET_COL]).copy()
-        out["html"] = [hits.get(u) for u in urls]
-        out["status"] = [200 if u in hits else 404 for u in urls]
+        statuses = [200 if u in hits else 404 for u in urls]
+        if flaky:
+            pairs = [apply_flaky(u, s) for u, s in zip(urls, statuses)]
+            statuses = [p[0] for p in pairs]
+            out["attempts"] = [p[1] for p in pairs]
+        else:
+            out["attempts"] = 1
+        out["html"] = [hits.get(u) if s == 200 else None
+                       for u, s in zip(urls, statuses)]
+        out["status"] = statuses
         return out
 
     return bucketed.groupby(BUCKET_COL).map_groups(probe, batch_format="pandas")

@@ -27,6 +27,7 @@ PARSED_SCHEMA = pa.schema(
         ("fetch_round", pa.int32()),
         ("host_seq", pa.int32()),
         ("status", pa.int32()),
+        ("attempts", pa.int32()),
         ("extracted_text", pa.string()),
         ("lang", pa.string()),
         ("n_links", pa.int32()),
@@ -69,6 +70,7 @@ def parse_fetched(fetched: rd.Dataset, rnd: int) -> rd.Dataset:
                 "fetch_round": pa.array([rnd] * len(urls), pa.int32()),
                 "host_seq": pa.array(t["host_seq"].to_pylist(), pa.int32()),
                 "status": pa.array(statuses, pa.int32()),
+                "attempts": pa.array(t["attempts"].to_pylist(), pa.int32()),
                 "extracted_text": pa.array(texts, pa.string()),
                 "lang": pa.array(langs, pa.string()),
                 "n_links": pa.array([len(l) for l in links_col], pa.int32()),

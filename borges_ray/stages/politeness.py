@@ -36,6 +36,19 @@ ORDER_COLS = ["priority", "discovered_round", "url"]
 ORDER_ASC = [False, True, True]
 
 
+def host_active(host: str, rnd: int, night_shift: bool) -> bool:
+    """Time-of-day gating (F9 — the reference's ECS spider only scrapes
+    nights + weekends, ``Borges/spiders/ECS/paper_html.py:34-45``).  BSP
+    re-expression: with ``night_shift`` on, every third host (stable hash)
+    is only fetchable on even rounds.  Deterministic and shared with the
+    oracle."""
+    if not night_shift:
+        return True
+    from ..canonical import stable_hash
+
+    return stable_hash("gate:" + host) % 3 != 0 or rnd % 2 == 0
+
+
 def budgets_from_robots(robots_df: pd.DataFrame, round_ms: int, default_delay_ms: int) -> dict[str, int]:
     """host → per-round fetch budget."""
     out = {}
@@ -50,6 +63,8 @@ def select_frontier(
     budgets_ref: "ray.ObjectRef",
     host_offsets: dict[str, int],
     num_partitions: int = 16,
+    rnd: int = 0,
+    night_shift: bool = False,
 ) -> rd.Dataset:
     """→ selected rows with ``host_seq`` assigned (deterministic).
 
@@ -64,6 +79,10 @@ def select_frontier(
         """Vectorized per-host top-budget: sort once, cumcount per host,
         keep ranks < budget.  With ``offsets`` also assigns host_seq."""
         default = budgets["__default__"]
+        if night_shift:
+            hosts = df["host"].unique()
+            lut = {h: host_active(h, rnd, night_shift) for h in hosts}
+            df = df[df["host"].map(lut)]
         df = df.sort_values(ORDER_COLS, ascending=ORDER_ASC, kind="mergesort")
         ranks = df.groupby("host", sort=False).cumcount()
         budget = df["host"].map(lambda h: budgets.get(h, default))

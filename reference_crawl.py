@@ -44,6 +44,8 @@ from dataclasses import dataclass, field
 
 from borges_ray.canonical import canonicalize, host_of, partition_of
 from borges_ray.extract import extract_links, extract_text, tag_lang_batch
+from borges_ray.stages.fetch import apply_flaky
+from borges_ray.stages.politeness import host_active
 
 
 @dataclass
@@ -53,6 +55,8 @@ class CrawlConfig:
     max_rounds: int = 50
     max_depth: int | None = None
     num_partitions: int = 16
+    flaky: bool = False          # T6 deterministic retry model (shared kernel)
+    night_shift: bool = False    # F9 time-of-day host gating (shared kernel)
 
 
 @dataclass
@@ -105,7 +109,7 @@ def crawl(
                 res.crawled.append({
                     "url": u, "host": c["host"], "depth": c["depth"],
                     "fetch_round": rnd, "host_seq": -1, "status": 999,
-                    "extracted_text": "", "lang": "", "n_links": 0,
+                    "attempts": 0, "extracted_text": "", "lang": "", "n_links": 0,
                 })
                 continue
             new += 1
@@ -131,6 +135,8 @@ def crawl(
             by_host.setdefault(row["host"], []).append(row)
         selected: list[dict] = []
         for host, rows in by_host.items():
+            if not host_active(host, rnd, cfg.night_shift):
+                continue
             budget = max(1, cfg.round_ms // _delay_ms(host, robots, cfg))
             rows.sort(key=lambda r: (-r["priority"], r["discovered_round"], r["url"]))
             for r in rows[:budget]:
@@ -147,10 +153,15 @@ def crawl(
         crawled_rows: list[dict] = []
         for r in selected:
             html = pages.get(r["url"])
-            if html is None:
+            status = 200 if html is not None else 404
+            attempts = 1
+            if cfg.flaky:
+                status, attempts = apply_flaky(r["url"], status)
+            if status != 200:
                 missed += 1
                 crawled_rows.append({**{k: r[k] for k in ("url", "host", "depth", "host_seq")},
-                                     "fetch_round": rnd, "status": 404,
+                                     "fetch_round": rnd, "status": status,
+                                     "attempts": attempts,
                                      "extracted_text": "", "lang": "", "n_links": 0})
                 texts_for_lang.append("")
                 continue
@@ -171,6 +182,7 @@ def crawl(
             links_emitted += child_rows
             crawled_rows.append({**{k: r[k] for k in ("url", "host", "depth", "host_seq")},
                                  "fetch_round": rnd, "status": 200,
+                                 "attempts": attempts,
                                  "extracted_text": text, "lang": None,
                                  "n_links": child_rows})
             texts_for_lang.append(text)

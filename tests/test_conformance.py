@@ -103,3 +103,47 @@ def test_crawl_made_progress(oracle_result):
     assert (statuses == 200).sum() > 50
     assert (statuses == 404).sum() > 0
     assert (statuses == 999).sum() > 0
+
+
+def test_attempts_parity(oracle_result, engine_result):
+    crawled_df, _, _ = engine_result
+    oracle_df = pd.DataFrame(oracle_result.crawled)
+    m = crawled_df.set_index("url").sort_index()
+    o = oracle_df.set_index("url").sort_index()
+    assert (m["attempts"].to_numpy() == o["attempts"].to_numpy()).all()
+
+
+def test_flaky_and_night_shift_conformance(web, ray_session, tmp_path):
+    """T6 retry model + F9 time gating: engine ↔ oracle parity with both
+    policies enabled."""
+    from borges_ray.pipelines.crawl import EngineConfig, collect_crawled, collect_seen, run_crawl
+    from reference_crawl import CrawlConfig, crawl
+
+    pages, seeds, robots, pages_root, _ = web
+    pages_map = dict(zip(pages["url"].to_pylist(), pages["html"].to_pylist()))
+    seed_list = list(zip(seeds["url"].to_pylist(), seeds["priority"].to_pylist()))
+    robots_map = {
+        r["host"]: {"disallow_prefixes": r["disallow_prefixes"],
+                    "crawl_delay_ms": r["crawl_delay_ms"]}
+        for r in robots.to_pylist()
+    }
+    ora = crawl(pages_map, seed_list, robots_map,
+                CrawlConfig(max_rounds=5, num_partitions=8, flaky=True, night_shift=True))
+    cfg = EngineConfig(max_rounds=5, num_partitions=8, num_buckets=4,
+                       num_seen_shards=2, flaky=True, night_shift=True)
+    ck = str(tmp_path / "ck")
+    run_crawl(pages_root, seeds, robots.to_pandas(), cfg, ck, resume=False)
+    eng_c = collect_crawled(ck).to_pandas()
+    eng_s = collect_seen(ck).to_pandas()
+    ora_c = pd.DataFrame(ora.crawled)
+
+    assert set(eng_s["url"]) == {r["url"] for r in ora.seen}
+    assert len(eng_c) == len(ora_c)
+    m = eng_c.set_index("url").sort_index()
+    o = ora_c.set_index("url").sort_index()
+    assert list(m.index) == list(o.index)
+    for col in ("status", "attempts", "extracted_text", "fetch_round", "host_seq"):
+        assert (m[col].to_numpy() == o[col].to_numpy()).all(), col
+    # the retry model actually fired: some 503s and some attempts > 1
+    assert (eng_c["status"] == 503).sum() > 0
+    assert (eng_c["attempts"] > 1).sum() > 0
