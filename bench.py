@@ -194,6 +194,15 @@ def run_bench() -> dict:
     return result
 
 
+def _burn(_arg):
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 2.0:
+        for _ in range(10000):
+            x += 1
+    return x
+
+
 def _cpu_calibration(levels: tuple[int, ...]) -> dict:
     """Raw multiprocessing CPU-burn throughput per parallelism level — how
     much aggregate compute the HOST actually delivers.  This sandbox runs on
@@ -203,18 +212,10 @@ def _cpu_calibration(levels: tuple[int, ...]) -> dict:
     efficiency can be read against the hardware ceiling (BASELINE.md)."""
     import multiprocessing as mp
 
-    def burn(_):
-        t0 = time.time()
-        x = 0
-        while time.time() - t0 < 2.0:
-            for _ in range(10000):
-                x += 1
-        return x
-
     out = {}
     for procs in levels:
         with mp.Pool(procs) as p:
-            out[procs] = sum(p.map(burn, range(procs)))
+            out[procs] = sum(p.map(_burn, range(procs)))
     return out
 
 

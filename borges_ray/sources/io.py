@@ -53,3 +53,18 @@ def write_table(ds: rd.Dataset, path: str, *, num_shards: int | None = None,
     if num_shards is not None:
         ds = ds.repartition(num_shards)
     ds.write_parquet(path)
+
+
+def read_binary(paths: str | list[str], **kw) -> rd.Dataset:
+    """Binary-blob source (S14/S15 — the reference lands SFTP-downloaded
+    zip archives on disk, ``download_via_sftp.py:161-179``; our equivalent
+    reads raw payload files as (bytes, path) rows, feeding the multimodal /
+    archive-extract stages)."""
+    return rd.read_binary_files(paths, include_paths=True, **kw)
+
+
+def sample(ds: rd.Dataset, frac: float, seed: int = 42) -> rd.Dataset:
+    """Seeded random sample (O3 — Mongo ``$sample`` dry-run collections,
+    ``Borges/db_scripts/create_dummy_col.py:26-31``).  Deterministic for a
+    fixed seed + input layout."""
+    return ds.random_sample(frac, seed=seed)

@@ -70,3 +70,26 @@ def test_sharded_table_write(ray_session, tmp_path):
 
     t = pq.read_table(out)
     assert t.num_rows == 100 and t.column_names == ["k", "v"]
+
+
+def test_read_binary(ray_session, tmp_path):
+    from borges_ray.sources import read_binary
+
+    (tmp_path / "a.bin").write_bytes(b"\x01\x02")
+    (tmp_path / "b.bin").write_bytes(b"\x03")
+    ds = read_binary(str(tmp_path))
+    rows = ds.take_all()
+    assert sorted(len(r["bytes"]) for r in rows) == [1, 2]
+    assert all("path" in r for r in rows)
+
+
+def test_sample_seeded(ray_session):
+    import ray.data as rd
+
+    from borges_ray.sources import sample
+
+    ds = rd.range(1000)
+    n1 = sample(rd.range(1000), 0.1, seed=7).count()
+    n2 = sample(rd.range(1000), 0.1, seed=7).count()
+    assert n1 == n2                      # deterministic for fixed seed
+    assert 40 <= n1 <= 200
