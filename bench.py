@@ -235,11 +235,16 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     warm = run(8)  # corpus generation + OS page cache (untimed)
-    reps = {2: 1, 8: 2, 32: 2}
-    best: dict[int, dict] = {}
-    for ncpu, n in reps.items():
-        runs = [run(ncpu) for _ in range(n)]
-        best[ncpu] = min(runs, key=lambda r: r["value"])
+    # INTERLEAVED repetitions: host interference comes in multi-minute
+    # bursts, so alternating levels keeps a bad phase from biasing one
+    # level; min-of-reps approximates uncontended performance.
+    schedule = [2, 8, 32, 8, 32, 8, 32]
+    runs_by_level: dict[int, list[dict]] = {}
+    for ncpu in schedule:
+        runs_by_level.setdefault(ncpu, []).append(run(ncpu))
+    best: dict[int, dict] = {
+        ncpu: min(rs, key=lambda r: r["value"]) for ncpu, rs in runs_by_level.items()
+    }
 
     calib = _cpu_calibration((2, 8, 32))
     eff_2_8 = (best[2]["value"] / best[8]["value"]) / 4
@@ -259,6 +264,7 @@ def run_scaling() -> dict:
                          "hw_ceiling": round(hw_8_32, 3)},
         },
         "pages_per_sec": {str(k): v["ingest_pages_per_sec"] for k, v in best.items()},
+        "all_runs_sec": {str(k): [r["value"] for r in rs] for k, rs in runs_by_level.items()},
         "cpu_calibration_loops": {str(k): v for k, v in calib.items()},
         "warm_sec_8": warm["value"],
         "sf": best[8]["sf"],

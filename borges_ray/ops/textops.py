@@ -114,22 +114,45 @@ class LangId:
         return out
 
 
-FP_BASE = 1_000_003
-FP_MOD = (1 << 61) - 1
+FP_BASE = np.uint64(1_000_003)
+
+_POW_CACHE = np.array([1], dtype=np.uint64)
+
+
+def _pow_table(n: int) -> np.ndarray:
+    """FP_BASE^k mod 2^64 for k in [0, n) (module-cached, grown on demand)."""
+    global _POW_CACHE
+    if len(_POW_CACHE) < n:
+        m = len(_POW_CACHE)
+        ext = np.empty(n, dtype=np.uint64)
+        ext[:m] = _POW_CACHE
+        for k in range(m, n):
+            # wraps mod 2^64 — stable; np.multiply avoids the scalar-overflow warning
+            ext[k] = np.multiply(ext[k - 1], FP_BASE, dtype=np.uint64)
+        _POW_CACHE = ext
+    return _POW_CACHE
 
 
 def fingerprint_batch(texts: pd.Series) -> pd.Series:
-    """Deterministic polynomial rolling-hash fingerprint of the
+    """Deterministic polynomial rolling-hash fingerprint (mod 2^64) of the
     whitespace-normalized text (document identity for exact/near dedup
-    ledgers).  Pure integers — stable across processes and platforms."""
-
-    def fp(t: str) -> int:
-        h = 0
-        for b in _WS_RE.sub(" ", t.strip()).encode("utf-8"):
-            h = (h * FP_BASE + b) % FP_MOD
-        return h
-
-    return texts.fillna("").map(fp).astype("uint64")
+    ledgers).  Vectorized: one uint64 dot product per document against a
+    cached power table — stable across processes and platforms (numpy
+    integer wraparound is well-defined)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    norm = [_WS_RE.sub(" ", (t or "").strip()).encode("utf-8")
+            for t in texts.fillna("")]
+    max_len = max((len(b) for b in norm), default=1)
+    pows = _pow_table(max_len + 1)
+    for i, b in enumerate(norm):
+        if not b:
+            out[i] = 0
+            continue
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+        # h = sum(b_i * BASE^(n-1-i)) mod 2^64
+        out[i] = np.multiply(arr, pows[len(arr) - 1 :: -1][: len(arr)],
+                             dtype=np.uint64).sum(dtype=np.uint64)
+    return pd.Series(out, index=texts.index, dtype="uint64")
 
 
 def add_text_stats(ds: rd.Dataset) -> rd.Dataset:

@@ -370,3 +370,55 @@ def crawl_entry(sf_dir: str) -> rd.Dataset:
     run_crawl(pages_root, synth_seeds(42, n_pages), robots_df, cfg,
               os.path.join(tmp, "ckpt"), resume=False)
     return rd.from_arrow(collect_crawled(os.path.join(tmp, "ckpt")))
+
+
+def _main() -> None:
+    """CLI: ``python -m borges_ray.pipelines.crawl [--n-pages N] [--ckpt DIR]
+    [--rounds R] [--flaky] [--night-shift] [--resume]`` — runs the engine on
+    the deterministic synthetic web and prints a status summary."""
+    import argparse
+    import tempfile
+
+    import ray
+
+    from ..stages.fetch import write_pages_bucketed
+    from ..synth import synth_pages, synth_robots, synth_seeds
+
+    ap = argparse.ArgumentParser(description="borges_ray crawl engine")
+    ap.add_argument("--n-pages", type=int, default=2000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--rounds", type=int, default=8)
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--num-cpus", type=int, default=8)
+    ap.add_argument("--flaky", action="store_true")
+    ap.add_argument("--night-shift", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    args = ap.parse_args()
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    work = args.ckpt or tempfile.mkdtemp(prefix="borges_crawl_")
+    pages_root = os.path.join(work, "pages")
+    if not os.path.isdir(pages_root):
+        pages = synth_pages(args.seed, args.n_pages)
+        write_pages_bucketed(pages.select(["url", "html"]), pages_root, 8)
+    cfg = EngineConfig(max_rounds=args.rounds, num_partitions=8, num_buckets=8,
+                      num_seen_shards=4, flaky=args.flaky,
+                      night_shift=args.night_shift)
+    summary = run_crawl(pages_root, synth_seeds(args.seed, args.n_pages),
+                        synth_robots(args.seed, args.n_pages).to_pandas(),
+                        cfg, os.path.join(work, "ckpt"), resume=args.resume)
+    crawled = collect_crawled(os.path.join(work, "ckpt")).to_pandas()
+    by_status = crawled["status"].value_counts().to_dict()
+    print(f"rounds={summary['rounds']} crawled={len(crawled)} "
+          f"statuses={by_status} ckpt={os.path.join(work, 'ckpt')}")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    _main()
