@@ -365,6 +365,21 @@ def _q_knn_lsh(sf_dir: str):
     return df[["vec_id", "cos"]]
 
 
+def _q_knn_ivf(sf_dir: str):
+    """IVF (centroid-bucketed) ANN — the partition-pruned scale path
+    (rows-only: approximate)."""
+    from borges_ray.ops.embed import knn_ivf, train_ivf_centroids
+    from borges_ray.ops.relational import load
+
+    q = pd.read_parquet(f"{sf_dir}/embeddings.parquet").pipe(
+        lambda d: d[d.vec_id == 0]["embedding"].iloc[0]
+    )
+    ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = train_ivf_centroids(ds, n_centroids=16)
+    df = knn_ivf(ds, np.asarray(q), 10, cents, n_probe=4)
+    return df[["vec_id", "cos"]]
+
+
 def _q_minhash_neardup(sf_dir: str):
     """MinHash+LSH near-dup pairs over documents (rows-only: approximate)."""
     from borges_ray.ops.dedup import minhash_near_dup_pairs
@@ -454,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_neardup": _q_cosine_neardup,
         "cosine_neardup_lsh": _q_cosine_neardup_lsh,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "minhash_neardup": _q_minhash_neardup,
         "simhash_signatures": _q_simhash,
         "lang_id_confusion": _q_lang_id,

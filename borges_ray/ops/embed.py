@@ -200,3 +200,85 @@ def cosine_near_dup_exact(
         .sort_values(["id_a", "id_b"], kind="mergesort")
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-bucketed scale path
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    ds: rd.Dataset,
+    n_centroids: int = 16,
+    *,
+    vec_col: str = "embedding",
+    sample_rows: int = 2048,
+    n_iters: int = 10,
+    seed: int = 13,
+) -> np.ndarray:
+    """Train IVF centroids with mini k-means on a driver-side sample (the
+    sample is small by construction; the full data never leaves the
+    cluster).  Deterministic: seeded init, fixed iteration count."""
+    sample = ds.limit(sample_rows).to_pandas()
+    m = _normalize(_matrix(sample[vec_col]))
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)
+    cents = m[np.sort(idx)].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def knn_ivf(
+    ds: rd.Dataset,
+    query_vecs: np.ndarray,
+    k: int,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> pd.DataFrame:
+    """IVF top-k: score only rows whose nearest centroid is among the
+    query's ``n_probe`` closest centroids.  At scale the corpus is
+    PARTITIONED by centroid id on disk (hive ``ivf=<c>/`` dirs — same layout
+    idea as the pages buckets), so a query reads ``n_probe / n_centroids``
+    of the data; here the pruning happens per batch.  Recall is tuned by
+    ``n_probe``.  Deterministic tiebreaks as in :func:`knn_brute`."""
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]
+    state = ray.put((q, centroids, probe))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        q_, cents, probe_ = ray.get(state)
+        m = _normalize(_matrix(df[vec_col]))
+        assign = np.argmax(m @ cents.T, axis=1)
+        parts = []
+        ids = df[id_col].to_numpy()
+        for qi in range(q_.shape[0]):
+            mask = np.isin(assign, probe_[qi])
+            if not mask.any():
+                continue
+            cos = np.round(m[mask] @ q_[qi], 6)
+            p = pd.DataFrame({id_col: ids[mask], "cos": cos, "query_idx": qi})
+            parts.append(p.sort_values(["cos", id_col], ascending=[False, True],
+                                       kind="mergesort").head(k))
+        if not parts:
+            return pd.DataFrame({id_col: pd.Series(dtype=df[id_col].dtype),
+                                 "cos": pd.Series(dtype="float64"),
+                                 "query_idx": pd.Series(dtype="int64")})
+        return pd.concat(parts, ignore_index=True)
+
+    tops = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return (
+        tops.sort_values(["query_idx", "cos", id_col], ascending=[True, False, True], kind="mergesort")
+        .groupby("query_idx", sort=True)
+        .head(k)
+        .reset_index(drop=True)[["query_idx", id_col, "cos"]]
+    )

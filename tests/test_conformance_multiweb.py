@@ -1,0 +1,60 @@
+"""Property-style conformance (SURVEY.md §5 item 3): several independently
+seeded synthetic webs (different graph shapes, host skews, page sizes) ×
+engine-vs-oracle equality.  Deterministic pytest parametrization instead of
+hypothesis so failures replay exactly."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from borges_ray.pipelines.crawl import EngineConfig, collect_crawled, collect_seen, run_crawl
+from borges_ray.stages.fetch import write_pages_bucketed
+from borges_ray.synth import synth_pages, synth_robots, synth_seeds
+from reference_crawl import CrawlConfig, crawl
+
+
+@pytest.mark.parametrize(
+    "seed,n_pages,flaky,night",
+    [
+        (7, 200, False, False),
+        (123, 350, True, False),
+        (999, 150, True, True),
+    ],
+)
+def test_multiweb_conformance(seed, n_pages, flaky, night, ray_session, tmp_path):
+    pages = synth_pages(seed, n_pages)
+    seeds = synth_seeds(seed, n_pages)
+    robots = synth_robots(seed, n_pages)
+
+    pages_map = dict(zip(pages["url"].to_pylist(), pages["html"].to_pylist()))
+    seed_list = list(zip(seeds["url"].to_pylist(), seeds["priority"].to_pylist()))
+    robots_map = {
+        r["host"]: {"disallow_prefixes": r["disallow_prefixes"],
+                    "crawl_delay_ms": r["crawl_delay_ms"]}
+        for r in robots.to_pylist()
+    }
+    ora = crawl(pages_map, seed_list, robots_map,
+                CrawlConfig(max_rounds=4, num_partitions=8, flaky=flaky, night_shift=night))
+
+    pages_root = str(tmp_path / "pages")
+    write_pages_bucketed(pages.select(["url", "html"]), pages_root, num_buckets=4)
+    cfg = EngineConfig(max_rounds=4, num_partitions=8, num_buckets=4,
+                       num_seen_shards=2, flaky=flaky, night_shift=night)
+    ck = str(tmp_path / "ck")
+    run_crawl(pages_root, seeds, robots.to_pandas(), cfg, ck, resume=False)
+
+    eng_c = collect_crawled(ck).to_pandas()
+    eng_s = collect_seen(ck).to_pandas()
+    ora_c = pd.DataFrame(ora.crawled)
+
+    assert set(eng_s["url"]) == {r["url"] for r in ora.seen}
+    assert len(eng_c) == len(ora_c)
+    m = eng_c.set_index("url").sort_index()
+    o = ora_c.set_index("url").sort_index()
+    assert list(m.index) == list(o.index)
+    for col in ("status", "attempts", "extracted_text", "lang",
+                "fetch_round", "host_seq", "depth", "n_links"):
+        assert (m[col].to_numpy() == o[col].to_numpy()).all(), (col, seed)

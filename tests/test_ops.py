@@ -134,3 +134,17 @@ def test_quality_scorer():
     assert out["n_words"].tolist() == [4, 0]
     assert out["punct_ratio"].iloc[0] > 0
     assert out["stopword_ratio"].iloc[0] == 0.5
+
+
+def test_knn_ivf(vecs):
+    m, ds = vecs
+    from borges_ray.ops.embed import knn_brute, knn_ivf, train_ivf_centroids
+
+    cents = train_ivf_centroids(ds, n_centroids=8, sample_rows=80)
+    assert cents.shape[1] == 16
+    out = knn_ivf(ds, m[0], 3, cents, n_probe=4)
+    assert 0 in out["vec_id"].tolist()           # finds itself
+    # high n_probe → converges to exact brute-force result
+    out_full = knn_ivf(ds, m[0], 5, cents, n_probe=8)
+    brute = knn_brute(ds, m[0], 5)
+    assert out_full["vec_id"].tolist() == brute["vec_id"].tolist()
