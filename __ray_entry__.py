@@ -390,6 +390,20 @@ def _q_minhash_neardup(sf_dir: str):
     return minhash_near_dup_pairs(ds, "doc_id", threshold=0.5, texts_by_id=texts)
 
 
+def _q_minhash_dedup_survivors(sf_dir: str):
+    """Full near-dup dedup: MinHash-LSH pairs → connected components →
+    keep-min-id survivors (rows-only: approximate)."""
+    from borges_ray.ops.dedup import dedup_survivors, minhash_near_dup_pairs
+    from borges_ray.ops.relational import load
+
+    texts = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_near_dup_pairs(ds, "doc_id", threshold=0.5, texts_by_id=texts)
+    pairs = pairs.rename(columns={"id_a": "id_a", "id_b": "id_b"})
+    surv = dedup_survivors(texts["doc_id"], pairs)
+    return pd.DataFrame({"doc_id": surv})
+
+
 def _q_simhash(sf_dir: str):
     """64-bit SimHash signatures per document (rows-only: deterministic
     custom hash, not SQL-expressible)."""
@@ -471,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "minhash_neardup": _q_minhash_neardup,
+        "minhash_dedup_survivors": _q_minhash_dedup_survivors,
         "simhash_signatures": _q_simhash,
         "lang_id_confusion": _q_lang_id,
         "fingerprints": _q_fingerprints,

@@ -99,7 +99,7 @@ def bench_crawl(pages_root: str, n_pages: int, num_buckets: int) -> dict:
 
     cfg = EngineConfig(
         round_ms=240_000,
-        max_rounds=10,
+        max_rounds=6,
         num_partitions=32,
         num_buckets=num_buckets,
         num_seen_shards=8,

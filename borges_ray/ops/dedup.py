@@ -274,3 +274,47 @@ def simhash_near_dup_pairs(ds: rd.Dataset, id_col: str, *, max_hamming: int = 3)
 
     pairs = chunks.groupby("chunk", num_partitions=4).map_groups(chunk_pairs, batch_format="pandas")
     return pairs.to_pandas().drop_duplicates(ignore_index=True).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup grouping: candidate pairs → connected components → survivors
+# ---------------------------------------------------------------------------
+
+def near_dup_groups(pairs: pd.DataFrame, *, max_iters: int = 50) -> pd.DataFrame:
+    """Connected components over near-dup pairs via min-label propagation
+    (the guide's scale shape: iterate "label = min(label, neighbors)" until
+    fixpoint; each iteration is a groupby — here the candidate set is small
+    by LSH construction, so iterations run in pandas; at larger candidate
+    volumes each iteration becomes a Ray groupby with identical semantics).
+
+    Returns (id, group) where group = min id of the component — the
+    deterministic keep-one winner per duplicate cluster (D1 winner rule
+    lifted to near-dup clusters)."""
+    if pairs.empty:
+        return pd.DataFrame({"id": pd.Series(dtype="int64"),
+                             "group": pd.Series(dtype="int64")})
+    edges = pairs[["id_a", "id_b"]].astype("int64")
+    ids = pd.unique(pd.concat([edges["id_a"], edges["id_b"]], ignore_index=True))
+    label = pd.Series(ids, index=ids)  # start: own id
+    for _ in range(max_iters):
+        la = edges["id_a"].map(label)
+        lb = edges["id_b"].map(label)
+        m = pd.concat([
+            pd.DataFrame({"id": edges["id_a"], "lbl": np.minimum(la, lb)}),
+            pd.DataFrame({"id": edges["id_b"], "lbl": np.minimum(la, lb)}),
+            pd.DataFrame({"id": label.index.to_numpy(), "lbl": label.to_numpy()}),
+        ], ignore_index=True)
+        new_label = m.groupby("id")["lbl"].min()
+        if new_label.equals(label.sort_index()):
+            break
+        label = new_label
+    out = label.rename("group").rename_axis("id").reset_index()
+    return out.sort_values("id", ignore_index=True)
+
+
+def dedup_survivors(all_ids: pd.Series, pairs: pd.DataFrame) -> pd.Series:
+    """Keep-set after near-dup collapse: every id not in any cluster, plus
+    the min id of each cluster."""
+    groups = near_dup_groups(pairs)
+    losers = set(groups.loc[groups["id"] != groups["group"], "id"])
+    return all_ids[~all_ids.isin(losers)].reset_index(drop=True)

@@ -148,3 +148,26 @@ def test_knn_ivf(vecs):
     out_full = knn_ivf(ds, m[0], 5, cents, n_probe=8)
     brute = knn_brute(ds, m[0], 5)
     assert out_full["vec_id"].tolist() == brute["vec_id"].tolist()
+
+
+def test_near_dup_groups_and_survivors():
+    import pandas as pd
+
+    from borges_ray.ops.dedup import dedup_survivors, near_dup_groups
+
+    # chain 1-2, 2-3 (one cluster), pair 7-9, singleton 5 untouched
+    pairs = pd.DataFrame({"id_a": [1, 2, 7], "id_b": [2, 3, 9]})
+    g = near_dup_groups(pairs)
+    got = dict(zip(g["id"], g["group"]))
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+    surv = dedup_survivors(pd.Series([1, 2, 3, 5, 7, 9]), pairs)
+    assert surv.tolist() == [1, 5, 7]
+
+
+def test_near_dup_groups_empty():
+    import pandas as pd
+
+    from borges_ray.ops.dedup import near_dup_groups
+
+    g = near_dup_groups(pd.DataFrame({"id_a": [], "id_b": []}))
+    assert len(g) == 0
