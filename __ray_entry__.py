@@ -458,6 +458,20 @@ def _q_media_features(sf_dir: str):
     return out[["media_id", "media_type", "n_bytes", "f0"]]
 
 
+def _q_video_frames(sf_dir: str):
+    """Multimodal frame-sample + resize plumbing (codecs stubbed;
+    rows-only)."""
+    import ray.data as rd
+
+    from borges_ray.ops.multimodal import sample_video_frames, synth_media
+
+    media = rd.from_arrow(synth_media(42, 300))
+    out = sample_video_frames(media).to_pandas()
+    out["thumb_mean"] = out["thumb_mean"].round(6)
+    out["thumb_std"] = out["thumb_std"].round(6)
+    return out
+
+
 def _q_crawl_pipeline(sf_dir: str):
     """The full crawl engine on a small synthetic web (rows-only; full
     conformance vs the oracle is pytest-gated)."""
@@ -490,6 +504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_confusion": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "media_features": _q_media_features,
+        "video_frames": _q_video_frames,
         "crawl_pipeline": _q_crawl_pipeline,
         "pricing_summary": _q_pricing_summary,
         "filter_revenue": _q_filter_revenue,

@@ -101,3 +101,63 @@ def synth_media(seed: int, n: int) -> pa.Table:
             "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
         }
     )
+
+
+def _sample_frames_stub(payload: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic stand-in for video frame sampling: n evenly-spaced
+    byte windows.  A real deployment replaces the body with an ffmpeg/pyav
+    keyframe extraction; the Ray-side plumbing (explode to one row per
+    frame, small batches) is identical."""
+    try:
+        import av  # noqa: F401
+
+        raise NotImplementedError("real frame sampling not wired in this environment")
+    except ImportError:
+        pass
+    if not payload:
+        return []
+    step = max(1, len(payload) // n_frames)
+    return [payload[i * step : i * step + 64] for i in range(min(n_frames, len(payload)))]
+
+
+def _resize_stub(frame: bytes, side: int = 8) -> np.ndarray:
+    """Deterministic stand-in for an image resize: fold the byte stream into
+    a (side × side) float grid (real: PIL/libvips resample)."""
+    arr = np.frombuffer(frame, dtype=np.uint8).astype(np.float32)
+    need = side * side
+    if len(arr) < need:
+        arr = np.pad(arr, (0, need - len(arr)))
+    return (arr[:need] / 255.0).reshape(side, side)
+
+
+class FrameSampler:
+    """Actor-pool stage: video payloads → one row per sampled frame with a
+    resized thumbnail feature.  Explode happens inside the batch (pandas
+    explode), keeping the stage single-output; ``batch_size`` stays small
+    because each input row fans out ``n_frames`` ways (memory-aware sizing
+    for wide binary rows)."""
+
+    def __init__(self, n_frames: int = 4, side: int = 8):
+        self.n_frames = n_frames
+        self.side = side
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            for fi, frame in enumerate(_sample_frames_stub(payload, self.n_frames)):
+                thumb = _resize_stub(frame, self.side)
+                rows.append((mid, fi, float(thumb.mean()), float(thumb.std())))
+        return pd.DataFrame(rows, columns=["media_id", "frame_idx", "thumb_mean", "thumb_std"])
+
+
+def sample_video_frames(media: rd.Dataset, *, n_frames: int = 4,
+                        batch_size: int = 64, concurrency=(1, 4)) -> rd.Dataset:
+    """media(MEDIA_SCHEMA) → (media_id, frame_idx, thumb_mean, thumb_std)."""
+    return media.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

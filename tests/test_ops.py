@@ -171,3 +171,31 @@ def test_near_dup_groups_empty():
 
     g = near_dup_groups(pd.DataFrame({"id_a": [], "id_b": []}))
     assert len(g) == 0
+
+
+def test_frame_sampling(ray_session):
+    import ray.data as rd
+
+    from borges_ray.ops.multimodal import sample_video_frames, synth_media
+
+    media = rd.from_arrow(synth_media(9, 40))
+    out = sample_video_frames(media, n_frames=4).to_pandas()
+    assert set(out.columns) == {"media_id", "frame_idx", "thumb_mean", "thumb_std"}
+    assert out.groupby("media_id")["frame_idx"].count().max() <= 4
+    assert len(out) >= 40                      # every payload produced frames
+    assert ((0 <= out["thumb_mean"]) & (out["thumb_mean"] <= 1)).all()
+
+
+def test_media_feature_extractor(ray_session):
+    import ray.data as rd
+
+    from borges_ray.ops.multimodal import extract_media_features, synth_media
+
+    media = rd.from_arrow(synth_media(9, 30))
+    out = extract_media_features(media, batch_size=8).to_pandas()
+    assert len(out) == 30
+    import numpy as np
+
+    f = np.array(out["features"].tolist())
+    assert f.shape == (30, 16)
+    assert np.allclose(f.sum(axis=1), 1.0)     # normalized histograms
