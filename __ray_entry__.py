@@ -55,21 +55,29 @@ def _q_pricing_summary(sf_dir: str):
     ds = filter_batches(ds, lambda t: pc.less_equal(t["l_shipdate"], cutoff))
 
     def revenue(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("revenue", rev)
+        # money is 2-dp: compute price*(1-discount) in EXACT integer 1e-4
+        # units so partial sums are associative — parallelism-invariant
+        # (float partial sums crossed a 2-dp rounding boundary vs the
+        # DECIMAL oracle; ADVICE r01)
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))), pa.int64())
+        rev4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return t.append_column("revenue4", rev4)
 
     ds = ds.map_batches(revenue, batch_format="pyarrow")
     out = grouped_agg(ds, ["l_returnflag", "l_linestatus"],
                       {"sum_qty": ("sum", "l_quantity"),
-                       "sum_revenue": ("sum", "revenue"),
+                       "sum_revenue4": ("sum", "revenue4"),
                        "avg_qty": ("mean", "l_quantity"),
                        "n": ("count", "l_quantity")})
     df = out.to_pandas()
     df["sum_qty"] = df["sum_qty"].round(2)
-    df["sum_revenue"] = df["sum_revenue"].round(2)
+    # half-up to cents in integer space (matches DECIMAL round, positive sums)
+    df["sum_revenue"] = ((df["sum_revenue4"].astype("int64") + 50) // 100) / 100.0
+    df = df.drop(columns="sum_revenue4")
     df["avg_qty"] = df["avg_qty"].round(6)
     df["n"] = df["n"].astype("int64")
-    return df
+    return df[["l_returnflag", "l_linestatus", "sum_qty", "sum_revenue", "avg_qty", "n"]]
 
 
 def _q_filter_revenue(sf_dir: str):
@@ -89,11 +97,14 @@ def _q_filter_revenue(sf_dir: str):
     ds = filter_batches(ds, pred)
 
     def partial(t: pa.Table) -> pa.Table:
-        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py() or 0.0
-        return pa.table({"s": pa.array([rev], pa.float64())})
+        # exact integer 1e-4-dollar units: associative partial sums
+        price_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc_c = pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))), pa.int64())
+        rev = pc.sum(pc.multiply(price_c, disc_c)).as_py() or 0
+        return pa.table({"s": pa.array([rev], pa.int64())})
 
-    total = sum(r["s"] for r in ds.map_batches(partial, batch_format="pyarrow").take_all())
-    return pd.DataFrame({"sum_revenue": [round(total, 2)]})
+    total4 = sum(r["s"] for r in ds.map_batches(partial, batch_format="pyarrow").take_all())
+    return pd.DataFrame({"sum_revenue": [((total4 + 50) // 100) / 100.0]})
 
 
 def _q_topk_orders(sf_dir: str):
@@ -169,15 +180,21 @@ def _q_join_broadcast(sf_dir: str):
     from borges_ray.ops.relational import broadcast_join, grouped_agg, load
 
     orders = load(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    # exact integer cents → associative partial sums (see pricing_summary)
+    orders = orders.map_batches(
+        lambda t: t.append_column(
+            "price_c", pc.cast(pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))), pa.int64())),
+        batch_format="pyarrow")
     cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     cust = cust.rename(columns={"c_custkey": "o_custkey"})
     joined = broadcast_join(orders, cust, on=["o_custkey"], how="inner")
     out = grouped_agg(joined, ["c_mktsegment"],
-                      {"sum_price": ("sum", "o_totalprice"), "n_orders": ("count", "o_totalprice")})
+                      {"sum_price_c": ("sum", "price_c"), "n_orders": ("count", "o_totalprice")})
     df = out.to_pandas()
-    df["sum_price"] = df["sum_price"].round(2)
+    df["sum_price"] = df["sum_price_c"].astype("int64") / 100.0
+    df = df.drop(columns="sum_price_c")
     df["n_orders"] = df["n_orders"].astype("int64")
-    return df
+    return df[["c_mktsegment", "sum_price", "n_orders"]]
 
 
 def _q_hash_join(sf_dir: str):
@@ -546,16 +563,23 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.38
         """,
         "pricing_summary": """
+            -- money summed in exact DECIMAL space (order-independent), then
+            -- rounded half-away to cents — matches the engine's integer-cents
+            -- accumulation bit-for-bit
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                        AS DOUBLE) AS sum_revenue,
                    round(avg(l_quantity), 6) AS avg_qty,
                    count(*) AS n
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
         """,
         "filter_revenue": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS sum_revenue
+            SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                   * CAST(l_discount AS DECIMAL(18,2))), 2)
+                        AS DOUBLE) AS sum_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1995-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -583,7 +607,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "join_broadcast": """
-            SELECT c_mktsegment, round(sum(o_totalprice), 2) AS sum_price,
+            SELECT c_mktsegment,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment

@@ -29,3 +29,30 @@ Package layout (see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+import logging as _logging
+
+
+class _BenignEmptySortBlockFilter(_logging.Filter):
+    """Drop Ray's "RefBundle with a different schema … names=[]" warning.
+
+    Ray's ``sort`` (AllToAllOperator) emits an UNTYPED empty block for every
+    empty range partition — unavoidable from user code when the key space is
+    small (e.g. 5 distinct segments range-partitioned into more blocks than
+    keys).  The empty block carries no rows, is never handed to a UDF, and is
+    dropped on materialization, so the warning is noise for this engine's
+    bucketed-groupby shape.  Only the ``names=[]`` (schema-less empty block)
+    variant is filtered; real schema mismatches still surface."""
+
+    def filter(self, record: _logging.LogRecord) -> bool:
+        msg = record.getMessage()
+        if "RefBundle with a different schema" not in msg:
+            return True
+        # schema-less empty block: printed as "names=[], types=[]" or as a
+        # bare "new schema: ." when the block metadata carries None
+        return not ("names=[], types=[]" in msg or "new schema: ." in msg)
+
+
+_logging.getLogger("ray.data._internal.execution.streaming_executor_state").addFilter(
+    _BenignEmptySortBlockFilter()
+)

@@ -27,6 +27,7 @@ from __future__ import annotations
 import os
 from typing import Callable, Iterable
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -136,9 +137,15 @@ N_KEY_BUCKETS = 32
 
 
 def _add_key_bucket(df: pd.DataFrame, keys: list[str], n: int = N_KEY_BUCKETS) -> pd.DataFrame:
+    # full 64-bit key hash, NOT hash % n: the sort that shuffles buckets
+    # samples range boundaries from the key column, and a near-continuous
+    # hash space avoids degenerate/empty range partitions (which Ray's sort
+    # emits as untyped empty blocks).  Co-location only needs equal keys →
+    # equal hash; ``fn`` regroups by the real keys inside the block, so a
+    # hash collision merely shares a block, never merges keys.
     out = df.copy()
     h = pd.util.hash_pandas_object(df[keys].astype(str), index=False)  # deterministic
-    out["__kb"] = (h % n).astype("int64")
+    out["__kb"] = h.to_numpy().view("int64")
     return out
 
 
@@ -148,13 +155,23 @@ def groupby_buckets(ds: rd.Dataset, keys: list[str], fn: Callable[[pd.DataFrame]
     ``n_buckets`` groups and applies a VECTORIZED ``fn`` per bucket.  ``fn``
     must itself handle multiple keys (pandas groupby inside).  This is the
     scale-safe alternative to ``groupby(key).map_groups`` when the number of
-    distinct keys is large (millions of per-group Python calls)."""
+    distinct keys is large (millions of per-group Python calls).
+
+    Implementation: ``sort("__kb")`` range-partitions the bucket ids so every
+    bucket's rows land in one block (the same co-location guarantee Ray's
+    ``map_groups`` relies on), then ONE whole-block ``fn`` call handles all
+    buckets in the block.  This replaces the earlier ``groupby().map_groups``
+    shape, whose generator yielded an UNTYPED empty block for empty sort
+    partitions (the "RefBundle with a different schema … names=[]" warning);
+    here empty blocks flow through ``fn`` and come back typed."""
     bucketed = ds.map_batches(lambda df: _add_key_bucket(df, keys, n_buckets),
                               batch_format="pandas")
-    out = bucketed.groupby("__kb", num_partitions=min(n_buckets, 64)).map_groups(
-        lambda df: fn(df.drop(columns="__kb")), batch_format="pandas"
-    )
-    return out
+
+    def apply_block(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns="__kb"))
+
+    return bucketed.sort("__kb").map_batches(apply_block, batch_size=None,
+                                             batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -261,24 +278,54 @@ def hash_join(
         return left.join(right, join_type=join_type, num_partitions=num_partitions,
                          on=tuple(on))
 
-    lcols = [f for f in left.schema().names]
-    rcols = [f for f in right.schema().names]
+    lschema, rschema = left.schema(), right.schema()
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
     r_only = [c for c in rcols if c not in lcols]
     l_only = [c for c in lcols if c not in rcols]
 
-    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+    # dtype-consistent fillers: the two tagged sides must union to ONE
+    # schema (an all-None object filler next to a float64 real column made
+    # Ray flag block-schema mismatches).  Integers use pandas' nullable
+    # Int64 so filler NA never forces a lossy int→float cast.
+    def _pd_dtype(arrow_type) -> str:
+        t = str(arrow_type)
+        if t.startswith("int") or t.startswith("uint"):
+            return t.capitalize() if t.startswith("int") else "UInt" + t[4:]
+        if t.startswith("float") or t.startswith("double"):
+            return "float64"
+        if t.startswith("timestamp"):
+            return "datetime64[us]"
+        if t == "bool":
+            return "boolean"
+        return "object"
+
+    fill_dtype = {}
+    for c, t in zip(lschema.names, lschema.types):
+        fill_dtype[c] = _pd_dtype(t)
+    for c, t in zip(rschema.names, rschema.types):
+        fill_dtype.setdefault(c, _pd_dtype(t))
+    nullable_int = {c for c, d in fill_dtype.items()
+                    if (c in r_only or c in l_only)
+                    and (d.startswith(("Int", "UInt")) or d == "boolean")}
+
+    def _tag(df: pd.DataFrame, side: int, missing: list[str]) -> pd.DataFrame:
         out = df.copy()
-        out["__side"] = 0
-        for c in r_only:
-            out[c] = None
+        out["__side"] = side
+        for c in missing:
+            d = fill_dtype[c]
+            na = (np.nan if d == "float64"
+                  else pd.NaT if d.startswith("datetime") else pd.NA)
+            out[c] = pd.Series(na, index=out.index, dtype=d)
+        for c in nullable_int & set(df.columns):
+            out[c] = out[c].astype(fill_dtype[c])
         return out
 
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        return _tag(df, 0, r_only)
+
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        out["__side"] = 1
-        for c in l_only:
-            out[c] = None
-        return out
+        return _tag(df, 1, l_only)
 
     all_cols = lcols + r_only + ["__side"]
     both = left.map_batches(lambda df: tag_left(df)[all_cols], batch_format="pandas").union(

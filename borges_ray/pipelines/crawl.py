@@ -94,7 +94,9 @@ def bootstrap(seeds: pa.Table, robots_df: pd.DataFrame, cfg: EngineConfig,
         cu = canonicalize(url)
         if cu is not None:
             cands.append((cu, prio))
-    for cu, prio in sorted(cands):
+    # input order, first-listed wins — exactly the oracle's enqueue rule
+    # (reference_crawl.py: seeds are enqueued in list order, `u in seen` skips)
+    for cu, prio in cands:
         if cu in seen:
             continue
         seen.add(cu)
@@ -235,7 +237,7 @@ def run_crawl(
         if has_crawled:
             parsed_back = parsed.select_columns(["url", "status", "priority", "depth", "links"])
             cands = link_candidates(parsed_back, rnd, cfg.num_partitions, cfg.max_depth)
-            gated = gate_candidates(cands, shards, robots_ref)
+            gated = gate_candidates(cands, shards, robots_ref, rnd + 1)
             _write_ds_into(new_dir, gated, "new")
 
         defer_thread.join()
@@ -288,7 +290,9 @@ def run_crawl(
                                       "partition": pd.Series(dtype="int32"),
                                       "n_links": pd.Series(dtype="int32")})
         fetched_rows = crawled_t[crawled_t.status == 200]
-        missed_rows = crawled_t[crawled_t.status == 404]
+        # every non-200 FETCH is a miss (404 and retry-exhausted 503 alike);
+        # 999 = robots-blocked, never fetched — the oracle's `missed` rule
+        missed_rows = crawled_t[(crawled_t.status != 200) & (crawled_t.status != 999)]
         per_part = pd.DataFrame({"partition": range(cfg.num_partitions)})
         per_part["round"] = rnd
         per_part = per_part.merge(

@@ -60,13 +60,16 @@ def link_candidates(parsed: rd.Dataset, rnd: int, num_partitions: int,
 
 
 def gate_candidates(cands: rd.Dataset, seen_shards: list,
-                    robots_ref: "ray.ObjectRef") -> rd.Dataset:
+                    robots_ref: "ray.ObjectRef", rnd: int) -> rd.Dataset:
     """Seen-gate (check-and-add on the shard actors) + robots gate.
 
     Output: candidate rows that are NEW, with a ``blocked`` bool column
     (True → recorded as status-999, never fetched).  The within-round
-    winner dedup upstream guarantees each url reaches the shards once, so
-    check-and-add is exactly-once."""
+    winner dedup upstream guarantees each url reaches the shards from
+    exactly one task, and the shards key membership by (url, round), so the
+    gate is idempotent under Ray task retries (a retried task re-observes
+    its own round's additions as new=True instead of silently dropping
+    them)."""
 
     def gate(df: pd.DataFrame) -> pd.DataFrame:
         from ..state.urlseen import seen_check_and_add
@@ -76,7 +79,7 @@ def gate_candidates(cands: rd.Dataset, seen_shards: list,
             out["blocked"] = pd.Series(dtype=bool)
             return out
         robots = ray.get(robots_ref)  # host -> tuple(disallow prefixes)
-        new_mask = seen_check_and_add(seen_shards, df["url"].tolist())
+        new_mask = seen_check_and_add(seen_shards, df["url"].tolist(), rnd)
         out = df[new_mask].copy()
         blocked = []
         for u, h in zip(out["url"], out["host"]):

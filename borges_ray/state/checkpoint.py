@@ -8,8 +8,11 @@ equivalent is immutable round outputs (SURVEY.md §4 "Checkpoint / resume"):
       round=0000/
         crawled/      *.parquet   (fetch results of this round)
         seen_delta/   *.parquet   (URLs first enqueued during this round)
-        frontier/     *.parquet   (the FULL frontier entering the NEXT round)
-        host_state/   *.parquet   (host, next_seq) after this round
+        frontier/     *.parquet   (the FULL frontier entering round r itself:
+                                   bootstrap writes seeds to round=0/frontier,
+                                   and run_crawl reads round r's frontier as
+                                   that round's input)
+        host_state/   *.parquet   (host, next_seq) entering round r
         metrics/      *.parquet
         _COMMITTED                (empty marker, written LAST)
 

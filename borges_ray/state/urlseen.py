@@ -29,26 +29,37 @@ from .bloom import BloomFilter
 
 @ray.remote(num_cpus=0.25)
 class UrlSeenShard:
-    """One shard of the partitioned URL-seen filter."""
+    """One shard of the partitioned URL-seen filter.
+
+    Membership is recorded as url → round-first-seen, which makes
+    ``check_and_add`` IDEMPOTENT per round: if Ray retries a failed gate
+    task, the retry re-asks about urls this shard first saw in the *same*
+    round and gets new=True again (upstream winner-dedup guarantees a url
+    reaches the shards from exactly one task per round, so no other task
+    can double-claim it)."""
 
     def __init__(self, shard_id: int, capacity: int = 1_000_000):
         self.shard_id = shard_id
         self.bloom = BloomFilter(capacity)
-        self.exact: set[str] = set()
+        self.exact: dict[str, int] = {}  # url -> round first seen
 
-    def check_and_add(self, urls: list[str]) -> np.ndarray:
-        """Mark all ``urls`` seen; return mask of which were NEW (unseen
-        before this call).  Atomic within the actor — concurrent callers
-        serialize, so a URL is new for exactly one caller."""
+    def check_and_add(self, urls: list[str], rnd: int) -> np.ndarray:
+        """Mark all ``urls`` seen in round ``rnd``; return mask of which are
+        NEW (first seen in this round — stable under task retry).  Atomic
+        within the actor — concurrent callers serialize."""
         maybe = self.bloom.maybe_contains_batch(urls)
         out = np.zeros(len(urls), dtype=bool)
         to_add: list[str] = []
         for i, u in enumerate(urls):
-            if maybe[i] and u in self.exact:  # bloom positive confirmed
+            if maybe[i]:
+                first = self.exact.get(u)
+                if first is not None:
+                    out[i] = first == rnd  # retry of this round's task
+                    continue
+            elif u in self.exact:  # bloom false-negative cannot happen; safety
+                out[i] = self.exact[u] == rnd
                 continue
-            if u in self.exact:  # bloom false-negative cannot happen; safety
-                continue
-            self.exact.add(u)
+            self.exact[u] = rnd
             to_add.append(u)
             out[i] = True
         self.bloom.add_batch(to_add)
@@ -56,9 +67,9 @@ class UrlSeenShard:
 
     def load_keys(self, urls: list[str]) -> int:
         """Resume path: re-register already-seen URLs without reporting them
-        as new."""
+        as new (round −1 never equals a live round)."""
         fresh = [u for u in urls if u not in self.exact]
-        self.exact.update(fresh)
+        self.exact.update((u, -1) for u in fresh)
         self.bloom.add_batch(fresh)
         return len(self.exact)
 
@@ -73,7 +84,7 @@ def create_seen_index(num_shards: int, capacity_per_shard: int = 1_000_000) -> l
     ]
 
 
-def seen_check_and_add(shards: list, urls: list[str]) -> np.ndarray:
+def seen_check_and_add(shards: list, urls: list[str], rnd: int) -> np.ndarray:
     """Route a URL batch to its shards; returns the new-mask aligned with
     ``urls``.  One round-trip per shard, issued concurrently."""
     if not urls:
@@ -85,7 +96,7 @@ def seen_check_and_add(shards: list, urls: list[str]) -> np.ndarray:
     for s in range(n):
         idx = np.nonzero(shard_of == s)[0]
         if len(idx):
-            futures[s] = (idx, shards[s].check_and_add.remote([urls[i] for i in idx]))
+            futures[s] = (idx, shards[s].check_and_add.remote([urls[i] for i in idx], rnd))
     for s, (idx, fut) in futures.items():
         mask[idx] = ray.get(fut)
     return mask

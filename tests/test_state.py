@@ -34,10 +34,15 @@ def test_seen_shards_exactly_once(ray_session):
 
     shards = create_seen_index(2, 10_000)
     urls = [f"http://h.example/{i}" for i in range(100)]
-    m1 = seen_check_and_add(shards, urls)
+    m1 = seen_check_and_add(shards, urls, 1)
     assert m1.all()                                      # all new first time
-    m2 = seen_check_and_add(shards, urls + ["http://h.example/new"])
+    m2 = seen_check_and_add(shards, urls + ["http://h.example/new"], 2)
     assert m2[:-1].sum() == 0 and m2[-1]                 # only the new one
+    # idempotent retry: same round re-observes its own additions as new
+    m3 = seen_check_and_add(shards, ["http://h.example/new"], 2)
+    assert m3.tolist() == [True]
+    m4 = seen_check_and_add(shards, ["http://h.example/new"], 3)
+    assert m4.tolist() == [False]
 
 
 def test_seen_shards_resume_load(ray_session):
@@ -50,7 +55,7 @@ def test_seen_shards_resume_load(ray_session):
     preloaded = ["http://a.example/", "http://b.example/"]
     for u in preloaded:  # resume path routes by the same hash as check_and_add
         ray.get(shards[stable_hash(u) % 2].load_keys.remote([u]))
-    m = seen_check_and_add(shards, preloaded + ["http://c.example/"])
+    m = seen_check_and_add(shards, preloaded + ["http://c.example/"], 0)
     assert m.tolist() == [False, False, True]
 
 
