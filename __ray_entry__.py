@@ -489,6 +489,41 @@ def _q_video_frames(sf_dir: str):
     return out
 
 
+def _q_metadata_extract(sf_dir: str):
+    """M9/M10: JATS-XML + meta-tag dialect metadata extraction into struct
+    columns (oracle recomputes the golden fields from doc_id arithmetic —
+    the engine must genuinely parse the markup)."""
+    from borges_ray.extract_meta import MetaExtractor
+    from borges_ray.ops.relational import load
+    from borges_ray.synth_articles import articles_from_documents
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    arts = articles_from_documents(ds)
+    out = arts.map_batches(MetaExtractor, batch_format="pandas",
+                           concurrency=(1, 4))
+    return out.to_pandas().drop(columns=["authors_list"])
+
+
+def _q_zip_extract_meta(sf_dir: str):
+    """S15/T7: zip drop-folder → encoding-branch member decode (xml utf-8 /
+    html cp1252) → metadata extraction.  Same golden oracle as
+    metadata_extract — the zip+decode hop must be lossless."""
+    import hashlib
+    import tempfile
+
+    from borges_ray.extract_meta import MetaExtractor
+    from borges_ray.sources.archive import build_article_zip_corpus, read_zip_articles
+
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    zip_dir = f"{tempfile.gettempdir()}/borges_zips_{tag}"
+    build_article_zip_corpus(sf_dir, zip_dir)
+    members = read_zip_articles(zip_dir)
+    out = members.map_batches(MetaExtractor, batch_format="pandas",
+                              concurrency=(1, 4))
+    return out.to_pandas().drop(columns=["authors_list"]).sort_values(
+        "doc_id").reset_index(drop=True)
+
+
 def _q_crawl_pipeline(sf_dir: str):
     """The full crawl engine on a small synthetic web (rows-only; full
     conformance vs the oracle is pytest-gated)."""
@@ -522,6 +557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "media_features": _q_media_features,
         "video_frames": _q_video_frames,
+        "metadata_extract": _q_metadata_extract,
+        "zip_extract_meta": _q_zip_extract_meta,
         "crawl_pipeline": _q_crawl_pipeline,
         "pricing_summary": _q_pricing_summary,
         "filter_revenue": _q_filter_revenue,
@@ -547,8 +584,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _STOP_SQL = "('the','a','an','and','or','of','to','in','on','for','with','at','by','from','as','is','are','was','were','be','been','it','this','that')"  # noqa: E501  (kept for later stopword oracle)
 
 
+#: Golden-field reconstruction for the synthetic article corpus — the SQL
+#: twin of borges_ray.synth_articles.golden_meta (every field is doc_id/text
+#: arithmetic; the engine must parse the actual markup to match it).
+_METADATA_ORACLE = """
+    SELECT
+      doc_id,
+      '10.1000/doc.' || doc_id AS doi,
+      CASE WHEN doc_id % 2 = 0 THEN 'Institute of Physics'
+           ELSE 'SpringerNature' END AS publisher,
+      CASE WHEN doc_id % 2 = 0 AND doc_id % 23 = 0 THEN 'pub-id-' || (doc_id % 5)
+           ELSE (['Journal of The Electrochemical Society','Applied Ceramics',
+                  'Physics Letters Q','Acta Materialia X',
+                  'Journal of Power Sources Y'])[1 + doc_id % 5]
+      END AS journal,
+      CASE WHEN doc_id % 7 = 0 THEN NULL
+           ELSE (1000 + doc_id % 89) || '-' || (2000 + doc_id % 97) END AS journal_issn,
+      CASE WHEN doc_id % 2 = 0 AND doc_id % 11 <> 0
+           THEN (3000 + doc_id % 83) || '-' || (4000 + doc_id % 79) END AS journal_eissn,
+      CAST(1990 + doc_id % 30 AS VARCHAR) AS published_year,
+      'Study ' || doc_id || ' of ' || string_split(text, ' ')[1] AS title,
+      CAST(1 + doc_id % 12 AS VARCHAR) AS issue,
+      CASE WHEN doc_id % 2 = 0 AND doc_id % 13 = 0 THEN NULL
+           ELSE 'We study sample ' || doc_id || ' in detail.' END AS abstract,
+      doc_id % 8 < 4 AS contains_body,
+      CASE WHEN doc_id % 2 = 1 AND doc_id % 29 = 0 THEN NULL ELSE
+        array_to_string(list_transform(range(0, 1 + doc_id % 3), i ->
+          (['Alice','Bo','Chen','Dmitri','Eva','Femi','Grace','Hiro'])[1 + (doc_id*7 + i*3) % 8]
+          || ' ' ||
+          (['Smith','Tanaka','Lee','Garcia','Okafor','Weber','Rossi','Novak'])[1 + (doc_id*5 + i*11) % 8]
+          || CASE WHEN i = 0 AND doc_id % 42 = 0
+                  THEN ' (' || repeat((['漢字','東京','材料','研究'])[1 + doc_id % 4], 2) || ')'
+                  ELSE '' END
+        ), '; ')
+      END AS authors
+    FROM documents
+    WHERE NOT (doc_id % 2 = 1 AND doc_id % 19 = 0)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "metadata_extract": _METADATA_ORACLE,
+        "zip_extract_meta": _METADATA_ORACLE,
         "bpe_tokens": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS BIGINT)
