@@ -524,6 +524,66 @@ def _q_zip_extract_meta(sf_dir: str):
         "doc_id").reset_index(drop=True)
 
 
+def _q_api_json_records(sf_dir: str):
+    """M17/M18: per-field try/except-null record shaping from API JSON
+    bodies (paper_index.py:43-95 semantics, oracle-checked)."""
+    from borges_ray.ops.records import ApiRecordParser
+    from borges_ray.ops.relational import load
+    from borges_ray.synth_articles import synth_api_body
+
+    ds = load(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        rows = [synth_api_body(int(d)) for d in df["doc_id"]]
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "body": [r[0] for r in rows],
+                             "journal": [r[1] for r in rows],
+                             "source": [r[2] for r in rows]})
+
+    out = ds.map_batches(gen, batch_format="pandas").map_batches(
+        ApiRecordParser, batch_format="pandas", concurrency=(1, 4))
+    return out.to_pandas()
+
+
+def _q_merge_abstract(sf_dir: str):
+    """J5: merge abstract into fulltext per key with the reference's
+    irregularity handling (dup collapse, key-points exclusion, no-<p>
+    error)."""
+    from borges_ray.ops.records import merge_abstract_stage
+    from borges_ray.ops.relational import load
+    from borges_ray.synth_articles import synth_abstract_fulltext
+
+    ds = load(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = [synth_abstract_fulltext(int(d)) for d in df["doc_id"]]
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "abstract_xml": [p[0] for p in pairs],
+                             "fulltext_xml": [p[1] for p in pairs]})
+
+    return merge_abstract_stage(ds.map_batches(gen, batch_format="pandas"))
+
+
+def _q_recrawl_overwrite(sf_dir: str):
+    """S8: keyed last-writer-wins refresh — updates replace same-key base
+    rows, untouched keys pass through byte-identical."""
+    from borges_ray.ops.records import keyed_overwrite
+    from borges_ray.ops.relational import filter_batches, load
+
+    base = load(sf_dir, "documents", columns=["doc_id", "text"])
+    upd = load(sf_dir, "documents", columns=["doc_id", "text"])
+    ten = pa.scalar(10, pa.int64())
+    upd = filter_batches(upd, lambda t: pc.equal(
+        pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], ten), ten)),
+        pa.scalar(0, pa.int64())))  # doc_id % 10 == 0 (pc has no mod kernel)
+    upd = upd.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("text"), "text",
+                               pc.binary_join_element_wise(
+                                   t["text"], pa.scalar(" v2"), "")),
+        batch_format="pyarrow")
+    return keyed_overwrite(base, upd, "doc_id")
+
+
 def _q_crawl_pipeline(sf_dir: str):
     """The full crawl engine on a small synthetic web (rows-only; full
     conformance vs the oracle is pytest-gated)."""
@@ -559,6 +619,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": _q_video_frames,
         "metadata_extract": _q_metadata_extract,
         "zip_extract_meta": _q_zip_extract_meta,
+        "api_json_records": _q_api_json_records,
+        "merge_abstract": _q_merge_abstract,
+        "recrawl_overwrite": _q_recrawl_overwrite,
         "crawl_pipeline": _q_crawl_pipeline,
         "pricing_summary": _q_pricing_summary,
         "filter_revenue": _q_filter_revenue,
@@ -627,6 +690,44 @@ def oracle_sql() -> dict[str, str]:
     return {
         "metadata_extract": _METADATA_ORACLE,
         "zip_extract_meta": _METADATA_ORACLE,
+        "api_json_records": """
+            SELECT doc_id,
+                   false AS crawled,
+                   'Elsevier' AS publisher,
+                   'J-' || (doc_id % 5) AS journal,
+                   CASE WHEN doc_id % 6 = 0 THEN NULL
+                        ELSE CAST(1990 + doc_id % 30 AS DOUBLE) END AS published_year,
+                   (doc_id % 5 <> 0 AND doc_id % 3 = 0) AS open_access,
+                   CASE WHEN doc_id % 9 = 0 THEN NULL
+                        ELSE '10.1016/j.' || doc_id END AS doi,
+                   CASE WHEN doc_id % 11 = 0 THEN NULL
+                        ELSE 'Title ' || doc_id END AS title,
+                   CASE WHEN doc_id % 29 = 0 THEN 'raw-' || doc_id ELSE
+                     array_to_string(list_transform(range(0, 1 + doc_id % 3), i ->
+                       (['Alice','Bo','Chen','Dmitri','Eva','Femi','Grace','Hiro'])[1 + (doc_id*7 + i*3) % 8]
+                       || ' ' ||
+                       (['Smith','Tanaka','Lee','Garcia','Okafor','Weber','Rossi','Novak'])[1 + (doc_id*5 + i*11) % 8]
+                     ), '; ')
+                   END AS authors,
+                   CASE WHEN doc_id % 13 = 0 THEN NULL
+                        ELSE CAST(1 + doc_id % 12 AS DOUBLE) END AS issue
+            FROM documents
+        """,
+        "merge_abstract": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 0 THEN 'Full ' || doc_id || '.'
+                        ELSE 'Abs ' || doc_id || '. Full ' || doc_id || '.'
+                   END AS merged,
+                   CASE WHEN doc_id % 11 = 0 THEN 'Non-abstract content (see Abstract_Content)'
+                        WHEN doc_id % 7 = 0 THEN 'Duplicated abstract in response, took first instance'
+                   END AS error
+            FROM documents
+        """,
+        "recrawl_overwrite": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
+            FROM documents
+        """,
         "bpe_tokens": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS BIGINT)

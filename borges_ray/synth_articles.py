@@ -207,6 +207,57 @@ def golden_meta(d: int, text: str) -> dict | None:
     }
 
 
+def synth_api_body(d: int) -> tuple[str, str, str]:
+    """(json_body, journal, source) for the API-record parser fixture
+    (M17/M18).  Branch coverage vs paper_index.py:43-95: missing coverDate
+    (d%6==0), missing doi (d%9==0), missing title (d%11==0), missing
+    open-access flag (d%5==0 → False default), malformed creators → raw
+    authors fallback (d%29==0), non-numeric issue (d%13==0 → None)."""
+    import json
+
+    res: dict = {}
+    source = "Scopus" if d % 2 == 0 else "SciDir"
+    if d % 6:
+        res["prism:coverDate"] = f"{1990 + d % 30}-03-15"
+    if d % 9:
+        res["prism:doi"] = f"10.1016/j.{d}"
+    if d % 11:
+        res["dc:title"] = f"Title {d}"
+    if d % 5:
+        oa_key = "openaccessFlag" if source == "Scopus" else "openaccessArticle"
+        res[oa_key] = bool(d % 3 == 0)
+    n = 1 + d % 3
+    names = [(GIVEN[(d * 7 + i * 3) % 8], SURNAME[(d * 5 + i * 11) % 8])
+             for i in range(n)]
+    if d % 29 == 0:
+        res["authors"] = f"raw-{d}"  # no dc:creator → except → raw fallback
+    else:
+        k = (n + 1) // 2
+        res["dc:creator"] = [{"$": f"{s}, {g}"} for g, s in names[:k]]
+        res["authors"] = {"author": [{"$": f"{s}, {g}"} for g, s in names[k:]]}
+    res["prism:issueIdentifier"] = "n/a" if d % 13 == 0 else str(1 + d % 12)
+    return json.dumps(res, sort_keys=True), f"J-{d % 5}", source
+
+
+def synth_abstract_fulltext(d: int) -> tuple[str, str]:
+    """(abstract_xml, fulltext_xml) pair for the J5 merge fixture
+    (download_abstract.py:84-128 branches): no-<p> abstract (d%11==0 →
+    error), duplicated abstract (d%7==0 → first instance + note),
+    key-points abstract excluded (d%4==0), duplicated fulltext collapsed
+    (d%10==0)."""
+    if d % 11 == 0:
+        abs_inner = "<abstract><note>no paragraphs</note></abstract>"
+    else:
+        core = f"<abstract><p>Abs {d}.</p></abstract>"
+        abs_inner = core + core if d % 7 == 0 else core
+    if d % 4 == 0:
+        abs_inner = ('<abstract abstract-type="key-points"><p>KP.</p>'
+                     "</abstract>") + abs_inner
+    ft = f"<fulltext><p>Full {d}.</p></fulltext>"
+    ft_inner = ft + ft if d % 10 == 0 else ft
+    return f"<r>{abs_inner}</r>", f"<r>{ft_inner}</r>"
+
+
 def articles_from_documents(ds):
     """documents Dataset → (doc_id, content_kind, payload) Dataset — the
     synthetic stand-in for the reference's downloaded article files
