@@ -398,26 +398,29 @@ def _q_knn_ivf(sf_dir: str):
 
 
 def _q_minhash_neardup(sf_dir: str):
-    """MinHash+LSH near-dup pairs over documents (rows-only: approximate)."""
+    """MinHash+LSH near-dup pairs over documents, exact-Jaccard verified —
+    fully distributed (no driver text broadcast), oracle = all-pairs
+    shingle Jaccard in SQL (LSH miss probability ≤ 6e-15 at the corpus's
+    J ≥ 0.8 true pairs; see dedup.minhash_near_dup_pairs)."""
     from borges_ray.ops.dedup import minhash_near_dup_pairs
     from borges_ray.ops.relational import load
 
-    texts = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = load(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_near_dup_pairs(ds, "doc_id", threshold=0.5, texts_by_id=texts)
+    return minhash_near_dup_pairs(ds, "doc_id", threshold=0.5)
 
 
 def _q_minhash_dedup_survivors(sf_dir: str):
     """Full near-dup dedup: MinHash-LSH pairs → connected components →
-    keep-min-id survivors (rows-only: approximate)."""
+    keep-min-id survivors (oracle: recursive-CTE components over the same
+    exact-Jaccard pair set)."""
     from borges_ray.ops.dedup import dedup_survivors, minhash_near_dup_pairs
     from borges_ray.ops.relational import load
 
-    texts = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = load(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = minhash_near_dup_pairs(ds, "doc_id", threshold=0.5, texts_by_id=texts)
-    pairs = pairs.rename(columns={"id_a": "id_a", "id_b": "id_b"})
-    surv = dedup_survivors(texts["doc_id"], pairs)
+    pairs = minhash_near_dup_pairs(ds, "doc_id", threshold=0.5)
+    all_ids = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"])["doc_id"]
+    surv = dedup_survivors(all_ids, pairs)
     return pd.DataFrame({"doc_id": surv})
 
 
@@ -686,6 +689,81 @@ _METADATA_ORACLE = """
 """
 
 
+#: All-pairs exact word-3-shingle Jaccard ≥ 0.5 — the SQL twin of the
+#: MinHash verify stage (shingle-hash sets vs shingle-string sets are
+#: identical absent u64 collisions; the division is the same IEEE double).
+_MINHASH_PAIRS_SQL = r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 1),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+               END AS shingles
+        FROM toks
+    ),
+    ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+    cnt AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jpairs AS (
+        SELECT ia AS id_a, ib AS id_b,
+               c * 1.0 / (na.n + nb.n - c) AS jaccard
+        FROM inter
+        JOIN cnt na ON ia = na.doc_id
+        JOIN cnt nb ON ib = nb.doc_id
+        WHERE c * 1.0 / (na.n + nb.n - c) >= 0.5
+    )
+"""
+
+#: SQL twin of ops.textops.LangId: CJK codepoint share ≥ 0.25 → 'zh', else
+#: best marker-word bank (ties → lexicographically largest lang, matching
+#: python's max over (score, lang) tuples), else 'und'.
+_CJK_CLASS = (r"\x{3300}-\x{33FF}\x{FE30}-\x{FE4F}\x{F900}-\x{FAFF}"
+              r"\x{2F800}-\x{2FA1F}\x{3040}-\x{309F}\x{30A0}-\x{30FF}"
+              r"\x{2E80}-\x{2EFF}\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}"
+              r"\x{AC00}-\x{D7AF}\x{20000}-\x{2A6DF}\x{2A700}-\x{2B73F}"
+              r"\x{2B740}-\x{2B81F}\x{2B820}-\x{2CEAF}")
+
+_LANG_ID_SQL = rf"""
+    WITH feat AS (
+        SELECT lang, doc_id,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE length(regexp_replace(text, '[^{_CJK_CLASS}]', '', 'g'))
+                         * 1.0 / length(text)
+               END AS cjk_share,
+               regexp_extract_all(lower(text), '[\pL]+') AS words
+        FROM documents
+    ),
+    scores AS (
+        SELECT lang, doc_id, cjk_share,
+          len(list_filter(words, w -> w IN ('the','and','of','to','in','that','with','for','is','are'))) AS s_en,
+          len(list_filter(words, w -> w IN ('der','die','das','und','ist','mit','für','nicht','von','ein'))) AS s_de,
+          len(list_filter(words, w -> w IN ('le','la','les','et','de','des','est','pour','avec','une'))) AS s_fr,
+          len(list_filter(words, w -> w IN ('el','la','los','y','de','en','que','es','para','con','una'))) AS s_es
+        FROM feat
+    ),
+    pred AS (
+        SELECT lang, doc_id,
+          CASE WHEN cjk_share >= 0.25 THEN 'zh'
+               WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+               WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+               WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+               WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+               ELSE 'de' END AS pred_lang
+        FROM scores
+    )
+    SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "metadata_extract": _METADATA_ORACLE,
@@ -728,6 +806,22 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
             FROM documents
         """,
+        "minhash_neardup": _MINHASH_PAIRS_SQL + """
+            SELECT id_a, id_b, jaccard FROM jpairs
+        """,
+        "minhash_dedup_survivors": _MINHASH_PAIRS_SQL + """,
+            edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
+                      UNION ALL SELECT id_b, id_a FROM jpairs),
+            reach(id, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+            ),
+            comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM comp WHERE root < id)
+        """,
+        "lang_id_confusion": _LANG_ID_SQL,
         "bpe_tokens": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS BIGINT)

@@ -106,6 +106,17 @@ def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+_HASHER_CACHE: dict[tuple, "MinHasher"] = {}
+
+
+def _hasher_cache_get(num_perm: int, shingle_k: int) -> "MinHasher":
+    key = (num_perm, shingle_k)
+    h = _HASHER_CACHE.get(key)
+    if h is None:
+        h = _HASHER_CACHE[key] = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+    return h
+
+
 class MinHasher:
     """Per-batch minhash signatures — permutation constants generated once
     per actor from a fixed seed (stateful-stage pattern, T1-analog)."""
@@ -135,29 +146,36 @@ class MinHasher:
 
 
 def minhash_band_rows(
-    ds: rd.Dataset, id_col: str, *, num_perm: int = 64, bands: int = 16, shingle_k: int = 3
+    ds: rd.Dataset, id_col: str, *, num_perm: int = 64, bands: int = 32, shingle_k: int = 3
 ) -> rd.Dataset:
     """documents → (id, band, band_hash) rows: the LSH explode.  rows/band =
-    num_perm // bands; a pair agreeing on any band becomes a candidate."""
+    num_perm // bands; a pair agreeing on any band becomes a candidate.
+
+    Banding is fully vectorized: the batch's signature matrix (n, P) is
+    reshaped to (n, bands, r) and each band collapses to one u64 via a
+    splitmix-style polynomial over the r rows — no per-row Python loop, no
+    per-band blake2b (the r01 hot-spot)."""
     rows_per_band = num_perm // bands
 
-    class Bander(MinHasher):
-        def __init__(self):
-            super().__init__(num_perm=num_perm, shingle_k=shingle_k)
+    def band(df: pd.DataFrame) -> pd.DataFrame:
+        # task fn + module-global cached hasher (cheap init; a fixed actor
+        # pool here risks starving the upstream read — see README skew notes)
+        hasher = _hasher_cache_get(num_perm, shingle_k)
+        texts = df["text"].fillna("")
+        sigs = np.stack([hasher.signature(t) for t in texts]) if len(df) else \
+            np.zeros((0, num_perm), np.uint64)
+        chunks = sigs.reshape(len(df), bands, rows_per_band)
+        bh = np.zeros((len(df), bands), dtype=np.uint64)
+        for j in range(rows_per_band):  # r iterations, each vectorized
+            bh = bh * _SHINGLE_MIX + chunks[:, :, j]
+        bh ^= bh >> np.uint64(29)  # finalize mix: decorrelate low bits
+        bh = bh * _SHINGLE_MIX
+        ids = np.repeat(df[id_col].to_numpy(), bands)
+        band_ids = np.tile(np.arange(bands, dtype=np.int32), len(df))
+        return pd.DataFrame({id_col: ids, "band": band_ids,
+                             "band_hash": bh.reshape(-1)})
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            ids, band_ids, band_hashes = [], [], []
-            for i, t in zip(df[id_col], df["text"].fillna("")):
-                sig = self.signature(t)
-                for b in range(bands):
-                    chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                    bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                    ids.append(i)
-                    band_ids.append(b)
-                    band_hashes.append(int.from_bytes(bh, "big"))
-            return pd.DataFrame({id_col: ids, "band": band_ids, "band_hash": np.array(band_hashes, dtype=np.uint64)})
-
-    return ds.map_batches(Bander, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(band, batch_format="pandas")
 
 
 def jaccard(a: str, b: str, k: int = 3) -> float:
@@ -168,49 +186,105 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
+def minhash_candidate_pairs(
+    ds: rd.Dataset, id_col: str, *, num_perm: int = 64, bands: int = 32,
+    shingle_k: int = 3,
+) -> rd.Dataset:
+    """LSH candidate pairs as a DATASET: band rows → bucketed pair spawn per
+    (band, band_hash) → distributed distinct.  Nothing touches the driver;
+    the shuffle moves (id, band, u64) triples, never text."""
+    from .relational import distinct, groupby_buckets
+
+    band_rows = minhash_band_rows(ds, id_col, num_perm=num_perm, bands=bands,
+                                  shingle_k=shingle_k)
+
+    def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # only (band, band_hash) buckets shared by ≥2 docs spawn pairs; one
+        # Python loop over *colliding buckets*, pair fan-out vectorized
+        counts = df.groupby(["band", "band_hash"], sort=False)[id_col].nunique()
+        hot = counts[counts >= 2].index
+        if not len(hot):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        sub = df.set_index(["band", "band_hash"])
+        out_a, out_b = [], []
+        for key in hot:
+            ids = np.unique(sub.loc[key, id_col].to_numpy())
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
+
+    pairs = groupby_buckets(band_rows, ["band", "band_hash"], band_pairs)
+    return distinct(pairs, ["id_a", "id_b"])
+
+
+def verify_pairs_jaccard(
+    pairs: rd.Dataset, texts: rd.Dataset, id_col: str, *,
+    threshold: float, shingle_k: int = 3,
+) -> rd.Dataset:
+    """Exact-Jaccard verification with texts RE-JOINED BY ID — the r01
+    driver-side whole-corpus broadcast is gone: candidate pairs hash-join
+    the (id, text) table once per endpoint (keys + bounded pair rows move;
+    the text column ships only for ids that are actually in a pair), then a
+    per-batch shingle-set Jaccard filters on the UNROUNDED value."""
+    from .relational import hash_join, with_columns
+
+    t_a = texts.map_batches(
+        lambda df: df.rename(columns={id_col: "id_a", "text": "text_a"}),
+        batch_format="pandas")
+    t_b = texts.map_batches(
+        lambda df: df.rename(columns={id_col: "id_b", "text": "text_b"}),
+        batch_format="pandas")
+    # pin the LSH-bounded pair sets: hash_join probes .schema() on both
+    # sides, which would otherwise re-execute the whole candidate pipeline
+    # once per probe (pairs are ≤ candidates — small by construction).
+    # Parquet spill-points, not materialize(): see relational.spill_point.
+    from .relational import spill_point
+
+    pairs = spill_point(pairs, "mh_pairs")
+    half = spill_point(hash_join(pairs, t_a, on=["id_a"]), "mh_half")
+    joined = hash_join(half, t_b, on=["id_b"])
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        jac = np.array([jaccard(a or "", b or "", shingle_k)
+                        for a, b in zip(df["text_a"], df["text_b"])])
+        out = df[["id_a", "id_b"]].copy()
+        out["jaccard"] = jac
+        return out[jac >= threshold]
+
+    return joined.map_batches(verify, batch_format="pandas")
+
+
 def minhash_near_dup_pairs(
     ds: rd.Dataset,
     id_col: str,
     *,
     threshold: float = 0.7,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     shingle_k: int = 3,
-    texts_by_id: pd.DataFrame | None = None,
 ) -> pd.DataFrame:
     """Candidate pairs from LSH buckets, verified with exact Jaccard ≥
-    threshold.  ``texts_by_id`` (id→text) is broadcast for verification; at
-    real scale the verify stage re-joins text by id instead (keys-only
-    shuffle).  Returns pandas pairs (id_a < id_b, jaccard)."""
-    import ray
+    threshold (unrounded compare).  End-to-end distributed: band explode →
+    bucketed pair spawn → distributed distinct → per-endpoint text re-join
+    → batch verify.  Returns pandas pairs (id_a < id_b, jaccard) — the
+    RESULT is small by construction; nothing upstream materializes.
 
-    band_rows = minhash_band_rows(ds, id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k)
-    texts_ref = ray.put(texts_by_id.set_index(id_col)["text"].to_dict()) if texts_by_id is not None else None
-
-    def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # vectorized per band: only band_hash values shared by ≥2 docs spawn
-        # pairs; one Python loop over *colliding buckets*, not all buckets
-        counts = df["band_hash"].value_counts()
-        hot = counts[counts >= 2].index
-        sub = df[df["band_hash"].isin(hot)]
-        out: list[tuple] = []
-        for _, g in sub.groupby("band_hash", sort=False):
-            ids = sorted(g[id_col].unique().tolist())
-            out.extend((a, b) for i, a in enumerate(ids) for b in ids[i + 1 :])
-        if not out:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
-        return pd.DataFrame(out, columns=["id_a", "id_b"])
-
-    pairs = band_rows.groupby("band", num_partitions=min(bands, 32)).map_groups(
-        band_pairs, batch_format="pandas")
-    pairs_df = pairs.to_pandas().drop_duplicates(ignore_index=True)
-    if texts_ref is None or pairs_df.empty:
-        pairs_df["jaccard"] = pd.Series(dtype="float64")
-        return pairs_df
-    texts = ray.get(texts_ref)
-    jac = [jaccard(texts[a], texts[b], shingle_k) for a, b in zip(pairs_df.id_a, pairs_df.id_b)]
-    pairs_df["jaccard"] = np.round(jac, 6)
-    return pairs_df[pairs_df["jaccard"] >= threshold].reset_index(drop=True)
+    With bands=32 over num_perm=64 (r=2), a pair at Jaccard ≥ 0.8 is missed
+    with probability ≤ (1-0.64)^32 ≈ 6e-15 — the exact-all-pairs oracle is
+    sound for corpora whose true near-dups sit above ~0.8."""
+    cands = minhash_candidate_pairs(ds, id_col, num_perm=num_perm,
+                                    bands=bands, shingle_k=shingle_k)
+    texts = ds.map_batches(lambda df: df[[id_col, "text"]],
+                           batch_format="pandas")
+    verified = verify_pairs_jaccard(cands, texts, id_col,
+                                    threshold=threshold, shingle_k=shingle_k)
+    out = verified.to_pandas()
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
 # ---------------------------------------------------------------------------
@@ -249,30 +323,48 @@ def simhash_near_dup_pairs(ds: rd.Dataset, id_col: str, *, max_hamming: int = 3)
     sigs = simhash_signatures(ds)
 
     def explode_chunks(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for i, s in zip(df[id_col], df["simhash"]):
-            s = int(s)
-            for c in range(4):
-                rows.append((i, s, c, (s >> (16 * c)) & 0xFFFF))
-        return pd.DataFrame(rows, columns=[id_col, "simhash", "chunk", "chunk_val"])
+        sigs_v = df["simhash"].to_numpy(dtype=np.uint64)
+        n = len(df)
+        shifts = (np.arange(4, dtype=np.uint64) * np.uint64(16))
+        vals = (sigs_v[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)
+        return pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(), 4),
+            "simhash": np.repeat(sigs_v, 4),
+            "chunk": np.tile(np.arange(4, dtype=np.int32), n),
+            "chunk_val": vals.reshape(-1),
+        })
 
     chunks = sigs.map_batches(explode_chunks, batch_format="pandas")
 
     def chunk_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        counts = df["chunk_val"].value_counts()
+        counts = df.groupby(["chunk", "chunk_val"], sort=False)[id_col].size()
         hot = counts[counts >= 2].index
-        sub = df[df["chunk_val"].isin(hot)]
-        out = []
-        for _, g in sub.groupby("chunk_val", sort=False):
-            rows = g[[id_col, "simhash"]].drop_duplicates().sort_values(id_col).values
-            for i in range(len(rows)):
-                for j in range(i + 1, len(rows)):
-                    h = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")
-                    if h <= max_hamming:
-                        out.append((rows[i][0], rows[j][0], h))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+        sub = df.set_index(["chunk", "chunk_val"]).loc[
+            df.set_index(["chunk", "chunk_val"]).index.isin(hot)].reset_index()
+        outs = []
+        for _, g in sub.groupby(["chunk", "chunk_val"], sort=False):
+            rows = g[[id_col, "simhash"]].drop_duplicates().sort_values(id_col)
+            ids = rows[id_col].to_numpy()
+            sigs = rows["simhash"].to_numpy(dtype=np.uint64)
+            # vectorized pair fan-out + popcount Hamming (no nested Python
+            # loop over bucket members — the r01 ≥10^8-doc hot-value trap)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            x = sigs[ia] ^ sigs[ib]
+            ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                                axis=1).sum(axis=1)
+            keep = ham <= max_hamming
+            outs.append(pd.DataFrame({"id_a": ids[ia[keep]],
+                                      "id_b": ids[ib[keep]],
+                                      "hamming": ham[keep].astype("int64")}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "hamming": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
 
-    pairs = chunks.groupby("chunk", num_partitions=4).map_groups(chunk_pairs, batch_format="pandas")
+    from .relational import groupby_buckets
+
+    pairs = groupby_buckets(chunks, ["chunk", "chunk_val"], chunk_pairs)
     return pairs.to_pandas().drop_duplicates(ignore_index=True).reset_index(drop=True)
 
 
@@ -280,12 +372,10 @@ def simhash_near_dup_pairs(ds: rd.Dataset, id_col: str, *, max_hamming: int = 3)
 # Near-dup grouping: candidate pairs → connected components → survivors
 # ---------------------------------------------------------------------------
 
-def near_dup_groups(pairs: pd.DataFrame, *, max_iters: int = 50) -> pd.DataFrame:
-    """Connected components over near-dup pairs via min-label propagation
-    (the guide's scale shape: iterate "label = min(label, neighbors)" until
-    fixpoint; each iteration is a groupby — here the candidate set is small
-    by LSH construction, so iterations run in pandas; at larger candidate
-    volumes each iteration becomes a Ray groupby with identical semantics).
+def near_dup_groups(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Connected components over near-dup pairs via union-find with
+    min-root union (exact, O(E·α) — replaces the r01 min-label-propagation
+    loop, whose iteration cap silently under-merged long chain components).
 
     Returns (id, group) where group = min id of the component — the
     deterministic keep-one winner per duplicate cluster (D1 winner rule
@@ -293,28 +383,118 @@ def near_dup_groups(pairs: pd.DataFrame, *, max_iters: int = 50) -> pd.DataFrame
     if pairs.empty:
         return pd.DataFrame({"id": pd.Series(dtype="int64"),
                              "group": pd.Series(dtype="int64")})
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
     edges = pairs[["id_a", "id_b"]].astype("int64")
+    for a, b in zip(edges["id_a"], edges["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
     ids = pd.unique(pd.concat([edges["id_a"], edges["id_b"]], ignore_index=True))
-    label = pd.Series(ids, index=ids)  # start: own id
+    out = pd.DataFrame({"id": np.sort(ids)})
+    out["group"] = [find(int(i)) for i in out["id"]]
+    out["id"] = out["id"].astype("int64")
+    out["group"] = out["group"].astype("int64")
+    return out
+
+
+def _spanning_forest_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Collapse an edge block to its spanning forest (≤ nodes-1 edges) with
+    a local union-find — the map-side combiner of the distributed CC."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    keep_a, keep_b = [], []
+    for a, b in zip(df["id_a"], df["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            keep_a.append(a)
+            keep_b.append(b)
+    return pd.DataFrame({"id_a": pd.Series(keep_a, dtype="int64"),
+                         "id_b": pd.Series(keep_b, dtype="int64")})
+
+
+def near_dup_groups_ray(pairs: rd.Dataset, *, max_iters: int = 50) -> pd.DataFrame:
+    """Distributed connected components via LOGARITHMIC FOREST MERGE: each
+    round collapses every edge block to its spanning forest (union-find
+    combiner), then halves the block count with a repartition so two
+    forests merge per task — O(log blocks) rounds, each a plain
+    repartition + map_batches.  No joins, no unions, no convergence
+    aggregate (an earlier per-iteration join/union implementation tripped a
+    Ray 2.49 core ReferenceCounter bug and executor deadlocks; this shape
+    uses only the two most battle-tested primitives).
+
+    Scale bound: the final merge task holds one spanning forest of the
+    whole CANDIDATE graph — O(#ids that appear in any pair), which LSH
+    keeps far below corpus size.  Labels (id → component-min) come from one
+    union-find pass over that forest.  Same output as
+    :func:`near_dup_groups`."""
+    from .relational import _spill_point_n
+
+    ds, nb = _spill_point_n(pairs.map_batches(
+        lambda df: df[["id_a", "id_b"]].astype("int64"),
+        batch_format="pandas"), "cc_edges")
     for _ in range(max_iters):
-        la = edges["id_a"].map(label)
-        lb = edges["id_b"].map(label)
-        m = pd.concat([
-            pd.DataFrame({"id": edges["id_a"], "lbl": np.minimum(la, lb)}),
-            pd.DataFrame({"id": edges["id_b"], "lbl": np.minimum(la, lb)}),
-            pd.DataFrame({"id": label.index.to_numpy(), "lbl": label.to_numpy()}),
-        ], ignore_index=True)
-        new_label = m.groupby("id")["lbl"].min()
-        if new_label.equals(label.sort_index()):
+        ds = ds.map_batches(_spanning_forest_batch, batch_size=None,
+                            batch_format="pandas")
+        if nb <= 1:
             break
-        label = new_label
-    out = label.rename("group").rename_axis("id").reset_index()
-    return out.sort_values("id", ignore_index=True)
+        ds, nb = _spill_point_n(ds.repartition(max(1, nb // 2)), "cc_round")
+
+    forest = ds.to_pandas()  # ≤ one spanning forest of the candidate graph
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(forest["id_a"], forest["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ids = pd.unique(pd.concat([forest["id_a"], forest["id_b"]],
+                              ignore_index=True))
+    out = pd.DataFrame({"id": sorted(int(i) for i in ids)})
+    out["group"] = [find(i) for i in out["id"]]
+    out["id"] = out["id"].astype("int64")
+    out["group"] = out["group"].astype("int64")
+    return out
 
 
-def dedup_survivors(all_ids: pd.Series, pairs: pd.DataFrame) -> pd.Series:
+
+def dedup_survivors(all_ids: pd.Series, pairs: pd.DataFrame,
+                    *, distributed_threshold: int = 200_000) -> pd.Series:
     """Keep-set after near-dup collapse: every id not in any cluster, plus
-    the min id of each cluster."""
-    groups = near_dup_groups(pairs)
+    the min id of each cluster.  Past ``distributed_threshold`` candidate
+    pairs, components run as the iterative Ray groupby
+    (:func:`near_dup_groups_ray`) instead of driver pandas."""
+    if len(pairs) > distributed_threshold:
+        import ray.data as _rd
+
+        groups = near_dup_groups_ray(_rd.from_pandas(pairs))
+    else:
+        groups = near_dup_groups(pairs)
     losers = set(groups.loc[groups["id"] != groups["group"], "id"])
     return all_ids[~all_ids.isin(losers)].reset_index(drop=True)

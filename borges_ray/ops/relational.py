@@ -48,6 +48,34 @@ def load(sf_dir: str, table: str, columns: list[str] | None = None, **kw) -> rd.
     return rd.read_parquet(path, columns=columns, **kw)
 
 
+def spill_point(ds: rd.Dataset, tag: str = "spill") -> rd.Dataset:
+    """Pin a bounded intermediate via a parquet round-trip under /tmp.
+
+    Used where a pipeline is consumed more than once (schema probe + two
+    join branches): ``materialize()`` would keep it in the object store,
+    but chained materialize→join→materialize lineage intermittently trips a
+    Ray 2.49 core ReferenceCounter crash when earlier materialized sets are
+    GC'd during the next submission.  A parquet round-trip has no lineage
+    to mis-count, and at production scale these spill dirs double as
+    resumable checkpoints of the (bounded) intermediate."""
+    import tempfile
+
+    return _spill_point_n(ds, tag)[0]
+
+
+def _spill_point_n(ds: rd.Dataset, tag: str = "spill") -> tuple[rd.Dataset, int]:
+    """:func:`spill_point` + the number of parquet files written (a stable
+    stand-in for block count, which lazy reads can't report)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"borges_{tag}_")
+    ds.write_parquet(d)
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    if not files:
+        return ds, 1  # empty dataset: nothing written — reuse the cheap plan
+    return rd.read_parquet(d), len(files)
+
+
 def filter_batches(ds: rd.Dataset, pred: Callable[[pa.Table], pa.ChunkedArray | pa.Array]) -> rd.Dataset:
     """Vectorized filter: ``pred`` computes a boolean mask per Arrow batch.
     (F1-F8 semantics; never per-row ``ds.filter(fn)`` in a hot path.)"""
@@ -335,10 +363,24 @@ def hash_join(
     how = {"inner": "inner", "left_outer": "left", "right_outer": "right",
            "full_outer": "outer"}.get(join_type, join_type)
 
+    def _dearrow(df: pd.DataFrame) -> pd.DataFrame:
+        # pandas extension dtypes (Int64/boolean) don't round-trip to Arrow
+        # in Ray blocks: downcast post-merge — no-NA columns back to native,
+        # NA-carrying ones to float64/object (vanilla pandas merge semantics)
+        for c in df.columns:
+            name = str(df[c].dtype)
+            if name.startswith(("Int", "UInt")):
+                df[c] = (df[c].astype(name.lower()) if not df[c].isna().any()
+                         else df[c].astype("float64"))
+            elif name == "boolean":
+                df[c] = (df[c].astype(bool) if not df[c].isna().any()
+                         else df[c].astype(object))
+        return df
+
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["__side"] == 0][lcols]
         r = df[df["__side"] == 1][rcols]
-        return l.merge(r, on=on, how=how)
+        return _dearrow(l.merge(r, on=on, how=how))
 
     return groupby_buckets(both, on, merge, n_buckets=num_partitions)
 

@@ -39,7 +39,7 @@ def test_minhash_near_dup(docs):
     df, ds = docs
     from borges_ray.ops.dedup import minhash_near_dup_pairs
 
-    pairs = minhash_near_dup_pairs(ds, "doc_id", threshold=0.5, texts_by_id=df)
+    pairs = minhash_near_dup_pairs(ds, "doc_id", threshold=0.5)
     got = set(map(tuple, pairs[["id_a", "id_b"]].values))
     assert (0, 100) in got                   # exact dup found
     assert (1, 101) in got                   # near dup found
@@ -162,6 +162,24 @@ def test_near_dup_groups_and_survivors():
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
     surv = dedup_survivors(pd.Series([1, 2, 3, 5, 7, 9]), pairs)
     assert surv.tolist() == [1, 5, 7]
+
+
+def test_near_dup_groups_ray_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from borges_ray.ops.dedup import near_dup_groups, near_dup_groups_ray
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 40, 60)
+    b = a + rng.integers(1, 4, 60)         # random chains → multi-hop clusters
+    pairs = pd.DataFrame({"id_a": np.minimum(a, b).astype("int64"),
+                          "id_b": np.maximum(a, b).astype("int64")})
+    pairs = pairs[pairs.id_a != pairs.id_b].drop_duplicates(ignore_index=True)
+    want = near_dup_groups(pairs)
+    got = near_dup_groups_ray(rd.from_pandas(pairs))
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
 
 
 def test_near_dup_groups_empty():
