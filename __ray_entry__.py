@@ -215,25 +215,29 @@ def _q_hash_join(sf_dir: str):
 
 
 def _q_anti_join(sf_dir: str):
-    """Anti-join: customers with no URGENT order (J2 skip-if-present)."""
-    from borges_ray.ops.relational import broadcast_semi_join, load
+    """Anti-join: customers with no URGENT order (J2 skip-if-present).
+    Distributed build side — the driver never reads the orders table."""
+    from borges_ray.ops.relational import filter_batches, hash_semi_join, load
 
     cust = load(sf_dir, "customer", columns=["c_custkey"])
-    okeys = pd.read_parquet(f"{sf_dir}/orders.parquet",
-                            columns=["o_custkey", "o_orderpriority"])
-    okeys = okeys[okeys["o_orderpriority"] == "1-URGENT"][["o_custkey"]]
-    okeys = okeys.rename(columns={"o_custkey": "c_custkey"}).drop_duplicates()
-    return broadcast_semi_join(cust, okeys, on=["c_custkey"], anti=True)
+    orders = load(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    urgent = filter_batches(
+        orders, lambda t: pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT")))
+    okeys = urgent.map_batches(
+        lambda t: t.select(["o_custkey"]).rename_columns(["c_custkey"]),
+        batch_format="pyarrow")
+    return hash_semi_join(cust, okeys, on=["c_custkey"], anti=True)
 
 
 def _q_semi_join(sf_dir: str):
-    """Semi-join: parts that appear in lineitem (J2 membership)."""
-    from borges_ray.ops.relational import broadcast_semi_join, load
+    """Semi-join: parts that appear in lineitem (J2 membership).
+    Distributed build side — keys-only shuffle, no driver fact-table read."""
+    from borges_ray.ops.relational import hash_semi_join, load
 
     part = load(sf_dir, "part", columns=["p_partkey"])
-    pkeys = pd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
-    pkeys = pkeys.rename(columns={"l_partkey": "p_partkey"}).drop_duplicates()
-    return broadcast_semi_join(part, pkeys, on=["p_partkey"], anti=False)
+    pkeys = load(sf_dir, "lineitem", columns=["l_partkey"]).map_batches(
+        lambda t: t.rename_columns(["p_partkey"]), batch_format="pyarrow")
+    return hash_semi_join(part, pkeys, on=["p_partkey"], anti=False)
 
 
 def _q_explode_tokens(sf_dir: str):
@@ -383,9 +387,17 @@ def _q_knn_lsh(sf_dir: str):
 
 
 def _q_knn_ivf(sf_dir: str):
-    """IVF (centroid-bucketed) ANN — the partition-pruned scale path
-    (rows-only: approximate)."""
-    from borges_ray.ops.embed import knn_ivf, train_ivf_centroids
+    """IVF (centroid-bucketed) ANN with PHYSICAL partition pruning: the
+    corpus is written hive-partitioned by centroid once, and the query
+    reads only its n_probe partitions (rows-only: approximate)."""
+    import hashlib
+    import tempfile
+
+    from borges_ray.ops.embed import (
+        build_ivf_index,
+        knn_ivf_partitioned,
+        train_ivf_centroids,
+    )
     from borges_ray.ops.relational import load
 
     q = pd.read_parquet(f"{sf_dir}/embeddings.parquet").pipe(
@@ -393,7 +405,10 @@ def _q_knn_ivf(sf_dir: str):
     )
     ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     cents = train_ivf_centroids(ds, n_centroids=16)
-    df = knn_ivf(ds, np.asarray(q), 10, cents, n_probe=4)
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    idx_dir = f"{tempfile.gettempdir()}/borges_ivf_{tag}"
+    build_ivf_index(ds, cents, idx_dir)
+    df, _stats = knn_ivf_partitioned(idx_dir, np.asarray(q), 10, cents, n_probe=4)
     return df[["vec_id", "cos"]]
 
 

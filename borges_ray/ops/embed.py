@@ -235,6 +235,80 @@ def train_ivf_centroids(
     return cents
 
 
+def build_ivf_index(
+    ds: rd.Dataset,
+    centroids: np.ndarray,
+    out_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """PHYSICAL IVF layout: write the corpus hive-partitioned by nearest
+    centroid (``ivf=<c>/`` dirs — the same bucket-directory idea as the
+    crawl's pages layout, ``stages/fetch.py:write_pages_bucketed``).  A
+    query then READS only its ``n_probe`` partitions instead of logically
+    filtering a full scan — bytes-read drops by ~``n_probe/n_centroids``.
+    Idempotent via a ``_DONE`` marker."""
+    import os
+
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    cents_ref = ray.put(centroids)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cents = ray.get(cents_ref)
+        m = _normalize(_matrix(df[vec_col]))
+        out = df[[id_col, vec_col]].copy()
+        out["ivf"] = np.argmax(m @ cents.T, axis=1).astype("int32")
+        return out
+
+    ds.map_batches(assign, batch_format="pandas").write_parquet(
+        out_dir, partition_cols=["ivf"])
+    with open(done, "w") as fp:
+        fp.write("ok")
+    return out_dir
+
+
+def knn_ivf_partitioned(
+    index_dir: str,
+    query_vecs: np.ndarray,
+    k: int,
+    centroids: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> tuple[pd.DataFrame, dict]:
+    """IVF top-k over the partitioned layout: ONLY the probed ``ivf=<c>/``
+    directories are read (physical pruning — the r01 version scanned every
+    block and filtered logically).  Returns (top-k frame, io stats with
+    bytes_read / bytes_total evidencing the read reduction)."""
+    import os
+
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]
+    probe_set = sorted({int(c) for row in probe for c in row})
+
+    def _dir_bytes(d: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files if f.endswith(".parquet"))
+        return total
+
+    dirs = [os.path.join(index_dir, f"ivf={c}") for c in probe_set
+            if os.path.isdir(os.path.join(index_dir, f"ivf={c}"))]
+    stats = {"bytes_read": sum(_dir_bytes(p) for p in dirs),
+             "bytes_total": _dir_bytes(index_dir),
+             "partitions_read": len(dirs),
+             "partitions_total": len(centroids)}
+    files = sorted(os.path.join(d, f) for d in dirs for f in os.listdir(d)
+                   if f.endswith(".parquet"))
+    sub = rd.read_parquet(files)
+    return knn_brute(sub, query_vecs, k, id_col=id_col, vec_col=vec_col), stats
+
+
 def knn_ivf(
     ds: rd.Dataset,
     query_vecs: np.ndarray,

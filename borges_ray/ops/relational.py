@@ -281,6 +281,97 @@ def broadcast_semi_join(ds: rd.Dataset, keys: pd.DataFrame, on: list[str], *, an
     return ds.map_batches(semi, batch_format="pandas")
 
 
+
+def _pd_dtype(arrow_type) -> str:
+    """Arrow type → pandas dtype usable as an all-NA filler that still
+    unions consistently with the real column (ints/bools go NULLABLE so NA
+    never forces a lossy cast)."""
+    t = str(arrow_type)
+    if t.startswith("int") or t.startswith("uint"):
+        return t.capitalize() if t.startswith("int") else "UInt" + t[4:]
+    if t.startswith("float") or t.startswith("double"):
+        return "float64"
+    if t.startswith("timestamp"):
+        return "datetime64[us]"
+    if t == "bool":
+        return "boolean"
+    return "object"
+
+
+def _na_of(dtype: str):
+    return (None if dtype == "object"
+            else pd.NaT if dtype.startswith("datetime")
+            else float("nan") if dtype == "float64" else pd.NA)
+
+
+def _dearrow(df: pd.DataFrame) -> pd.DataFrame:
+    """pandas extension dtypes (Int64/boolean) don't round-trip to Arrow in
+    Ray blocks: downcast — no-NA columns back to native, NA-carrying ones to
+    float64/object (vanilla pandas merge semantics)."""
+    for c in df.columns:
+        name = str(df[c].dtype)
+        if name.startswith(("Int", "UInt")):
+            df[c] = (df[c].astype(name.lower()) if not df[c].isna().any()
+                     else df[c].astype("float64"))
+        elif name == "boolean":
+            df[c] = (df[c].astype(bool) if not df[c].isna().any()
+                     else df[c].astype(object))
+    return df
+
+
+def hash_semi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: list[str],
+    *,
+    anti: bool = False,
+) -> rd.Dataset:
+    """Distributed semi/anti equi-join: the build side is reduced to
+    per-batch DISTINCT KEYS before the shuffle (combiner), both sides
+    co-locate via one bucketed shuffle on the key hash, and membership is a
+    vectorized merge per block.  This replaces the r01 pattern of reading a
+    fact table's keys driver-side and broadcasting them — the driver never
+    sees either table, and the shuffle moves only key columns for the build
+    side (J2 at 100 TB: keys-only exchange).
+
+    For a SMALL build side prefer :func:`broadcast_semi_join` (no shuffle at
+    all)."""
+    keys = right.map_batches(lambda df: df[on].drop_duplicates(),
+                             batch_format="pandas")
+    lschema = left.schema()
+    lcols = list(lschema.names)
+    extra = [c for c in lcols if c not in on]
+    fill = {c: _pd_dtype(t) for c, t in zip(lschema.names, lschema.types)}
+    nullable = {c for c in extra
+                if fill[c].startswith(("Int", "UInt")) or fill[c] == "boolean"}
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__side"] = 0
+        for c in nullable:
+            out[c] = out[c].astype(fill[c])
+        return out[lcols + ["__side"]]
+
+    def tag_keys(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__side"] = 1
+        for c in extra:
+            out[c] = pd.Series(_na_of(fill[c]), index=out.index, dtype=fill[c])
+        return out[lcols + ["__side"]]
+
+    both = left.map_batches(tag_left, batch_format="pandas").union(
+        keys.map_batches(tag_keys, batch_format="pandas"))
+
+    def member(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0][lcols]
+        k = df[df["__side"] == 1][on].drop_duplicates()
+        hit = l.merge(k.assign(__hit=1), on=on, how="left")["__hit"].notna()
+        hit.index = l.index
+        return _dearrow((l[~hit] if anti else l[hit]).copy())
+
+    return groupby_buckets(both, on, member)
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -293,14 +384,19 @@ def hash_join(
     """Large×large equi-join, hash-partitioned on the key.
 
     Default is the explicit bucketed cogroup join: tag each side, align
-    schemas, ONE shuffle on ``hash(key) % B`` co-locating both sides'
-    matching rows, then a vectorized pandas merge per bucket.  Equivalent
-    shuffle volume to Ray's native ``Dataset.join`` but with plain shuffle
-    tasks instead of a separate aggregator-actor pool (whose startup
-    dominates at interactive scales).  ``native=True`` delegates to
-    ``Dataset.join`` (same partitioning story; useful to cross-check).
-    Skew: salt hot keys upstream (the politeness/budget bound does this for
-    the crawl; for general joins pass a pre-salted key column).
+    schemas, ONE shuffle on the full 64-bit key hash co-locating both
+    sides' matching rows, then a vectorized pandas merge per block.  The
+    shuffle is a range partition over the hash space, so the number of
+    merge partitions SCALES WITH INPUT SIZE automatically (Ray's sort
+    splits to its target block size) — no fixed bucket count to OOM a
+    single merge task at scale (``num_partitions`` is kept for API
+    compatibility but is advisory only).  Equivalent shuffle volume to
+    Ray's native ``Dataset.join`` but with plain shuffle tasks instead of a
+    separate aggregator-actor pool (whose startup dominates at interactive
+    scales).  ``native=True`` delegates to ``Dataset.join`` (useful to
+    cross-check).  Skew: salt hot keys upstream (the politeness/budget
+    bound does this for the crawl; for general joins pass a pre-salted key
+    column).
     """
     if native:
         return left.join(right, join_type=join_type, num_partitions=num_partitions,
@@ -316,18 +412,6 @@ def hash_join(
     # schema (an all-None object filler next to a float64 real column made
     # Ray flag block-schema mismatches).  Integers use pandas' nullable
     # Int64 so filler NA never forces a lossy int→float cast.
-    def _pd_dtype(arrow_type) -> str:
-        t = str(arrow_type)
-        if t.startswith("int") or t.startswith("uint"):
-            return t.capitalize() if t.startswith("int") else "UInt" + t[4:]
-        if t.startswith("float") or t.startswith("double"):
-            return "float64"
-        if t.startswith("timestamp"):
-            return "datetime64[us]"
-        if t == "bool":
-            return "boolean"
-        return "object"
-
     fill_dtype = {}
     for c, t in zip(lschema.names, lschema.types):
         fill_dtype[c] = _pd_dtype(t)
@@ -342,9 +426,7 @@ def hash_join(
         out["__side"] = side
         for c in missing:
             d = fill_dtype[c]
-            na = (np.nan if d == "float64"
-                  else pd.NaT if d.startswith("datetime") else pd.NA)
-            out[c] = pd.Series(na, index=out.index, dtype=d)
+            out[c] = pd.Series(_na_of(d), index=out.index, dtype=d)
         for c in nullable_int & set(df.columns):
             out[c] = out[c].astype(fill_dtype[c])
         return out
@@ -362,20 +444,6 @@ def hash_join(
 
     how = {"inner": "inner", "left_outer": "left", "right_outer": "right",
            "full_outer": "outer"}.get(join_type, join_type)
-
-    def _dearrow(df: pd.DataFrame) -> pd.DataFrame:
-        # pandas extension dtypes (Int64/boolean) don't round-trip to Arrow
-        # in Ray blocks: downcast post-merge — no-NA columns back to native,
-        # NA-carrying ones to float64/object (vanilla pandas merge semantics)
-        for c in df.columns:
-            name = str(df[c].dtype)
-            if name.startswith(("Int", "UInt")):
-                df[c] = (df[c].astype(name.lower()) if not df[c].isna().any()
-                         else df[c].astype("float64"))
-            elif name == "boolean":
-                df[c] = (df[c].astype(bool) if not df[c].isna().any()
-                         else df[c].astype(object))
-        return df
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         l = df[df["__side"] == 0][lcols]

@@ -150,6 +150,69 @@ def test_knn_ivf(vecs):
     assert out_full["vec_id"].tolist() == brute["vec_id"].tolist()
 
 
+def test_knn_ivf_partitioned_prunes_reads(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from borges_ray.ops.embed import (
+        build_ivf_index,
+        knn_brute,
+        knn_ivf_partitioned,
+        train_ivf_centroids,
+    )
+
+    df = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ds = rd.from_pandas(df)
+    cents = train_ivf_centroids(ds, n_centroids=8)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ds, cents, idx)
+    q = np.asarray(df[df.vec_id == 0]["embedding"].iloc[0])
+    got, stats = knn_ivf_partitioned(idx, q, 10, cents, n_probe=2)
+    # physical pruning: fewer partitions and bytes than the full index
+    assert stats["partitions_read"] <= 2 < stats["partitions_total"]
+    assert 0 < stats["bytes_read"] < stats["bytes_total"]
+    exact = knn_brute(ds, q, 10)
+
+    def recall(frame):
+        return len(set(frame.vec_id) & set(exact.vec_id)) / 10
+
+    # probing every partition reads everything → must equal exact top-k
+    full, fstats = knn_ivf_partitioned(idx, q, 10, cents, n_probe=8)
+    assert fstats["bytes_read"] == fstats["bytes_total"]
+    assert full.vec_id.tolist() == exact.vec_id.tolist()
+    # recall monotone in probe count; scores on returned ids are exact
+    r1, _ = knn_ivf_partitioned(idx, q, 10, cents, n_probe=1)
+    assert recall(r1) <= recall(got) <= 1.0
+    merged = got.merge(exact, on="vec_id", suffixes=("_a", "_e"))
+    assert (merged.cos_a == merged.cos_e).all()
+
+
+def test_knn_lsh_recall_vs_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from borges_ray.ops.embed import knn_brute, knn_lsh
+
+    df = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ds = rd.from_pandas(df)
+    q = np.asarray(df[df.vec_id == 0]["embedding"].iloc[0])
+    exact = knn_brute(ds, q, 10)
+
+    def recall(frame):
+        return len(set(frame.vec_id) & set(exact.vec_id)) / 10
+
+    # fewer planes → bigger buckets → recall monotone up; scores exact on
+    # whatever the pruned scan returns
+    wide = knn_lsh(ds, q, 10, n_planes=1)
+    narrow = knn_lsh(ds, q, 10, n_planes=6)
+    assert recall(narrow) <= recall(wide) <= 1.0
+    assert recall(wide) >= 0.5, recall(wide)  # half-space scan: decent recall
+    merged = narrow.merge(exact, on="vec_id", suffixes=("_a", "_e"))
+    assert (merged.cos_a == merged.cos_e).all()
+
+
 def test_near_dup_groups_and_survivors():
     import pandas as pd
 
