@@ -481,30 +481,27 @@ def _q_fingerprints(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    """Multimodal plumbing: binary payloads → actor-pool feature extraction
-    (decode stubbed; rows-only)."""
-    import ray.data as rd
+    """Multimodal: BORG-container payloads derived from documents →
+    actor-pool header parse + feature extraction (oracle recomputes the
+    header fields from doc_id; the engine must parse the bytes)."""
+    from borges_ray.ops.multimodal import extract_media_features, media_from_documents
+    from borges_ray.ops.relational import load
 
-    from borges_ray.ops.multimodal import extract_media_features, synth_media
-
-    media = rd.from_arrow(synth_media(42, 500))
+    docs = load(sf_dir, "documents", columns=["doc_id"])
+    media = media_from_documents(docs)
     out = extract_media_features(media).to_pandas()
-    out["f0"] = [f[0] for f in out["features"]]
-    return out[["media_id", "media_type", "n_bytes", "f0"]]
+    return out[["media_id", "media_type", "n_bytes", "width", "height", "checksum"]]
 
 
 def _q_video_frames(sf_dir: str):
-    """Multimodal frame-sample + resize plumbing (codecs stubbed;
-    rows-only)."""
-    import ray.data as rd
+    """Multimodal frame-sample + resize over BORG video containers
+    (oracle-checked: frame records are a pure doc_id/frame_idx function)."""
+    from borges_ray.ops.multimodal import media_from_documents, sample_video_frames
+    from borges_ray.ops.relational import load
 
-    from borges_ray.ops.multimodal import sample_video_frames, synth_media
-
-    media = rd.from_arrow(synth_media(42, 300))
-    out = sample_video_frames(media).to_pandas()
-    out["thumb_mean"] = out["thumb_mean"].round(6)
-    out["thumb_std"] = out["thumb_std"].round(6)
-    return out
+    docs = load(sf_dir, "documents", columns=["doc_id"])
+    media = media_from_documents(docs, video=True)
+    return sample_video_frames(media)
 
 
 def _q_metadata_extract(sf_dir: str):
@@ -837,6 +834,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT id FROM comp WHERE root < id)
         """,
         "lang_id_confusion": _LANG_ID_SQL,
+        "fingerprints": r"""
+            -- byte-exact SQL twin of textops.fingerprint_batch: Horner fold
+            -- of the ws-normalized utf-8 bytes, base 1000003, mod 2^64
+            WITH norm AS (
+              SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id, to_hex(encode(t)) AS hx,
+                     octet_length(encode(t)) AS n
+              FROM norm
+            ),
+            bytes AS (
+              SELECT doc_id,
+                     CASE WHEN n = 0 THEN CAST([] AS HUGEINT[]) ELSE
+                       list_transform(range(1, n + 1),
+                         i -> CAST(CAST(('0x' || substr(hx, 2*i-1, 2)) AS INTEGER) AS HUGEINT))
+                     END AS bl
+              FROM b
+            )
+            SELECT doc_id,
+                   CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), bl),
+                        (acc, x) -> (acc * 1000003 + x)
+                                    % CAST('18446744073709551616' AS HUGEINT))
+                        AS UBIGINT) AS fingerprint
+            FROM bytes
+        """,
+        "media_features": """
+            -- golden twin of the BORG container header (multimodal.py):
+            -- the engine parses bytes; the oracle recomputes from doc_id
+            SELECT doc_id AS media_id,
+                   (['image/borg','audio/borg'])[1 + (doc_id % 3) % 2] AS media_type,
+                   CAST(117 + doc_id % 1000 AS BIGINT) AS n_bytes,
+                   CAST(16 + doc_id % 317 AS BIGINT) AS width,
+                   CAST(16 + doc_id % 211 AS BIGINT) AS height,
+                   CAST(((100 + doc_id % 1000) * (doc_id % 251)) % 4294967296 AS BIGINT)
+                     AS checksum
+            FROM documents
+        """,
+        "video_frames": """
+            SELECT doc_id AS media_id,
+                   CAST(fi AS BIGINT) AS frame_idx,
+                   round(((doc_id + fi) % 251) / 255.0, 6) AS thumb_mean,
+                   0.0 AS thumb_std
+            FROM documents, unnest(range(0, least(4, 1 + doc_id % 9))) AS t(fi)
+        """,
         "bpe_tokens": r"""
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]')) AS BIGINT)
