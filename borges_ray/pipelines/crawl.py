@@ -29,6 +29,7 @@ from dataclasses import dataclass
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import ray
@@ -127,9 +128,52 @@ def bootstrap(seeds: pa.Table, robots_df: pd.DataFrame, cfg: EngineConfig,
 
         ct = pa.Table.from_pylist(crawled).select(PARSED_SCHEMA.names).cast(PARSED_SCHEMA)
         _write_ds_into(os.path.join(rd0, "crawled"), ct, "blocked")
-    host_t = pa.table({"host": pa.array([], pa.string()), "next_seq": pa.array([], pa.int64())})
-    _write_ds_into(os.path.join(rd0, "host_state"), host_t, "hs")
+    # empty hive-partitioned host-state (hb=<b>/ dirs appear as hosts do)
+    os.makedirs(os.path.join(rd0, "host_state"), exist_ok=True)
     ckpt.commit_round(ckpt_dir, 0)
+
+
+def _update_host_state(old_dir: str, sel_dir: str, new_dir: str,
+                       num_partitions: int) -> None:
+    """Fold this round's per-host selection counts into the host→next_seq
+    counter table, written hive-partitioned by ``hb = hash(host) % P``.
+
+    One small distributed job: old counters ∪ per-host selected counts →
+    bucketed sum per host → partitioned write.  The driver never holds a
+    dict over all hosts (the r01 O(total-hosts) driver state)."""
+    from ..canonical import stable_hash
+    from ..ops.relational import groupby_buckets
+
+    parts = []
+    old_files = ([os.path.join(dp, f) for dp, _d, fs in os.walk(old_dir)
+                  for f in fs if f.endswith(".parquet")]
+                 if os.path.isdir(old_dir) else [])
+    if old_files:
+        parts.append(rd.read_parquet(old_files).map_batches(
+            lambda df: df[["host", "next_seq"]], batch_format="pandas"))
+    sel_files = ([os.path.join(dp, f) for dp, _d, fs in os.walk(sel_dir)
+                  for f in fs if f.endswith(".parquet")]
+                 if os.path.isdir(sel_dir) else [])
+    if sel_files:
+        parts.append(rd.read_parquet(sel_files, columns=["host"]).map_batches(
+            lambda df: df.groupby("host", sort=False).size()
+                         .rename("next_seq").reset_index(),
+            batch_format="pandas"))
+    os.makedirs(new_dir, exist_ok=True)
+    if not parts:
+        return
+    both = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("host", sort=False)["next_seq"].sum().reset_index()
+        out["next_seq"] = out["next_seq"].astype("int64")
+        hosts = out["host"].unique()
+        lut = {h: stable_hash(h) % num_partitions for h in hosts}
+        out["hb"] = out["host"].map(lut).astype("int32")
+        return out
+
+    groupby_buckets(both, ["host"], fold).write_parquet(
+        new_dir, partition_cols=["hb"])
 
 
 def run_crawl(
@@ -184,8 +228,7 @@ def run_crawl(
             break
         os.makedirs(next_dir, exist_ok=True)
 
-        host_state = pq.read_table(os.path.join(this_dir, "host_state")).to_pandas()
-        host_offsets = dict(zip(host_state["host"], host_state["next_seq"].astype(int)))
+        host_state_dir = os.path.join(this_dir, "host_state")
 
         # force ≥ num_partitions read blocks: a small frontier otherwise
         # coalesces into one ~128 MB block and the combiner pass serializes
@@ -194,20 +237,23 @@ def run_crawl(
 
         # 1. politeness selection (host_seq assigned).  The selection is
         # politeness-BOUNDED (≤ budget × hosts rows), so pinning it in the
-        # object store is safe and saves a write→read round trip.
-        selected = select_frontier(frontier, budgets_ref, host_offsets,
+        # object store is safe and saves a write→read round trip.  Host
+        # counters come from the partitioned host-state checkpoint — the
+        # driver never holds a hosts dict.
+        selected = select_frontier(frontier, budgets_ref, host_state_dir,
                                    num_partitions=cfg.num_partitions,
                                    rnd=rnd, night_shift=cfg.night_shift).materialize()
         sel_dir = os.path.join(next_dir, "selected")
-        _write_ds_into(sel_dir, selected, "sel")
-        sel_small = pq.read_table(sel_dir, columns=["url", "host", "partition"]).to_pandas()
+        # hive-partitioned by the url-hash partition: the deferral scan
+        # reads per-partition membership slices instead of a broadcast set
+        selected.write_parquet(sel_dir, partition_cols=["partition"])
 
         # 2. deferral (frontier scan minus selected urls) — runs CONCURRENTLY
         # with fetch+parse on a driver thread: the two pipelines share no
         # data dependency, so their Ray executions overlap
         frontier2 = rd.read_parquet(frontier_path,
                                     override_num_blocks=cfg.num_partitions)
-        deferred = defer_frontier(frontier2, set(sel_small["url"]))
+        deferred = defer_frontier(frontier2, sel_dir)
         frontier_next_dir = os.path.join(next_dir, "frontier")
         import threading
 
@@ -244,43 +290,69 @@ def run_crawl(
         if defer_err:
             raise defer_err[0]
 
-        new_t = pq.read_table(new_dir) if os.path.isdir(new_dir) and os.listdir(new_dir) else None
-        if new_t is not None and new_t.num_rows:
-            new_df = new_t.to_pandas()
-            allowed = new_df[~new_df["blocked"]]
-            blocked = new_df[new_df["blocked"]]
-            if len(allowed):
-                ft = pa.Table.from_pandas(
-                    allowed[["url", "host", "depth", "priority", "discovered_round",
-                             "parent_url", "partition"]], preserve_index=False
-                ).cast(schemas.FRONTIER)
-                _write_ds_into(frontier_next_dir, ft, "new")
-            if len(blocked):
-                bt = blocked.assign(
-                    fetch_round=rnd + 1, host_seq=-1, status=999, attempts=0,
-                    extracted_text="", lang="", n_links=0,
-                )
-                bt["links"] = [[] for _ in range(len(bt))]
-                from ..stages.parse import PARSED_SCHEMA
+        # 5b. split the gated rows DISTRIBUTED: the driver never reads the
+        # new-links table (it can be frontier-growth-sized).  ``new_dir`` is
+        # re-read once per derived output — the gate already committed its
+        # result to parquet, so re-reads are pure scans, not re-gating.
+        has_new = os.path.isdir(new_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(new_dir))
+        new_counts = pd.DataFrame({"partition": pd.Series(dtype="int64"),
+                                   "blocked": pd.Series(dtype=bool),
+                                   "n": pd.Series(dtype="int64")})
+        if has_new:
+            from ..stages.parse import PARSED_SCHEMA
 
-                bt = bt[PARSED_SCHEMA.names]
-                bt_t = pa.Table.from_pandas(bt, preserve_index=False).cast(PARSED_SCHEMA)
+            new_ds = rd.read_parquet(new_dir)
+
+            def to_frontier(t: pa.Table) -> pa.Table:
+                t = t.filter(pc.invert(t["blocked"]))
+                return t.select([f.name for f in schemas.FRONTIER]).cast(schemas.FRONTIER)
+
+            _write_ds_into(frontier_next_dir,
+                           rd.read_parquet(new_dir).map_batches(
+                               to_frontier, batch_format="pyarrow"), "new")
+
+            def to_blocked(df: pd.DataFrame) -> pd.DataFrame:
+                b = df[df["blocked"]].copy()
+                b = b.assign(fetch_round=rnd + 1, host_seq=-1, status=999,
+                             attempts=0, extracted_text="", lang="", n_links=0)
+                b["links"] = [[] for _ in range(len(b))]
+                return b[PARSED_SCHEMA.names]
+
+            blocked_ds = rd.read_parquet(new_dir).map_batches(
+                to_blocked, batch_format="pandas")
+
+            def to_seen(t: pa.Table) -> pa.Table:
+                t = t.append_column(
+                    "seen_round", pa.array([rnd + 1] * t.num_rows, pa.int32()))
+                return t.select(["url", "partition", "seen_round"]).cast(schemas.SEEN)
+
+            _write_ds_into(os.path.join(next_dir, "seen_delta"),
+                           new_ds.map_batches(to_seen, batch_format="pyarrow"),
+                           "links")
+            # blocked rows also land in crawled (status 999, never fetched)
+            blocked_pd = blocked_ds.to_pandas()  # blocked ⊆ robots-denied: tiny
+            if len(blocked_pd):
+                bt_t = pa.Table.from_pandas(
+                    blocked_pd, preserve_index=False).cast(PARSED_SCHEMA)
                 _write_ds_into(crawled_dir, bt_t, "blocked")
-            sd = new_df.assign(seen_round=rnd + 1)[["url", "partition", "seen_round"]]
-            sd_t = pa.Table.from_pandas(sd, preserve_index=False).cast(schemas.SEEN)
-        else:
-            new_df = pd.DataFrame(columns=["url", "blocked", "partition"])
-            allowed = blocked = new_df
-            sd_t = schemas.SEEN.empty_table()
-        _write_ds_into(os.path.join(next_dir, "seen_delta"), sd_t, "links")
+            # per-partition new/blocked tallies for metrics (≤ 2P rows)
+            from ..ops.relational import grouped_agg
 
-        # 6. host_state + metrics (small, driver-side)
-        sel_counts = sel_small.groupby("host").size()
-        for h, c in sel_counts.items():
-            host_offsets[h] = host_offsets.get(h, 0) + int(c)
-        hs_t = pa.table({"host": pa.array(list(host_offsets), pa.string()),
-                         "next_seq": pa.array([host_offsets[h] for h in host_offsets], pa.int64())})
-        _write_ds_into(os.path.join(next_dir, "host_state"), hs_t, "hs")
+            new_counts = grouped_agg(
+                rd.read_parquet(new_dir, columns=["partition", "blocked"]),
+                ["partition", "blocked"], {"n": ("count", "partition")}
+            ).to_pandas()
+        else:
+            _write_ds_into(os.path.join(next_dir, "seen_delta"),
+                           schemas.SEEN.empty_table(), "links")
+
+        # 6. host_state: fold this round's per-host selections into the
+        # partitioned counter table — one small distributed job, no driver
+        # dict over all hosts ever seen
+        _update_host_state(host_state_dir, sel_dir,
+                           os.path.join(next_dir, "host_state"),
+                           cfg.num_partitions)
 
         if has_crawled:
             crawled_t = pq.read_table(crawled_dir,
@@ -293,10 +365,25 @@ def run_crawl(
         # every non-200 FETCH is a miss (404 and retry-exhausted 503 alike);
         # 999 = robots-blocked, never fetched — the oracle's `missed` rule
         missed_rows = crawled_t[(crawled_t.status != 200) & (crawled_t.status != 999)]
+        # selected-per-partition from the hive layout's parquet METADATA —
+        # row counts only, no data read, no driver copy of the selection
+        sel_counts_rows = []
+        if os.path.isdir(sel_dir):
+            for dname in os.listdir(sel_dir):
+                if not dname.startswith("partition="):
+                    continue
+                p = int(dname.split("=", 1)[1])
+                n = sum(pq.ParquetFile(os.path.join(sel_dir, dname, f)).metadata.num_rows
+                        for f in os.listdir(os.path.join(sel_dir, dname))
+                        if f.endswith(".parquet"))
+                sel_counts_rows.append((p, n))
+        sel_counts = pd.DataFrame(sel_counts_rows, columns=["partition", "selected"]) \
+            if sel_counts_rows else pd.DataFrame({"partition": pd.Series(dtype="int64"),
+                                                  "selected": pd.Series(dtype="int64")})
         per_part = pd.DataFrame({"partition": range(cfg.num_partitions)})
         per_part["round"] = rnd
         per_part = per_part.merge(
-            sel_small.groupby("partition").size().rename("selected"), on="partition", how="left"
+            sel_counts.set_index("partition")["selected"], on="partition", how="left"
         ).merge(
             fetched_rows.groupby("partition").size().rename("fetched"), on="partition", how="left"
         ).merge(
@@ -305,12 +392,13 @@ def run_crawl(
             fetched_rows.groupby("partition")["n_links"].sum().rename("links_emitted"),
             on="partition", how="left",
         )
-        if len(new_df):
+        if len(new_counts):
+            nc = new_counts
             per_part = per_part.merge(
-                new_df[~new_df["blocked"]].groupby("partition").size().rename("links_new"),
+                nc[~nc["blocked"]].set_index("partition")["n"].rename("links_new"),
                 on="partition", how="left",
             ).merge(
-                new_df[new_df["blocked"]].groupby("partition").size().rename("blocked"),
+                nc[nc["blocked"]].set_index("partition")["n"].rename("blocked"),
                 on="partition", how="left",
             )
         else:

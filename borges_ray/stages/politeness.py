@@ -12,13 +12,14 @@ Scale shape (SURVEY.md §7.2 step 4):
    its per-host top-``budget`` rows ordered by (priority desc,
    discovered_round asc, url asc).  The subsequent shuffle therefore moves
    ≤ budget × blocks rows per host — never the whole frontier.
-2. **Final select** (``groupby(host).map_groups``): merge the per-block
-   candidates, take the global top-``budget`` per host, and assign
-   ``host_seq`` continuing from the per-host counters (broadcast dict,
-   ``ray.put`` once per round).
-3. **Deferral** is a second streaming scan of the frontier filtering out
-   the selected urls (broadcast set) — the big table is scanned, never
-   shuffled.
+2. **Final select** (``groupby(host-bucket).map_groups``): merge the
+   per-block candidates, take the global top-``budget`` per host, and
+   assign ``host_seq`` continuing from the per-host counters — read from
+   the hive-partitioned host-state checkpoint one ``hb=<b>/`` slice per
+   group (never a driver-side dict over all hosts).
+3. **Deferral** is a second streaming scan of the frontier subtracting the
+   selected urls via per-``partition`` membership files — the big table is
+   scanned, never shuffled, and no global set is broadcast.
 
 Skew note: a hot host (the Zipf head / JPDAP fixture) is bounded by its
 budget, so the map_groups group is at most candidates = budget × blocks
@@ -58,10 +59,34 @@ def budgets_from_robots(robots_df: pd.DataFrame, round_ms: int, default_delay_ms
     return out
 
 
+def load_host_offsets(host_state_dir: str, bucket: int | None = None) -> dict[str, int]:
+    """host → next_seq from the hive-partitioned host-state checkpoint;
+    with ``bucket`` set, reads ONLY that ``hb=<b>/`` dir (the per-group
+    slice — O(hosts in bucket), not O(all hosts ever seen))."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = (os.path.join(host_state_dir, f"hb={bucket}")
+            if bucket is not None else host_state_dir)
+    if not os.path.isdir(path):
+        return {}
+    files = [os.path.join(dp, f) for dp, _d, fs in os.walk(path)
+             for f in fs if f.endswith(".parquet")]
+    if not files:
+        return {}
+    out: dict[str, int] = {}
+    for f in files:
+        t = pq.read_table(f, columns=["host", "next_seq"])
+        out.update(zip(t["host"].to_pylist(),
+                       (int(v) for v in t["next_seq"].to_pylist())))
+    return out
+
+
 def select_frontier(
     frontier: rd.Dataset,
     budgets_ref: "ray.ObjectRef",
-    host_offsets: dict[str, int],
+    host_state_dir: str,
     num_partitions: int = 16,
     rnd: int = 0,
     night_shift: bool = False,
@@ -72,8 +97,11 @@ def select_frontier(
     ``ObjectRef`` resolved per task from the local object store (zero-copy,
     microseconds after first access) — actor-pool startup latency would
     dominate the per-round cost for no amortization win.
-    """
-    offsets_ref = ray.put(host_offsets)
+
+    Host sequence counters come from the hive-partitioned host-state
+    checkpoint: the final per-host-bucket group reads ONLY its ``hb=<b>/``
+    slice — the r01 driver-side dict over every host ever seen is gone
+    (O(total hosts) driver memory at 10^8-host scale)."""
 
     def _prune(df: pd.DataFrame, budgets: dict, offsets: dict | None) -> pd.DataFrame:
         """Vectorized per-host top-budget: sort once, cumcount per host,
@@ -100,8 +128,15 @@ def select_frontier(
     candidates = frontier.map_batches(combine, batch_format="pandas")
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        # one vectorized pass per host-bucket group — never one call per host
-        return _prune(df, ray.get(budgets_ref), ray.get(offsets_ref))
+        # one vectorized pass per host-bucket group — never one call per
+        # host; offsets read from THIS bucket's host-state slice only
+        parts = []
+        for b, g in df.groupby("__hb", sort=False):
+            offsets = load_host_offsets(host_state_dir, int(b))
+            parts.append(_prune(g, ray.get(budgets_ref), offsets))
+        if not parts:
+            return _prune(df, ray.get(budgets_ref), {})
+        return pd.concat(parts, ignore_index=True)
 
     # shuffle key: a hash bucket of host (all of one host's candidates
     # co-locate; hot hosts are already budget-bounded by the combiner)
@@ -121,11 +156,37 @@ def select_frontier(
     return out.drop_columns(["__hb"])
 
 
-def defer_frontier(frontier: rd.Dataset, selected_urls: set[str]) -> rd.Dataset:
-    """Frontier rows NOT selected this round (streamed scan, broadcast set)."""
-    ref = ray.put(selected_urls)
+def defer_frontier(frontier: rd.Dataset, sel_dir: str) -> rd.Dataset:
+    """Frontier rows NOT selected this round.
+
+    Membership is checked per url-hash partition: the selected set is
+    checkpointed hive-partitioned by the engine's ``partition`` column, and
+    each defer task reads ONLY the ``partition=<p>/`` slices present in its
+    block — O(selected/partitions) per task.  The big frontier is streamed,
+    never shuffled, and no global selected-set is broadcast (the r01
+    driver-side Python set was O(selected) driver memory per round)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    def _sel_urls(p: int) -> set[str]:
+        d = os.path.join(sel_dir, f"partition={p}")
+        if not os.path.isdir(d):
+            return set()
+        urls: set[str] = set()
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                urls.update(pq.read_table(os.path.join(d, f),
+                                          columns=["url"])["url"].to_pylist())
+        return urls
 
     def defer(df: pd.DataFrame) -> pd.DataFrame:
-        return df[~df["url"].isin(ray.get(ref))]
+        keep = []
+        for p, g in df.groupby("partition", sort=False):
+            sel = _sel_urls(int(p))
+            keep.append(g if not sel else g[~g["url"].isin(sel)])
+        if not keep:
+            return df
+        return pd.concat(keep, ignore_index=True)
 
     return frontier.map_batches(defer, batch_format="pandas")
