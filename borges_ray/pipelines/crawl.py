@@ -57,6 +57,7 @@ class EngineConfig:
     seen_capacity: int = 1_000_000
     flaky: bool = False          # T6 deterministic transient-failure + retry model
     night_shift: bool = False    # F9 time-of-day host gating
+    api_keys: tuple = ()         # T2/S13: non-empty → session-actor fetch path
 
 
 def _count_rows(path: str) -> int:
@@ -269,10 +270,19 @@ def run_crawl(
         defer_thread.start()
 
         # 3-4. fetch-join + parse (bounded like the selection → materialize;
-        # html is dropped by parse, only text+links are pinned)
-        parsed = parse_fetched(
-            fetch_selected(selected, pages_root, cfg.num_buckets, flaky=cfg.flaky),
-            rnd).materialize()
+        # html is dropped by parse, only text+links are pinned).  With a
+        # key pool configured, fetch runs on session actors (T2/S13) —
+        # identical rows, key_idx dropped before parse.
+        if cfg.api_keys:
+            from ..stages.fetch import fetch_selected_sessions
+
+            fetched = fetch_selected_sessions(
+                selected, pages_root, cfg.num_buckets, tuple(cfg.api_keys),
+                flaky=cfg.flaky).drop_columns(["key_idx"])
+        else:
+            fetched = fetch_selected(selected, pages_root, cfg.num_buckets,
+                                     flaky=cfg.flaky)
+        parsed = parse_fetched(fetched, rnd).materialize()
         crawled_dir = os.path.join(next_dir, "crawled")
         _write_ds_into(crawled_dir, parsed, "fetched")
 

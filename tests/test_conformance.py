@@ -147,3 +147,49 @@ def test_flaky_and_night_shift_conformance(web, ray_session, tmp_path):
     # the retry model actually fired: some 503s and some attempts > 1
     assert (eng_c["status"] == 503).sum() > 0
     assert (eng_c["attempts"] > 1).sum() > 0
+
+
+def test_session_fetch_parity_and_key_rotation(web, ray_session, tmp_path):
+    """T2/S13: the session-actor fetch path (login bootstrap + key-pool
+    rotation) produces byte-identical crawled rows to the stateless path,
+    and rotation actually fires on quota-exhausted (503) fetches."""
+    import pandas as pd
+
+    from borges_ray.pipelines.crawl import EngineConfig, collect_crawled, run_crawl
+    from borges_ray.stages.fetch import FetchSession
+
+    _pages, seeds, robots, pages_root, _ = web
+    base = EngineConfig(max_rounds=4, num_partitions=8, num_buckets=4,
+                        num_seen_shards=2, flaky=True)
+    ck_a = str(tmp_path / "a")
+    run_crawl(pages_root, seeds, robots.to_pandas(), base, ck_a, resume=False)
+    sess = EngineConfig(max_rounds=4, num_partitions=8, num_buckets=4,
+                        num_seen_shards=2, flaky=True,
+                        api_keys=("k0", "k1", "k2"))
+    ck_b = str(tmp_path / "b")
+    run_crawl(pages_root, seeds, robots.to_pandas(), sess, ck_b, resume=False)
+    a = collect_crawled(ck_a).to_pandas().set_index("url").sort_index()
+    b = collect_crawled(ck_b).to_pandas().set_index("url").sort_index()
+    assert list(a.index) == list(b.index)
+    for col in ("status", "attempts", "extracted_text", "fetch_round", "host_seq"):
+        assert (a[col].to_numpy() == b[col].to_numpy()).all(), col
+
+    # unit-level rotation semantics: one 503 advances the key index; a full
+    # wrap counts a pool-exhausted event
+    fs = FetchSession(pages_root, 4, api_keys=("k0", "k1"), flaky=True)
+    assert fs.key_idx == 0 and fs.session_token != 0
+    fs._rotate()
+    assert fs.key_idx == 1 and fs.pool_exhausted_events == 0
+    fs._rotate()
+    assert fs.key_idx == 0 and fs.pool_exhausted_events == 1
+    # drive a batch through __call__: statuses match the stateless model
+    sel = a.reset_index()[["url"]].head(40).copy()
+    sel["host"] = sel["url"].str.split("/", n=3).str[2]
+    out = fs(sel)
+    flaky_expected = collect_crawled(ck_a).to_pandas().set_index("url")
+    for _, r in out.iterrows():
+        if r["url"] in flaky_expected.index:
+            want = flaky_expected.loc[r["url"], "status"]
+            if want == 999:  # robots-blocked rows are never fetched
+                continue
+            assert r["status"] == want
