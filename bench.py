@@ -106,12 +106,17 @@ def bench_crawl(pages_root: str, n_pages: int, num_buckets: int) -> dict:
         seen_capacity=max(1_000_000, 4 * n_pages),
     )
     ckpt_dir = os.path.join(BENCH_ROOT, f"ckpt_{os.getpid()}")
-    shutil.rmtree(ckpt_dir, ignore_errors=True)
     seeds = synth_seeds(SEED, n_pages)
     robots = synth_robots(SEED, n_pages).to_pandas()
-    t0 = time.time()
-    summary = run_crawl(pages_root, seeds, robots, cfg, ckpt_dir, resume=False)
-    wall = time.time() - t0
+    # min of 2 runs: the sandbox hypervisor's bursty steal makes single
+    # runs span 1.5-3× (BASELINE.md); min-of-reps approximates the
+    # uncontended number, matching the scaling harness's methodology
+    wall = float("inf")
+    for _rep in range(2):
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        t0 = time.time()
+        summary = run_crawl(pages_root, seeds, robots, cfg, ckpt_dir, resume=False)
+        wall = min(wall, time.time() - t0)
     last = ckpt_mod.last_committed_round(ckpt_dir)
     m = ckpt_mod.read_all_rounds(ckpt_dir, "metrics", last)
     md = m.to_pandas() if m is not None else None

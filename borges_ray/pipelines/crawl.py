@@ -25,7 +25,36 @@ and the pages corpus is probed per-bucket, never shuffled (SURVEY.md §7.3).
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass
+
+# fsspec.implementations.http fails to import in this container (no
+# aiohttp).  Ray's write path probes it per write and catches
+# ModuleNotFoundError — but CONCURRENT writer threads race the failing
+# import and see a partially-initialized module, surfacing a plain
+# ImportError that Ray does NOT catch.  Register a benign stub once so the
+# probe is deterministic: Ray's isinstance() check against the stub class
+# is always False, i.e. "not an HTTP filesystem" — the same answer the
+# clean ModuleNotFoundError path produces.
+try:  # pragma: no cover — environment-dependent
+    import fsspec.implementations.http  # noqa: F401
+except ImportError:
+    import sys as _sys
+    import types as _types
+
+    try:
+        import fsspec.implementations as _fsspec_impls
+
+        _http_stub = _types.ModuleType("fsspec.implementations.http")
+
+        class _StubHTTPFileSystem:  # never instantiated; isinstance-only
+            pass
+
+        _http_stub.HTTPFileSystem = _StubHTTPFileSystem
+        _sys.modules["fsspec.implementations.http"] = _http_stub
+        _fsspec_impls.http = _http_stub
+    except ImportError:
+        pass
 
 import pandas as pd
 import pyarrow as pa
@@ -134,47 +163,53 @@ def bootstrap(seeds: pa.Table, robots_df: pd.DataFrame, cfg: EngineConfig,
     ckpt.commit_round(ckpt_dir, 0)
 
 
-def _update_host_state(old_dir: str, sel_dir: str, new_dir: str,
+def _update_host_state(old_dir: str, sel_counts: pd.DataFrame, new_dir: str,
                        num_partitions: int) -> None:
     """Fold this round's per-host selection counts into the host→next_seq
-    counter table, written hive-partitioned by ``hb = hash(host) % P``.
+    counter table, kept hive-partitioned by ``hb = hash(host) % P``.
 
-    One small distributed job: old counters ∪ per-host selected counts →
-    bucketed sum per host → partitioned write.  The driver never holds a
-    dict over all hosts (the r01 O(total-hosts) driver state)."""
+    Driver cost is O(hosts ACTIVE this round) — politeness-bounded — never
+    O(all hosts ever seen): only buckets containing an active host are
+    read+rewritten; untouched buckets carry forward as HARDLINKS (a file op,
+    no data read).  ``sel_counts`` is the (host, n) frame of this round's
+    selections — the same bounded size as the selection itself."""
     from ..canonical import stable_hash
-    from ..ops.relational import groupby_buckets
 
-    parts = []
-    old_files = ([os.path.join(dp, f) for dp, _d, fs in os.walk(old_dir)
-                  for f in fs if f.endswith(".parquet")]
-                 if os.path.isdir(old_dir) else [])
-    if old_files:
-        parts.append(rd.read_parquet(old_files).map_batches(
-            lambda df: df[["host", "next_seq"]], batch_format="pandas"))
-    sel_files = ([os.path.join(dp, f) for dp, _d, fs in os.walk(sel_dir)
-                  for f in fs if f.endswith(".parquet")]
-                 if os.path.isdir(sel_dir) else [])
-    if sel_files:
-        parts.append(rd.read_parquet(sel_files, columns=["host"]).map_batches(
-            lambda df: df.groupby("host", sort=False).size()
-                         .rename("next_seq").reset_index(),
-            batch_format="pandas"))
     os.makedirs(new_dir, exist_ok=True)
-    if not parts:
-        return
-    both = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+    by_bucket: dict[int, pd.DataFrame] = {}
+    if len(sel_counts):
+        sel_counts = sel_counts.copy()
+        sel_counts["hb"] = [stable_hash(h) % num_partitions
+                            for h in sel_counts["host"]]
+        by_bucket = {int(b): g for b, g in sel_counts.groupby("hb", sort=False)}
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("host", sort=False)["next_seq"].sum().reset_index()
-        out["next_seq"] = out["next_seq"].astype("int64")
-        hosts = out["host"].unique()
-        lut = {h: stable_hash(h) % num_partitions for h in hosts}
-        out["hb"] = out["host"].map(lut).astype("int32")
-        return out
+    old_buckets: dict[int, str] = {}
+    if os.path.isdir(old_dir):
+        for d in os.listdir(old_dir):
+            if d.startswith("hb="):
+                old_buckets[int(d.split("=", 1)[1])] = os.path.join(old_dir, d)
 
-    groupby_buckets(both, ["host"], fold).write_parquet(
-        new_dir, partition_cols=["hb"])
+    for b in sorted(set(by_bucket) | set(old_buckets)):
+        src = old_buckets.get(b)
+        dst = os.path.join(new_dir, f"hb={b}")
+        if b not in by_bucket:
+            # untouched bucket: hardlink files forward — zero data read
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    os.link(os.path.join(src, f), os.path.join(dst, f))
+            continue
+        old = (pq.read_table(src).to_pandas()[["host", "next_seq"]]
+               if src is not None else
+               pd.DataFrame({"host": pd.Series(dtype=object),
+                             "next_seq": pd.Series(dtype="int64")}))
+        add = by_bucket[b].rename(columns={"n": "next_seq"})[["host", "next_seq"]]
+        merged = (pd.concat([old, add], ignore_index=True)
+                  .groupby("host", sort=True)["next_seq"].sum().reset_index())
+        merged["next_seq"] = merged["next_seq"].astype("int64")
+        os.makedirs(dst, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(merged, preserve_index=False),
+                       os.path.join(dst, "state-0.parquet"))
 
 
 def run_crawl(
@@ -246,8 +281,10 @@ def run_crawl(
                                    rnd=rnd, night_shift=cfg.night_shift).materialize()
         sel_dir = os.path.join(next_dir, "selected")
         # hive-partitioned by the url-hash partition: the deferral scan
-        # reads per-partition membership slices instead of a broadcast set
-        selected.write_parquet(sel_dir, partition_cols=["partition"])
+        # reads per-partition membership slices instead of a broadcast set.
+        # Coalesce blocks first — the hive write fans out blocks×partitions
+        # files otherwise (537 tiny files/round measured at 32×32)
+        selected.repartition(2).write_parquet(sel_dir, partition_cols=["partition"])
 
         # 2. deferral (frontier scan minus selected urls) — runs CONCURRENTLY
         # with fetch+parse on a driver thread: the two pipelines share no
@@ -256,8 +293,6 @@ def run_crawl(
                                     override_num_blocks=cfg.num_partitions)
         deferred = defer_frontier(frontier2, sel_dir)
         frontier_next_dir = os.path.join(next_dir, "frontier")
-        import threading
-
         defer_err: list[BaseException] = []
 
         def _defer_job():
@@ -290,37 +325,33 @@ def run_crawl(
         has_crawled = os.path.isdir(crawled_dir) and any(
             f.endswith(".parquet") for f in os.listdir(crawled_dir))
         new_dir = os.path.join(next_dir, "new")
+        new_ds = None
         if has_crawled:
             parsed_back = parsed.select_columns(["url", "status", "priority", "depth", "links"])
             cands = link_candidates(parsed_back, rnd, cfg.num_partitions, cfg.max_depth)
-            gated = gate_candidates(cands, shards, robots_ref, rnd + 1)
-            _write_ds_into(new_dir, gated, "new")
+            # materialize ONCE (idempotent per round: the seen shards key
+            # membership by round), write the checkpoint from memory, and
+            # reuse the pinned rows for every derivation below — no
+            # write→read round trip
+            new_ds = gate_candidates(cands, shards, robots_ref, rnd + 1).materialize()
+            _write_ds_into(new_dir, new_ds, "new")
 
         defer_thread.join()
         if defer_err:
             raise defer_err[0]
 
         # 5b. split the gated rows DISTRIBUTED: the driver never reads the
-        # new-links table (it can be frontier-growth-sized).  ``new_dir`` is
-        # re-read once per derived output — the gate already committed its
-        # result to parquet, so re-reads are pure scans, not re-gating.
-        has_new = os.path.isdir(new_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(new_dir))
+        # new-links table (it can be frontier-growth-sized)
+        has_new = new_ds is not None and bool(new_ds.count())
         new_counts = pd.DataFrame({"partition": pd.Series(dtype="int64"),
                                    "blocked": pd.Series(dtype=bool),
                                    "n": pd.Series(dtype="int64")})
         if has_new:
             from ..stages.parse import PARSED_SCHEMA
 
-            new_ds = rd.read_parquet(new_dir)
-
             def to_frontier(t: pa.Table) -> pa.Table:
                 t = t.filter(pc.invert(t["blocked"]))
                 return t.select([f.name for f in schemas.FRONTIER]).cast(schemas.FRONTIER)
-
-            _write_ds_into(frontier_next_dir,
-                           rd.read_parquet(new_dir).map_batches(
-                               to_frontier, batch_format="pyarrow"), "new")
 
             def to_blocked(df: pd.DataFrame) -> pd.DataFrame:
                 b = df[df["blocked"]].copy()
@@ -329,38 +360,82 @@ def run_crawl(
                 b["links"] = [[] for _ in range(len(b))]
                 return b[PARSED_SCHEMA.names]
 
-            blocked_ds = rd.read_parquet(new_dir).map_batches(
-                to_blocked, batch_format="pandas")
-
             def to_seen(t: pa.Table) -> pa.Table:
                 t = t.append_column(
                     "seen_round", pa.array([rnd + 1] * t.num_rows, pa.int32()))
                 return t.select(["url", "partition", "seen_round"]).cast(schemas.SEEN)
 
-            _write_ds_into(os.path.join(next_dir, "seen_delta"),
-                           new_ds.map_batches(to_seen, batch_format="pyarrow"),
-                           "links")
-            # blocked rows also land in crawled (status 999, never fetched)
-            blocked_pd = blocked_ds.to_pandas()  # blocked ⊆ robots-denied: tiny
+            # the four derivations are independent jobs over the pinned
+            # new_ds — run them on driver threads so their (fixed, small)
+            # execution overheads overlap instead of adding up
+            derived: dict = {}
+            errs: list[BaseException] = []
+
+            def _job(fn):
+                def run():
+                    try:
+                        fn()
+                    except BaseException as e:  # surfaced after join
+                        errs.append(e)
+                return threading.Thread(target=run)
+
+            def _frontier_job():
+                _write_ds_into(frontier_next_dir,
+                               new_ds.map_batches(to_frontier,
+                                                  batch_format="pyarrow"), "new")
+
+            def _seen_job():
+                _write_ds_into(os.path.join(next_dir, "seen_delta"),
+                               new_ds.map_batches(to_seen,
+                                                  batch_format="pyarrow"), "links")
+
+            def _blocked_job():
+                derived["blocked_pd"] = new_ds.map_batches(
+                    to_blocked, batch_format="pandas").to_pandas()
+
+            def _tally_job():
+                derived["tallies"] = new_ds.map_batches(
+                    lambda df: df.groupby(["partition", "blocked"], sort=False)
+                                 .size().rename("n").reset_index(),
+                    batch_format="pandas").to_pandas()
+
+            jobs = [_job(f) for f in (_frontier_job, _seen_job,
+                                      _blocked_job, _tally_job)]
+            for j in jobs:
+                j.start()
+            for j in jobs:
+                j.join()
+            if errs:
+                raise errs[0]
+            blocked_pd = derived["blocked_pd"]  # robots-denied: tiny
             if len(blocked_pd):
                 bt_t = pa.Table.from_pandas(
                     blocked_pd, preserve_index=False).cast(PARSED_SCHEMA)
                 _write_ds_into(crawled_dir, bt_t, "blocked")
-            # per-partition new/blocked tallies for metrics (≤ 2P rows)
-            from ..ops.relational import grouped_agg
-
-            new_counts = grouped_agg(
-                rd.read_parquet(new_dir, columns=["partition", "blocked"]),
-                ["partition", "blocked"], {"n": ("count", "partition")}
-            ).to_pandas()
+            tallies = derived["tallies"]
+            new_counts = (tallies.groupby(["partition", "blocked"], sort=False)
+                          ["n"].sum().reset_index()) if len(tallies) else new_counts
         else:
             _write_ds_into(os.path.join(next_dir, "seen_delta"),
                            schemas.SEEN.empty_table(), "links")
 
         # 6. host_state: fold this round's per-host selections into the
-        # partitioned counter table — one small distributed job, no driver
-        # dict over all hosts ever seen
-        _update_host_state(host_state_dir, sel_dir,
+        # partitioned counter table.  The counts come from the selection
+        # checkpoint's host column — politeness-BOUNDED, never O(all hosts)
+        sel_host_parts = []
+        if os.path.isdir(sel_dir):
+            for dp, _dn, fs in os.walk(sel_dir):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        t = pq.read_table(os.path.join(dp, f), columns=["host"])
+                        sel_host_parts.append(t["host"].to_pandas().value_counts())
+        if sel_host_parts:
+            host_counts = (pd.concat(sel_host_parts).groupby(level=0).sum()
+                           .rename("n").rename_axis("host").reset_index())
+        else:
+            host_counts = pd.DataFrame({"host": pd.Series(dtype=object),
+                                        "n": pd.Series(dtype="int64")})
+        _update_host_state(host_state_dir, host_counts,
                            os.path.join(next_dir, "host_state"),
                            cfg.num_partitions)
 
