@@ -504,6 +504,51 @@ def _q_video_frames(sf_dir: str):
     return sample_video_frames(media)
 
 
+def _q_paged_search_urls(sf_dir: str):
+    """S3: paged search-URL enumerator — one row per (source, page) with
+    the offset-parameterized URL (the reference's Elsevier index walks
+    ``start=0,25,50…`` per journal-year, ``paper_index.py:120-170``)."""
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+
+    def fan_out(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, name in zip(df["n_nationkey"], df["n_name"]):
+            total = 10 + (int(k) * 7) % 90
+            n_pages = (total + 24) // 25
+            for i in range(n_pages):
+                rows.append((int(k), i,
+                             f"https://api.example/search?q={name}&start={i * 25}"))
+        return pd.DataFrame(rows, columns=["n_nationkey", "page_idx", "url"])
+
+    out = ds.map_batches(fan_out, batch_format="pandas").to_pandas()
+    out["n_nationkey"] = out["n_nationkey"].astype("int64")
+    out["page_idx"] = out["page_idx"].astype("int64")
+    return out
+
+
+def _q_date_kernels(sf_dir: str):
+    """§2.9 date kernels: truncation, component extraction, fixed-offset
+    timezone shift, epoch conversion — vectorized pandas dt ops."""
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "events", columns=["event_id", "ts"])
+
+    def kernels(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"]
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "day": ts.dt.floor("D").dt.strftime("%Y-%m-%d"),
+            "hour_of_day": ts.dt.hour.astype("int64"),
+            "isodow": (ts.dt.dayofweek + 1).astype("int64"),
+            "ts_ist": ts + pd.Timedelta(minutes=330),  # UTC+5:30 shift
+            "epoch_s": (ts.astype("int64") // 1_000_000).astype("int64"),
+        })
+
+    return ds.map_batches(kernels, batch_format="pandas")
+
+
 def _q_metadata_extract(sf_dir: str):
     """M9/M10: JATS-XML + meta-tag dialect metadata extraction into struct
     columns (oracle recomputes the golden fields from doc_id arithmetic —
@@ -632,6 +677,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "media_features": _q_media_features,
         "video_frames": _q_video_frames,
+        "paged_search_urls": _q_paged_search_urls,
+        "date_kernels": _q_date_kernels,
         "metadata_extract": _q_metadata_extract,
         "zip_extract_meta": _q_zip_extract_meta,
         "api_json_records": _q_api_json_records,
@@ -778,6 +825,22 @@ _LANG_ID_SQL = rf"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "paged_search_urls": """
+            SELECT n_nationkey,
+                   CAST(i AS BIGINT) AS page_idx,
+                   'https://api.example/search?q=' || n_name || '&start=' || (i * 25) AS url
+            FROM nation,
+                 unnest(range(0, ((10 + (n_nationkey * 7) % 90) + 24) // 25)) AS t(i)
+        """,
+        "date_kernels": """
+            SELECT event_id,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+                   CAST(isodow(ts) AS BIGINT) AS isodow,
+                   ts + INTERVAL 330 MINUTE AS ts_ist,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+            FROM events
+        """,
         "metadata_extract": _METADATA_ORACLE,
         "zip_extract_meta": _METADATA_ORACLE,
         "api_json_records": """

@@ -78,10 +78,14 @@ def bench_ingest(pages_root: str, n_pages: int, num_cpus: int) -> dict:
     from borges_ray.pipelines.ingest import bulk_ingest
 
     out_dir = os.path.join(BENCH_ROOT, f"ingest_out_{os.getpid()}")
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
-    res = bulk_ingest(pages_root, out_dir, num_cpus_hint=num_cpus)
-    wall = time.time() - t0
+    # min of 2 runs — same steal-noise methodology as the crawl/scaling
+    # measurements (identical runs span 1.5-3× on this host, BASELINE.md)
+    wall = float("inf")
+    for _rep in range(2):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        res = bulk_ingest(pages_root, out_dir, num_cpus_hint=num_cpus)
+        wall = min(wall, time.time() - t0)
     shutil.rmtree(out_dir, ignore_errors=True)
     return {
         "ingest_wall_sec": round(wall, 2),

@@ -93,3 +93,24 @@ def test_sample_seeded(ray_session):
     n2 = sample(rd.range(1000), 0.1, seed=7).count()
     assert n1 == n2                      # deterministic for fixed seed
     assert 40 <= n1 <= 200
+
+
+def test_pipeline_step_protocol_and_compose(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from borges_ray.stages import PipelineStep, compose
+
+    def add_one(ds):
+        return ds.map_batches(lambda df: df.assign(x=df["x"] + 1),
+                              batch_format="pandas")
+
+    def double(ds):
+        return ds.map_batches(lambda df: df.assign(x=df["x"] * 2),
+                              batch_format="pandas")
+
+    assert isinstance(add_one, PipelineStep)      # structural conformance
+    step = compose(add_one, double)
+    assert isinstance(step, PipelineStep)
+    out = step(rd.from_pandas(pd.DataFrame({"x": [1, 2]}))).to_pandas()
+    assert out["x"].tolist() == [4, 6]            # left-to-right order
