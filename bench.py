@@ -78,10 +78,11 @@ def bench_ingest(pages_root: str, n_pages: int, num_cpus: int) -> dict:
     from borges_ray.pipelines.ingest import bulk_ingest
 
     out_dir = os.path.join(BENCH_ROOT, f"ingest_out_{os.getpid()}")
-    # min of 2 runs — same steal-noise methodology as the crawl/scaling
-    # measurements (identical runs span 1.5-3× on this host, BASELINE.md)
+    # min of BENCH_REPS runs (default 2) — steal-noise methodology per
+    # BASELINE.md; the scaling harness sets BENCH_REPS=1 because it does its
+    # own interleaved min-of-reps across parallelism levels
     wall = float("inf")
-    for _rep in range(2):
+    for _rep in range(int(os.environ.get("BENCH_REPS", "2"))):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         res = bulk_ingest(pages_root, out_dir, num_cpus_hint=num_cpus)
@@ -116,7 +117,7 @@ def bench_crawl(pages_root: str, n_pages: int, num_buckets: int) -> dict:
     # runs span 1.5-3× (BASELINE.md); min-of-reps approximates the
     # uncontended number, matching the scaling harness's methodology
     wall = float("inf")
-    for _rep in range(2):
+    for _rep in range(int(os.environ.get("BENCH_REPS", "2"))):
         shutil.rmtree(ckpt_dir, ignore_errors=True)
         t0 = time.time()
         summary = run_crawl(pages_root, seeds, robots, cfg, ckpt_dir, resume=False)
@@ -238,7 +239,8 @@ def run_scaling() -> dict:
     shared host)."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MODE="ingest")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MODE="ingest",
+                   BENCH_REPS="1")
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
