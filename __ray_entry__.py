@@ -451,6 +451,20 @@ def _q_simhash(sf_dir: str):
     return out
 
 
+def _q_simhash_neardup(sf_dir: str):
+    """SimHash near-dup pairs: 16-bit-chunk pigeonhole banding + vectorized
+    popcount Hamming verify (rows-only: blake2b token hashes are not
+    SQL-expressible; semantics pytest-gated in test_simhash_near_dup)."""
+    from borges_ray.ops.dedup import simhash_near_dup_pairs
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    out = simhash_near_dup_pairs(ds, "doc_id", max_hamming=3)
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
 def _q_lang_id(sf_dir: str):
     """Heuristic language-ID vs the table's ground-truth lang column
     (rows-only; accuracy asserted in unit tests)."""
@@ -673,6 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": _q_minhash_neardup,
         "minhash_dedup_survivors": _q_minhash_dedup_survivors,
         "simhash_signatures": _q_simhash,
+        "simhash_neardup": _q_simhash_neardup,
         "lang_id_confusion": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "media_features": _q_media_features,
