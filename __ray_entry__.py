@@ -425,18 +425,19 @@ def _q_minhash_neardup(sf_dir: str):
 
 
 def _q_minhash_dedup_survivors(sf_dir: str):
-    """Full near-dup dedup: MinHash-LSH pairs → connected components →
-    keep-min-id survivors (oracle: recursive-CTE components over the same
-    exact-Jaccard pair set)."""
-    from borges_ray.ops.dedup import dedup_survivors, minhash_near_dup_pairs
+    """Full near-dup dedup: MinHash-LSH pairs → DISTRIBUTED connected
+    components (log-depth spanning-forest merge) → survivors via a
+    distributed anti-join against the loser set (oracle: recursive-CTE
+    components over the same exact-Jaccard pair set).  No base table is
+    ever read driver-side: the corpus id column flows through
+    ``hash_semi_join(documents, losers, anti=True)``."""
+    from borges_ray.ops.dedup import dedup_survivors_ds, minhash_near_dup_pairs
     from borges_ray.ops.relational import load
 
     ds = load(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = minhash_near_dup_pairs(ds, "doc_id", threshold=0.5)
-    all_ids = pd.read_parquet(f"{sf_dir}/documents.parquet",
-                              columns=["doc_id"])["doc_id"]
-    surv = dedup_survivors(all_ids, pairs)
-    return pd.DataFrame({"doc_id": surv})
+    docs = load(sf_dir, "documents", columns=["doc_id"])
+    return dedup_survivors_ds(docs, pairs, "doc_id", distributed_cc=True)
 
 
 def _q_simhash(sf_dir: str):

@@ -24,12 +24,30 @@ Python's salted ``hash``.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
 import ray.data as rd
 
+logger = logging.getLogger("borges_ray.dedup")
+
 MERSENNE61 = (1 << 61) - 1
+
+#: byte-popcount lookup (numpy 1.26 has no vectorized bit_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (flattened) via a byte lookup
+    table — O(8) bytes scratch per element, no ``unpackbits`` 64× blow-up."""
+    flat = np.ascontiguousarray(x).reshape(-1)
+    return _POP8[flat.view(np.uint8).reshape(len(flat), 8)].sum(axis=1, dtype=np.int64)
+
+
+def _hamming_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between two equal-shape uint64 arrays."""
+    return _popcount_u64(a ^ b)
 
 
 def _stable_u64(s: str) -> int:
@@ -316,10 +334,19 @@ def simhash_signatures(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 8))
 
 
-def simhash_near_dup_pairs(ds: rd.Dataset, id_col: str, *, max_hamming: int = 3) -> pd.DataFrame:
+def simhash_near_dup_pairs(ds: rd.Dataset, id_col: str, *, max_hamming: int = 3,
+                           max_bucket: int = 4096, tile: int = 2048) -> pd.DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into 4×16-bit
     chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), bucket-join on
-    (chunk_idx, chunk_value), verify Hamming distance."""
+    (chunk_idx, chunk_value), verify Hamming distance.
+
+    Bucket fan-out is BOUNDED: at most ``max_bucket`` members per
+    (chunk, chunk_val) bucket enter the pair spawn (smallest ids win;
+    overflow is logged), and verification runs in ``tile``×``tile`` blocks
+    with a byte-popcount Hamming kernel — so one hot 16-bit chunk value
+    (the ≥10^8-doc regime, where each value holds ~n/65536 members) costs
+    O(max_bucket²) candidate pairs and O(tile²) scratch instead of an
+    unbounded O(m²) allocation in a single task."""
     sigs = simhash_signatures(ds)
 
     def explode_chunks(df: pd.DataFrame) -> pd.DataFrame:
@@ -337,25 +364,40 @@ def simhash_near_dup_pairs(ds: rd.Dataset, id_col: str, *, max_hamming: int = 3)
     chunks = sigs.map_batches(explode_chunks, batch_format="pandas")
 
     def chunk_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        counts = df.groupby(["chunk", "chunk_val"], sort=False)[id_col].size()
-        hot = counts[counts >= 2].index
-        sub = df.set_index(["chunk", "chunk_val"]).loc[
-            df.set_index(["chunk", "chunk_val"]).index.isin(hot)].reset_index()
         outs = []
-        for _, g in sub.groupby(["chunk", "chunk_val"], sort=False):
+        for (ck, cv), g in df.groupby(["chunk", "chunk_val"], sort=False):
+            if len(g) < 2:
+                continue
             rows = g[[id_col, "simhash"]].drop_duplicates().sort_values(id_col)
+            if len(rows) < 2:
+                continue
+            if len(rows) > max_bucket:
+                logger.warning(
+                    "simhash bucket (chunk=%s, val=%s) capped at %d of %d "
+                    "members; %d dropped from pair spawn",
+                    ck, cv, max_bucket, len(rows), len(rows) - max_bucket)
+                rows = rows.head(max_bucket)
             ids = rows[id_col].to_numpy()
-            sigs = rows["simhash"].to_numpy(dtype=np.uint64)
-            # vectorized pair fan-out + popcount Hamming (no nested Python
-            # loop over bucket members — the r01 ≥10^8-doc hot-value trap)
-            ia, ib = np.triu_indices(len(ids), k=1)
-            x = sigs[ia] ^ sigs[ib]
-            ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
-                                axis=1).sum(axis=1)
-            keep = ham <= max_hamming
-            outs.append(pd.DataFrame({"id_a": ids[ia[keep]],
-                                      "id_b": ids[ib[keep]],
-                                      "hamming": ham[keep].astype("int64")}))
+            s = rows["simhash"].to_numpy(dtype=np.uint64)
+            n = len(ids)
+            for i0 in range(0, n, tile):
+                ai, si = ids[i0:i0 + tile], s[i0:i0 + tile]
+                ia, ib = np.triu_indices(len(ai), k=1)
+                ham = _hamming_u64(si[ia], si[ib])
+                keep = ham <= max_hamming
+                if keep.any():
+                    outs.append(pd.DataFrame({"id_a": ai[ia[keep]],
+                                              "id_b": ai[ib[keep]],
+                                              "hamming": ham[keep]}))
+                for j0 in range(i0 + tile, n, tile):
+                    aj, sj = ids[j0:j0 + tile], s[j0:j0 + tile]
+                    ham = _popcount_u64(si[:, None] ^ sj[None, :]).reshape(
+                        len(ai), len(aj))
+                    fi, fj = np.nonzero(ham <= max_hamming)
+                    if len(fi):
+                        outs.append(pd.DataFrame({"id_a": ai[fi],
+                                                  "id_b": aj[fj],
+                                                  "hamming": ham[fi, fj]}))
         if not outs:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64"),
@@ -489,7 +531,11 @@ def dedup_survivors(all_ids: pd.Series, pairs: pd.DataFrame,
     """Keep-set after near-dup collapse: every id not in any cluster, plus
     the min id of each cluster.  Past ``distributed_threshold`` candidate
     pairs, components run as the iterative Ray groupby
-    (:func:`near_dup_groups_ray`) instead of driver pandas."""
+    (:func:`near_dup_groups_ray`) instead of driver pandas.
+
+    Driver-side variant (the caller already holds the id column).  For the
+    scale path — where the corpus id column must NEVER reach the driver —
+    use :func:`dedup_survivors_ds`."""
     if len(pairs) > distributed_threshold:
         import ray.data as _rd
 
@@ -498,3 +544,31 @@ def dedup_survivors(all_ids: pd.Series, pairs: pd.DataFrame,
         groups = near_dup_groups(pairs)
     losers = set(groups.loc[groups["id"] != groups["group"], "id"])
     return all_ids[~all_ids.isin(losers)].reset_index(drop=True)
+
+
+def dedup_survivors_ds(docs: rd.Dataset, pairs: pd.DataFrame, id_col: str,
+                       *, distributed_cc: bool = False,
+                       distributed_threshold: int = 200_000) -> rd.Dataset:
+    """Fully distributed survivor selection: the corpus flows through a
+    hash-partitioned ANTI-JOIN against the loser set — the driver never
+    reads the id column of the base table (the last r02 driver-side corpus
+    touch).  Only the LOSER ids (bounded by the candidate-pair graph, which
+    LSH keeps far below corpus size) ever exist driver-side, as the output
+    of the connected-components pass.
+
+    ``distributed_cc=True`` forces components through the log-depth
+    spanning-forest merge (:func:`near_dup_groups_ray`) even for small pair
+    sets — used by the driver query so the distributed CC path is gated by
+    the correctness oracle, not just pytest."""
+    if len(pairs) and (distributed_cc or len(pairs) > distributed_threshold):
+        groups = near_dup_groups_ray(rd.from_pandas(pairs))
+    else:
+        groups = near_dup_groups(pairs)
+    losers = groups.loc[groups["id"] != groups["group"], ["id"]].rename(
+        columns={"id": id_col})
+    if losers.empty:
+        return docs
+    from .relational import hash_semi_join
+
+    return hash_semi_join(docs, rd.from_pandas(losers.reset_index(drop=True)),
+                          on=[id_col], anti=True)

@@ -15,10 +15,14 @@ BLAS orderings (and hash-comparable against the DuckDB oracle).
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 import ray
 import ray.data as rd
+
+logger = logging.getLogger("borges_ray.embed")
 
 
 def _matrix(col: pd.Series) -> np.ndarray:
@@ -125,44 +129,89 @@ def cosine_near_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 6,
     seed: int = 13,
+    max_bucket: int = 4096,
+    tile: int = 2048,
 ) -> pd.DataFrame:
     """Embedding near-dup pairs (cos ≥ threshold): LSH-band rows into
     hyperplane buckets, exact cosine verify within each bucket, union over a
     few plane seeds to recover pairs split by one plane.  Returns
-    (id_a < id_b, cos)."""
+    (id_a < id_b, cos).
+
+    Bucket fan-out is BOUNDED: at most ``max_bucket`` members per bucket
+    enter verification (smallest ids win; overflow is logged) and the
+    pairwise matmul runs in ``tile``×``tile`` blocks, so one hot bucket
+    (with ``n_planes=6`` the expected occupancy is n/64 rows) costs
+    O(tile²) scratch instead of an unbounded O(m²) allocation in a single
+    task.  Verification routes through the hash-bucketed
+    :func:`~borges_ray.ops.relational.groupby_buckets` (one vectorized call
+    per block, no per-group ``map_groups`` Python dispatch) and the three
+    plane-seed repetitions stay DISTRIBUTED — per-rep pair sets are unioned
+    and de-duplicated with a distributed distinct; only the final
+    candidate-sized result is collected."""
+    from .relational import distinct, groupby_buckets, spill_point
+
     sample = ds.take(1)
     dim = len(sample[0][vec_col])
-    all_pairs: list[pd.DataFrame] = []
+    rep_pairs: list[rd.Dataset] = []
     for rep in range(3):  # 3 independent plane sets → higher recall
         rng = np.random.default_rng(seed + rep)
-        planes = rng.standard_normal((n_planes, dim))
-        planes_ref = ray.put(planes)
+        planes_ref = ray.put(rng.standard_normal((n_planes, dim)))
 
-        def bucketer(df: pd.DataFrame) -> pd.DataFrame:
+        def bucketer(df: pd.DataFrame, _ref=planes_ref) -> pd.DataFrame:
             m = _normalize(_matrix(df[vec_col]))
-            b = lsh_bucket_ids(m, ray.get(planes_ref))
+            b = lsh_bucket_ids(m, ray.get(_ref))
             return pd.DataFrame({id_col: df[id_col].to_numpy(), "bucket": b,
                                  vec_col: df[vec_col]})
 
         bucketed = ds.map_batches(bucketer, batch_format="pandas")
 
-        def verify(df: pd.DataFrame) -> pd.DataFrame:
-            if len(df) < 2:
+        def verify_block(df: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for b, g in df.groupby("bucket", sort=False):
+                if len(g) < 2:
+                    continue
+                g = g.sort_values(id_col, kind="mergesort")
+                if len(g) > max_bucket:
+                    logger.warning(
+                        "cosine LSH bucket %s capped at %d of %d members; "
+                        "%d dropped from verification",
+                        b, max_bucket, len(g), len(g) - max_bucket)
+                    g = g.head(max_bucket)
+                m = _normalize(_matrix(g[vec_col]))
+                ids = g[id_col].to_numpy()
+                n = len(ids)
+                for i0 in range(0, n, tile):
+                    mi, ai = m[i0:i0 + tile], ids[i0:i0 + tile]
+                    cos = np.round(mi @ mi.T, 6)
+                    ia, ib = np.triu_indices(len(ai), k=1)
+                    keep = cos[ia, ib] >= threshold
+                    if keep.any():
+                        outs.append(pd.DataFrame({
+                            "id_a": ai[ia[keep]], "id_b": ai[ib[keep]],
+                            "cos": cos[ia[keep], ib[keep]]}))
+                    for j0 in range(i0 + tile, n, tile):
+                        mj, aj = m[j0:j0 + tile], ids[j0:j0 + tile]
+                        cos = np.round(mi @ mj.T, 6)
+                        fi, fj = np.nonzero(cos >= threshold)
+                        if len(fi):
+                            outs.append(pd.DataFrame({
+                                "id_a": ai[fi], "id_b": aj[fj],
+                                "cos": cos[fi, fj]}))
+            if not outs:
                 return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                      "id_b": pd.Series(dtype="int64"),
                                      "cos": pd.Series(dtype="float64")})
-            df = df.sort_values(id_col, kind="mergesort")
-            m = _normalize(_matrix(df[vec_col]))
-            ids = df[id_col].to_numpy()
-            cos = np.round(m @ m.T, 6)
-            ia, ib = np.triu_indices(len(ids), k=1)
-            keep = cos[ia, ib] >= threshold
-            return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
-                                 "cos": cos[ia[keep], ib[keep]]})
+            return pd.concat(outs, ignore_index=True)
 
-        pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
-        all_pairs.append(pairs.to_pandas())
-    out = pd.concat(all_pairs, ignore_index=True).drop_duplicates(subset=["id_a", "id_b"])
+        # spill each rep's (candidate-sized) pair set: severs lineage before
+        # the union+distinct sort (Ray 2.49 nested union+sort hazard) and
+        # forces rep-local planes_ref binding to execute now
+        rep_pairs.append(spill_point(
+            groupby_buckets(bucketed, ["bucket"], verify_block),
+            f"cospairs{rep}"))
+    unioned = rep_pairs[0].union(*rep_pairs[1:])
+    out = distinct(unioned, ["id_a", "id_b", "cos"]).to_pandas()
+    out = out.drop_duplicates(subset=["id_a", "id_b"])
     return out.sort_values(["id_a", "id_b"], kind="mergesort").reset_index(drop=True)
 
 
@@ -260,6 +309,13 @@ def build_ivf_index(
         cents = ray.get(cents_ref)
         m = _normalize(_matrix(df[vec_col]))
         out = df[[id_col, vec_col]].copy()
+        if len(out) and isinstance(out[vec_col].iloc[0], np.ndarray):
+            # ndarray cells (e.g. a pandas-origin dataset) become Ray's
+            # tensor extension type, whose parquet round-trip embeds pandas
+            # metadata ("numpy.ndarray(shape=...)") that to_pandas can't
+            # parse back (Ray 2.49/pyarrow interop); plain lists keep the
+            # index files as vanilla list<float>
+            out[vec_col] = [v.tolist() for v in out[vec_col]]
         out["ivf"] = np.argmax(m @ cents.T, axis=1).astype("int32")
         return out
 

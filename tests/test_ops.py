@@ -288,3 +288,62 @@ def test_media_feature_extractor(ray_session):
         assert r.width == 16 + d % 317 and r.height == 16 + d % 211
         assert r.n_bytes == 117 + d % 1000
         assert r.checksum == (100 + d % 1000) * (d % 251)
+
+# ---------------------------------------------------------------------------
+# Bounded LSH bucket fan-out (adversarial hot buckets + tiling invariance)
+# ---------------------------------------------------------------------------
+
+def test_simhash_hot_bucket_capped(ray_session):
+    """Adversarial hot bucket: 10^5 identical-signature docs collapse every
+    chunk bucket onto one value; the member cap must bound the pair spawn
+    (smallest ids win) and the tiled popcount must complete without an
+    O(m^2) allocation."""
+    from borges_ray.ops.dedup import simhash_near_dup_pairs
+
+    n, cap = 100_000, 64
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": "hot bucket text payload"})
+    pairs = simhash_near_dup_pairs(rd.from_pandas(df), "doc_id",
+                                   max_hamming=3, max_bucket=cap, tile=16)
+    assert len(pairs) == cap * (cap - 1) // 2
+    assert pairs["id_a"].max() < cap and pairs["id_b"].max() < cap
+    assert (pairs["hamming"] == 0).all()
+
+
+def test_cosine_hot_bucket_capped(ray_session):
+    """Same adversarial shape for the embedding LSH: identical vectors all
+    land in one hyperplane bucket in every rep; cap + tiling bound the
+    verify matmul."""
+    from borges_ray.ops.embed import cosine_near_dup_pairs
+
+    n, cap = 20_000, 48
+    rng = np.random.default_rng(9)
+    v = list(rng.standard_normal(8))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [v] * n})
+    pairs = cosine_near_dup_pairs(rd.from_pandas(df), 0.999,
+                                  max_bucket=cap, tile=16)
+    assert len(pairs) == cap * (cap - 1) // 2
+    assert pairs["id_a"].max() < cap and pairs["id_b"].max() < cap
+    assert (pairs["cos"] == 1.0).all()
+
+
+def test_simhash_tiling_invariant(docs):
+    """Tiled pair spawn returns exactly the untiled pair set."""
+    from borges_ray.ops.dedup import simhash_near_dup_pairs
+
+    _, ds = docs
+    a = simhash_near_dup_pairs(ds, "doc_id", max_hamming=6, tile=8)
+    b = simhash_near_dup_pairs(ds, "doc_id", max_hamming=6)
+    key = lambda p: sorted(map(tuple, p[["id_a", "id_b", "hamming"]].values))
+    assert key(a) == key(b) and len(a) > 0
+
+
+def test_cosine_tiling_invariant(vecs):
+    from borges_ray.ops.embed import cosine_near_dup_pairs
+
+    _, ds = vecs
+    a = cosine_near_dup_pairs(ds, 0.5, tile=8)
+    b = cosine_near_dup_pairs(ds, 0.5)
+    key = lambda p: sorted(map(tuple, p[["id_a", "id_b", "cos"]].values))
+    assert key(a) == key(b) and len(a) > 0
