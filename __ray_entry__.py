@@ -364,8 +364,10 @@ def _q_cosine_neardup(sf_dir: str):
 
 
 def _q_cosine_neardup_lsh(sf_dir: str):
-    """LSH-bucketed embedding near-dup — the scale path (approximate,
-    rows-only check)."""
+    """LSH-bucketed embedding near-dup — the scale path.  Oracle: the
+    seeded hyperplanes are embedded as SQL literals, so DuckDB recomputes
+    the exact bucket bits and bucket-mate pair set (see
+    ``_oracle_cosine_lsh``)."""
     from borges_ray.ops.embed import cosine_near_dup_pairs
     from borges_ray.ops.relational import load
 
@@ -374,7 +376,9 @@ def _q_cosine_neardup_lsh(sf_dir: str):
 
 
 def _q_knn_lsh(sf_dir: str):
-    """Approximate ANN via hyperplane-LSH bucket pruning (rows-only)."""
+    """Approximate ANN via hyperplane-LSH bucket pruning.  Oracle: SQL
+    recomputes the seeded plane bucket bits and scores only the query's
+    bucket (see ``_oracle_knn_lsh``)."""
     from borges_ray.ops.embed import knn_lsh
     from borges_ray.ops.relational import load
 
@@ -441,8 +445,9 @@ def _q_minhash_dedup_survivors(sf_dir: str):
 
 
 def _q_simhash(sf_dir: str):
-    """64-bit SimHash signatures per document (rows-only: deterministic
-    custom hash, not SQL-expressible)."""
+    """64-bit SimHash signatures per document (oracle: per-bit majority
+    vote over DuckDB ``md5_number_lower`` token hashes — the engine uses
+    the identical md5 lower-64)."""
     from borges_ray.ops.dedup import simhash_signatures
     from borges_ray.ops.relational import load
 
@@ -453,9 +458,11 @@ def _q_simhash(sf_dir: str):
 
 
 def _q_simhash_neardup(sf_dir: str):
-    """SimHash near-dup pairs: 16-bit-chunk pigeonhole banding + vectorized
-    popcount Hamming verify (rows-only: blake2b token hashes are not
-    SQL-expressible; semantics pytest-gated in test_simhash_near_dup)."""
+    """SimHash near-dup pairs: 16-bit-chunk pigeonhole banding + tiled
+    popcount Hamming verify (oracle: all pairs with
+    ``bit_count(xor(sig_a, sig_b)) <= 3`` over SQL-recomputed signatures —
+    equal to the banded result because hamming ≤ 3 over 4 chunks pigeonholes
+    some chunk equal)."""
     from borges_ray.ops.dedup import simhash_near_dup_pairs
     from borges_ray.ops.relational import load
 
@@ -839,8 +846,109 @@ _LANG_ID_SQL = rf"""
 """
 
 
+# SQL twin of the SimHash signature computation: per-bit majority vote over
+# md5_number_lower token hashes (the engine hashes tokens with the identical
+# md5 lower-64, dedup.py:_md5_u64), whitespace tokenization as text.split().
+_SIMHASH_SIG_CTE = r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                          x -> x <> '')) AS tok
+        FROM documents
+    ), th AS (
+        SELECT doc_id, md5_number_lower(tok) AS h FROM toks
+    ), votes AS (
+        SELECT doc_id, b,
+               CASE WHEN 2 * sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE 0 END)
+                         > count(*) THEN 1 ELSE 0 END AS v
+        FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+        GROUP BY doc_id, b
+    ), sig AS (
+        SELECT doc_id,
+               CAST(sum(CAST(v AS UBIGINT) * (CAST(1 AS UBIGINT) << b))
+                    AS UBIGINT) AS simhash
+        FROM votes GROUP BY doc_id
+    ), sigfull AS (
+        SELECT d.doc_id, COALESCE(s.simhash, CAST(0 AS UBIGINT)) AS simhash
+        FROM documents d LEFT JOIN sig s USING (doc_id)
+    )
+"""
+
+_ORACLE_SIMHASH_SIGS = _SIMHASH_SIG_CTE + "SELECT doc_id, simhash FROM sigfull"
+
+# Equal to the engine's banded pairs: hamming ≤ 3 over a 4×16-bit split
+# pigeonholes at least one chunk equal, so the chunk-bucket join loses
+# nothing vs this direct all-pairs filter.
+_ORACLE_SIMHASH_NEARDUP = _SIMHASH_SIG_CTE + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sigfull a JOIN sigfull b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _hyperplane_bit_sql(seed: int, n_planes: int, dim: int = 64) -> list[str]:
+    """SQL sign-bit expressions for the SAME seeded hyperplanes the engine
+    draws (embed.py: default_rng(seed).standard_normal((n_planes, dim))).
+    Normalization doesn't change the sign of the dot product, so the raw
+    ``list_dot_product`` reproduces the engine's bucket bits exactly."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    return [
+        "(CASE WHEN list_dot_product(embedding, ["
+        + ", ".join(repr(float(x)) for x in p)
+        + "]) > 0 THEN 1 ELSE 0 END)"
+        for p in planes
+    ]
+
+
+def _oracle_knn_lsh() -> str:
+    """Exact SQL twin of ``_q_knn_lsh``: score only rows in the query
+    vector's hyperplane bucket (seed 13, 4 planes), rounded-cos top-10."""
+    bits = _hyperplane_bit_sql(13, 4)
+    cols = ", ".join(f"{e} AS b{j}" for j, e in enumerate(bits))
+    cond = " AND ".join(f"e.b{j} = q.b{j}" for j in range(4))
+    return f"""
+        WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, {cols}
+                   FROM embeddings),
+             q AS (SELECT * FROM b WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(list_cosine_similarity(e.emb, q.emb), 6) AS cos
+        FROM b e, q
+        WHERE {cond}
+        ORDER BY cos DESC, e.vec_id LIMIT 10
+    """
+
+
+def _oracle_cosine_lsh(threshold: float = 0.38) -> str:
+    """Exact SQL twin of ``_q_cosine_neardup_lsh``: a pair is emitted iff
+    the two rows share a bucket in ANY of the 3 plane-seed repetitions
+    (seeds 13, 14, 15; 4 planes each) and its rounded cos clears the
+    threshold — the same rule the engine's bucketed verify applies."""
+    all_cols, rep_conds, idx = [], [], 0
+    for rep in range(3):
+        js = []
+        for e in _hyperplane_bit_sql(13 + rep, 4):
+            all_cols.append(f"{e} AS b{idx}")
+            js.append(idx)
+            idx += 1
+        rep_conds.append("(" + " AND ".join(f"a.b{j} = c.b{j}" for j in js) + ")")
+    return f"""
+        WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                          {", ".join(all_cols)} FROM embeddings)
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               round(list_cosine_similarity(a.emb, c.emb), 6) AS cos
+        FROM b a JOIN b c ON a.vec_id < c.vec_id
+        WHERE ({" OR ".join(rep_conds)})
+          AND round(list_cosine_similarity(a.emb, c.emb), 6) >= {threshold}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "simhash_signatures": _ORACLE_SIMHASH_SIGS,
+        "simhash_neardup": _ORACLE_SIMHASH_NEARDUP,
+        "cosine_neardup_lsh": _oracle_cosine_lsh(),
+        "knn_lsh": _oracle_knn_lsh(),
         "paged_search_urls": """
             SELECT n_nationkey,
                    CAST(i AS BIGINT) AS page_idx,
@@ -1078,8 +1186,12 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "knn_cosine": """
+            -- DOUBLE[] cast: float32-list inputs would make DuckDB compute
+            -- the cosine in float32, which disagrees with the engine's
+            -- float64 kernel in the 6th decimal for ~5% of values
             SELECT e.vec_id,
-                   round(list_cosine_similarity(e.embedding, q.embedding), 6) AS cos
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])), 6) AS cos
             FROM embeddings e,
                  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             ORDER BY cos DESC, e.vec_id LIMIT 10

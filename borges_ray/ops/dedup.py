@@ -54,6 +54,33 @@ def _stable_u64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+_MD5_TOKEN_CACHE: dict[str, int] = {}
+
+
+def _md5_u64(s: str) -> int:
+    """Lower 64 bits (little-endian bytes 8..16) of md5 — bit-identical to
+    DuckDB's ``md5_number_lower``, so SQL oracles can recompute SimHash
+    signatures token-for-token."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:16], "little")
+
+
+def _md5_token_hashes(toks: list[str]) -> np.ndarray:
+    """Memoized md5-u64 per token (same Zipf-cache rationale as
+    :func:`_token_hashes`; separate hash family so SimHash stays
+    SQL-checkable while MinHash keeps the cheaper blake2b)."""
+    cache = _MD5_TOKEN_CACHE
+    if len(cache) > _TOKEN_CACHE_MAX:
+        cache.clear()
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = _md5_u64(t)
+            cache[t] = h
+        out[i] = h
+    return out
+
+
 _TOKEN_CACHE: dict[str, int] = {}
 _TOKEN_CACHE_MAX = 1_000_000
 _SHINGLE_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 constant
@@ -310,7 +337,10 @@ def minhash_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """64-bit SimHash over whitespace tokens (uniform weights)."""
+    """64-bit SimHash over whitespace tokens (uniform weights).  Token
+    hashes are md5 lower-64 (== DuckDB ``md5_number_lower``) so the full
+    signature — per-bit majority vote over token hashes — is reproducible
+    by the SQL oracle."""
 
     def __init__(self):
         self.bits = 64
@@ -319,7 +349,7 @@ class SimHasher:
         toks = text.split()
         if not toks:
             return 0
-        hashes = _token_hashes(toks)
+        hashes = _md5_token_hashes(toks)
         bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
         votes = bits.sum(axis=0) * 2 - len(toks)
         return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
