@@ -586,6 +586,22 @@ def _q_metadata_extract(sf_dir: str):
     return out.to_pandas().drop(columns=["authors_list"])
 
 
+def _q_missed_records(sf_dir: str):
+    """F8 missed-record sink: DOI-less extraction aborts are ROUTED to a
+    ``missed`` table (one parse pass, vectorized kept/missed split) instead
+    of silently dropped — the reference files them into a
+    ``missed_papers`` collection (``Elsevier/paper_index.py:233-240``).
+    Oracle: the synthetic corpus aborts exactly the odd (meta-dialect)
+    doc_ids divisible by 19."""
+    from borges_ray.extract_meta import split_missed
+    from borges_ray.ops.relational import load
+    from borges_ray.synth_articles import articles_from_documents
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    _kept, missed = split_missed(articles_from_documents(ds))
+    return missed.to_pandas()
+
+
 def _q_zip_extract_meta(sf_dir: str):
     """S15/T7: zip drop-folder → encoding-branch member decode (xml utf-8 /
     html cp1252) → metadata extraction.  Same golden oracle as
@@ -703,6 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paged_search_urls": _q_paged_search_urls,
         "date_kernels": _q_date_kernels,
         "metadata_extract": _q_metadata_extract,
+        "missed_records": _q_missed_records,
         "zip_extract_meta": _q_zip_extract_meta,
         "api_json_records": _q_api_json_records,
         "merge_abstract": _q_merge_abstract,
@@ -966,6 +983,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "metadata_extract": _METADATA_ORACLE,
+        "missed_records": """
+            SELECT doc_id, 'No DOI! Aborting...' AS missed_note
+            FROM documents WHERE doc_id % 2 = 1 AND doc_id % 19 = 0
+        """,
         "zip_extract_meta": _METADATA_ORACLE,
         "api_json_records": """
             SELECT doc_id,

@@ -56,3 +56,27 @@ class _BenignEmptySortBlockFilter(_logging.Filter):
 _logging.getLogger("ray.data._internal.execution.streaming_executor_state").addFilter(
     _BenignEmptySortBlockFilter()
 )
+
+
+def _disable_tensor_extension_casting() -> None:
+    """Opt out of Ray Data's automatic tensor-extension casting.
+
+    This engine's list-typed columns (token lists, author lists, float32
+    embeddings) are plain Arrow ``list<T>`` payloads, not tensors.  Ray
+    2.49's auto-cast turns pandas-origin ndarray cells into its tensor
+    extension type, which (a) embeds pandas metadata on parquet write that
+    ``to_pandas`` cannot parse back ("numpy.ndarray(shape=…)" dtype
+    strings) and (b) raises on ragged object-ndarray columns read back
+    from parquet (e.g. ``list<string>`` author lists with nulls).  With
+    casting off, such columns stay plain lists/object arrays end-to-end.
+    Set at import so driver AND workers (which also import this package
+    for UDFs) agree."""
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_tensor_extension_casting = False
+    except Exception:  # pragma: no cover — ray absent or API moved
+        pass
+
+
+_disable_tensor_extension_casting()

@@ -303,36 +303,84 @@ def extract_article_meta(kind: str, payload: str) -> dict:
 
 class MetaExtractor:
     """``map_batches`` stage: (id_col, content_kind, payload) → struct-flat
-    metadata columns.  Aborted records (no DOI) are DROPPED, matching the
-    reference's early return.  ``authors`` is emitted both as a
-    ``list<string>`` column (``authors_list``) and as a '; '-joined string
-    (``authors``) for SQL-comparable output."""
+    metadata columns.  Aborted records (no DOI) are DROPPED by default,
+    matching the reference's early return; with ``route_missed=True`` they
+    are instead EMITTED with ``missed=True`` and the abort note, so a
+    pipeline can split them to a missed-record sink (F8 — the reference
+    routes DOI-less results to a ``missed_papers`` collection,
+    ``Elsevier/paper_index.py:233-240``) rather than silently losing them.
+    ``authors`` is emitted both as a ``list<string>`` column
+    (``authors_list``) and as a '; '-joined string (``authors``) for
+    SQL-comparable output."""
 
     def __init__(self, id_col: str = "doc_id", kind_col: str = "content_kind",
-                 payload_col: str = "payload"):
+                 payload_col: str = "payload", route_missed: bool = False):
         self.id_col = id_col
         self.kind_col = kind_col
         self.payload_col = payload_col
+        self.route_missed = route_missed
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         rows = []
+        meta_cols = [f for f in META_FIELDS if f != "authors"]
         for rid, kind, payload in zip(df[self.id_col], df[self.kind_col],
                                       df[self.payload_col]):
             meta = extract_article_meta(kind, payload)
             if meta.get("aborted"):
+                if self.route_missed:
+                    rows.append({
+                        self.id_col: rid,
+                        **{f: None for f in meta_cols},
+                        "contains_body": False,
+                        "authors_list": None, "authors": None,
+                        "missed": True,
+                        "missed_note": "; ".join(meta.get("notes", [])),
+                    })
                 continue
             authors = meta["authors"]
             rows.append({
                 self.id_col: rid,
-                **{f: meta[f] for f in META_FIELDS if f != "authors"},
+                **{f: meta[f] for f in meta_cols},
                 "authors_list": authors,
                 "authors": "; ".join(authors) if authors is not None else None,
+                **({"missed": False, "missed_note": None}
+                   if self.route_missed else {}),
             })
-        cols = [self.id_col, *[f for f in META_FIELDS if f != "authors"],
-                "authors_list", "authors"]
+        cols = [self.id_col, *meta_cols, "authors_list", "authors"]
+        if self.route_missed:
+            cols += ["missed", "missed_note"]
         if not rows:
             out = pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
             out[self.id_col] = out[self.id_col].astype(df[self.id_col].dtype)
             out["contains_body"] = out["contains_body"].astype(bool)
+            if self.route_missed:
+                out["missed"] = out["missed"].astype(bool)
             return out
         return pd.DataFrame(rows)[cols]
+
+
+def split_missed(arts, **extractor_kwargs):
+    """F8 split-to-two-sinks: ONE extraction pass over the article stream,
+    then vectorized filters route kept rows (the reference's main
+    collection) and aborted rows (its ``missed_papers``) to separate
+    datasets.  Returns ``(kept, missed)``; ``kept`` carries the exact
+    default :class:`MetaExtractor` schema, ``missed`` is
+    ``(id_col, missed_note)``.  The routed intermediate is spilled once so
+    the two branches don't re-run the parse."""
+    import pyarrow.compute as pc
+
+    from .ops.relational import filter_batches, spill_point
+
+    id_col = extractor_kwargs.get("id_col", "doc_id")
+    routed = spill_point(
+        arts.map_batches(MetaExtractor, batch_format="pandas",
+                         fn_constructor_kwargs={**extractor_kwargs,
+                                                "route_missed": True},
+                         concurrency=(1, 4)),
+        "meta_routed")
+    kept = filter_batches(
+        routed, lambda t: pc.invert(t["missed"])
+    ).drop_columns(["missed", "missed_note"])
+    missed = filter_batches(routed, lambda t: t["missed"]).select_columns(
+        [id_col, "missed_note"])
+    return kept, missed

@@ -216,3 +216,31 @@ def test_zip_corpus_roundtrip(ray_session, tmp_path):
         assert row.payload == payload  # byte-lossless through zip + decode
     # extension-filter: pdf junk never yields rows
     assert (members.content_kind.isin(["jats", "meta"])).all()
+
+
+def test_split_missed_routes_aborts(ray_session):
+    """F8: one parse pass splits kept/missed; together they partition the
+    input, and the kept branch matches the default (drop-aborted) output."""
+    import ray.data as rd
+
+    from borges_ray.extract_meta import split_missed
+    from borges_ray.synth_articles import articles_from_documents
+
+    df = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"]).head(80)
+    arts = articles_from_documents(rd.from_pandas(df))
+    kept, missed = split_missed(arts)
+    kept_df, missed_df = kept.to_pandas(), missed.to_pandas()
+    aborted = {int(d) for d in df.doc_id if d % 2 == 1 and d % 19 == 0}
+    assert set(missed_df.doc_id) == aborted
+    assert (missed_df.missed_note == "No DOI! Aborting...").all()
+    assert set(kept_df.doc_id) | aborted == set(df.doc_id)
+    assert set(kept_df.doc_id).isdisjoint(aborted)
+
+    default = arts.map_batches(MetaExtractor, batch_format="pandas",
+                               concurrency=(1, 2)).to_pandas()
+    a = kept_df.drop(columns=["authors_list"]).sort_values("doc_id",
+                                                           ignore_index=True)
+    b = default.drop(columns=["authors_list"]).sort_values("doc_id",
+                                                           ignore_index=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
