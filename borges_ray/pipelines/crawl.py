@@ -87,6 +87,7 @@ class EngineConfig:
     flaky: bool = False          # T6 deterministic transient-failure + retry model
     night_shift: bool = False    # F9 time-of-day host gating
     api_keys: tuple = ()         # T2/S13: non-empty → session-actor fetch path
+    render: bool = False         # S12: browser-render actor fetch path
 
 
 def _count_rows(path: str) -> int:
@@ -308,7 +309,13 @@ def run_crawl(
         # html is dropped by parse, only text+links are pinned).  With a
         # key pool configured, fetch runs on session actors (T2/S13) —
         # identical rows, key_idx dropped before parse.
-        if cfg.api_keys:
+        if cfg.render:
+            from ..stages.fetch import fetch_selected_render
+
+            fetched = fetch_selected_render(
+                selected, pages_root, cfg.num_buckets,
+                flaky=cfg.flaky).drop_columns(["render_ms", "handle_gen"])
+        elif cfg.api_keys:
             from ..stages.fetch import fetch_selected_sessions
 
             fetched = fetch_selected_sessions(

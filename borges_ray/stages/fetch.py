@@ -236,3 +236,120 @@ def fetch_selected_sessions(selected: rd.Dataset, pages_root: str,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class RenderSession:
+    """Headless-browser fetch ACTOR (S12): per-actor browser-handle state
+    with render wait/timeout config — the semantics of the reference's
+    Splash path, ``SplashRequest(args={'wait': 10, 'timeout': 90,
+    'images_enabled': False})`` (``Borges/spiders/RSC/metadata.py:36-39``)
+    behind the splash middleware stack (``Borges/settings.py:93-104``).
+
+    Deterministic stub: the "browser" is a per-actor handle (opened in
+    ``__init__``, recycled every ``pages_per_handle`` renders — real
+    headless browsers leak and get restarted) and a page's virtual render
+    time is a stable function of its url bounded by ``render_wait_ms``
+    (Splash waits ``wait`` seconds for the page to settle).  A render time
+    at or past ``timeout_ms`` returns status 504 with no html — with the
+    reference's default 10 s wait vs 90 s timeout that branch never fires,
+    so crawled rows are byte-identical to :func:`fetch_selected` (the
+    parity contract the conformance test asserts) plus ``render_ms`` and
+    ``handle_gen`` bookkeeping columns.
+    """
+
+    def __init__(self, pages_root: str, num_buckets: int,
+                 render_wait_ms: int = 10_000, timeout_ms: int = 90_000,
+                 pages_per_handle: int = 64, flaky: bool = False,
+                 images_enabled: bool = False):
+        self.pages_root = pages_root
+        self.num_buckets = num_buckets
+        self.render_wait_ms = render_wait_ms
+        self.timeout_ms = timeout_ms
+        self.pages_per_handle = pages_per_handle
+        self.flaky = flaky
+        self.images_enabled = images_enabled
+        self.handle_gen = 0
+        self.pages_rendered = 0
+        self._open_handle()
+
+    def _open_handle(self) -> None:
+        """(Re)start the browser handle — once per actor init and after
+        every ``pages_per_handle`` renders."""
+        self.handle_gen += 1
+        self.handle_token = stable_hash(f"browser:{self.handle_gen}")
+        self.pages_rendered = 0
+
+    def render_ms_of(self, url: str) -> int:
+        """Virtual settle time for this page, bounded by the configured
+        wait (images-off renders settle in half the budget)."""
+        budget = self.render_wait_ms if self.images_enabled else self.render_wait_ms // 2
+        return stable_hash("render:" + url) % max(budget, 1)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out_parts = []
+        tmp = df.copy()
+        tmp[BUCKET_COL] = bucket_of_urls(tmp["url"], self.num_buckets)
+        for b, g in tmp.groupby(BUCKET_COL, sort=False):
+            path = os.path.join(self.pages_root, f"{BUCKET_COL}={int(b)}")
+            urls = g["url"].tolist()
+            if os.path.isdir(path):
+                dset = pads.dataset(path, format="parquet")
+                hit = dset.to_table(columns=["url", "html"],
+                                    filter=pc.field("url").isin(urls))
+                hits = dict(zip(hit["url"].to_pylist(), hit["html"].to_pylist()))
+            else:
+                hits = {}
+            o = g.drop(columns=[BUCKET_COL]).copy()
+            statuses, attempts, render_ms, handle_gens = [], [], [], []
+            for u in urls:
+                s = 200 if u in hits else 404
+                a = 1
+                if self.flaky:
+                    s, a = apply_flaky(u, s)
+                r = 0
+                if s == 200:
+                    r = self.render_ms_of(u)
+                    if r >= self.timeout_ms:
+                        s = 504  # render timeout: page dropped, html None
+                    self.pages_rendered += 1
+                    if self.pages_rendered >= self.pages_per_handle:
+                        self._open_handle()
+                statuses.append(s)
+                attempts.append(a)
+                render_ms.append(r)
+                handle_gens.append(self.handle_gen)
+            o["attempts"] = attempts
+            o["html"] = [hits.get(u) if s == 200 else None
+                         for u, s in zip(urls, statuses)]
+            o["status"] = statuses
+            o["render_ms"] = pd.Series(render_ms, index=o.index, dtype="int64")
+            o["handle_gen"] = pd.Series(handle_gens, index=o.index, dtype="int32")
+            out_parts.append(o)
+        if not out_parts:
+            out = df.copy()
+            for c, d in (("attempts", "int64"), ("status", "int64"),
+                         ("render_ms", "int64"), ("handle_gen", "int32")):
+                out[c] = pd.Series(dtype=d)
+            out["html"] = pd.Series(dtype=object)
+            return out
+        return pd.concat(out_parts, ignore_index=True)
+
+
+def fetch_selected_render(selected: rd.Dataset, pages_root: str,
+                          num_buckets: int, *, render_wait_ms: int = 10_000,
+                          timeout_ms: int = 90_000, flaky: bool = False,
+                          concurrency=(1, 4)) -> rd.Dataset:
+    """Browser-render fetch path (S12): same rows as :func:`fetch_selected`
+    plus ``render_ms``/``handle_gen``, with per-actor browser-handle state.
+    Render work is the expensive stage in a real deployment — the actor
+    pool bounds concurrent browser handles per node."""
+    return selected.map_batches(
+        RenderSession,
+        fn_constructor_kwargs={"pages_root": pages_root,
+                               "num_buckets": num_buckets,
+                               "render_wait_ms": render_wait_ms,
+                               "timeout_ms": timeout_ms, "flaky": flaky},
+        batch_format="pandas",
+        concurrency=concurrency,
+        num_cpus=1,
+    )

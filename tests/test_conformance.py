@@ -193,3 +193,45 @@ def test_session_fetch_parity_and_key_rotation(web, ray_session, tmp_path):
             if want == 999:  # robots-blocked rows are never fetched
                 continue
             assert r["status"] == want
+
+
+def test_render_fetch_parity_and_timeout(web, ray_session, tmp_path):
+    """S12: the browser-render actor fetch path (per-actor handle state,
+    render wait/timeout config — SplashRequest semantics) produces
+    byte-identical crawled rows to the plain path at the reference's
+    default wait=10s / timeout=90s, and the timeout branch deterministically
+    drops pages when the budget is tightened below render times."""
+    import pandas as pd
+
+    from borges_ray.pipelines.crawl import EngineConfig, collect_crawled, run_crawl
+    from borges_ray.stages.fetch import RenderSession
+
+    _pages, seeds, robots, pages_root, _ = web
+    base = EngineConfig(max_rounds=4, num_partitions=8, num_buckets=4,
+                        num_seen_shards=2, flaky=True)
+    ck_a = str(tmp_path / "plain")
+    run_crawl(pages_root, seeds, robots.to_pandas(), base, ck_a, resume=False)
+    rend = EngineConfig(max_rounds=4, num_partitions=8, num_buckets=4,
+                        num_seen_shards=2, flaky=True, render=True)
+    ck_b = str(tmp_path / "render")
+    run_crawl(pages_root, seeds, robots.to_pandas(), rend, ck_b, resume=False)
+    a = collect_crawled(ck_a).to_pandas().set_index("url").sort_index()
+    b = collect_crawled(ck_b).to_pandas().set_index("url").sort_index()
+    assert list(a.index) == list(b.index)
+    for col in ("status", "attempts", "extracted_text", "fetch_round", "host_seq"):
+        assert (a[col].to_numpy() == b[col].to_numpy()).all(), col
+
+    # unit-level browser-handle semantics: handle recycles after
+    # pages_per_handle renders; a tight timeout turns renders into 504s
+    rs = RenderSession(pages_root, 4, pages_per_handle=5)
+    assert rs.handle_gen == 1 and rs.handle_token != 0
+    sel = a.reset_index()[["url"]].head(20).copy()
+    ok_urls = a[a.status == 200].index
+    sel = sel[sel.url.isin(ok_urls)].reset_index(drop=True)
+    out = rs(sel)
+    assert (out.status == 200).all()
+    assert out.handle_gen.max() > 1          # recycled at least once
+    assert (out.render_ms < rs.render_wait_ms // 2).all()
+    tight = RenderSession(pages_root, 4, timeout_ms=1)
+    out2 = tight(sel)
+    assert (out2.status == 504).all() and out2.html.isna().all()
