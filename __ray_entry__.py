@@ -185,9 +185,24 @@ def _q_join_broadcast(sf_dir: str):
         lambda t: t.append_column(
             "price_c", pc.cast(pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))), pa.int64())),
         batch_format="pyarrow")
-    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    cust = cust.rename(columns={"c_custkey": "o_custkey"})
-    joined = broadcast_join(orders, cust, on=["o_custkey"], how="inner")
+    # the dimension side is only read driver-side when parquet metadata says
+    # it IS small; past the broadcast guard it stays a distributed Dataset
+    import pyarrow.parquet as pq
+
+    from borges_ray.ops.relational import BROADCAST_MAX_ROWS, hash_join
+
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    if n_cust > BROADCAST_MAX_ROWS:
+        cust = load(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        cust = cust.map_batches(
+            lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+            batch_format="pyarrow")
+        joined = hash_join(orders, cust, on=["o_custkey"])
+    else:
+        cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+        cust = cust.rename(columns={"c_custkey": "o_custkey"})
+        joined = broadcast_join(orders, cust, on=["o_custkey"], how="inner")
     out = grouped_agg(joined, ["c_mktsegment"],
                       {"sum_price_c": ("sum", "price_c"), "n_orders": ("count", "o_totalprice")})
     df = out.to_pandas()

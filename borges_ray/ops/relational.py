@@ -248,6 +248,41 @@ def distinct(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
 # Joins
 # ---------------------------------------------------------------------------
 
+# Broadcast small-side guard.  Past these thresholds a "small" side is not
+# small: the broadcast itself is still one ray.put, but every map task pins
+# the whole frame in its heap, and at 100× the dimension that's multi-GB per
+# worker.  Over-limit calls auto-fall back to the distributed hash join
+# (one bucketed shuffle, nothing pinned per task).
+BROADCAST_MAX_ROWS = 5_000_000
+BROADCAST_MAX_BYTES = 256 << 20
+
+
+def _frame_bytes(df: pd.DataFrame) -> int:
+    """Estimated deep size of a frame: exact shallow usage plus object-column
+    payloads extrapolated from a bounded sample (deep=True over the whole
+    frame would itself scan every string)."""
+    shallow = int(df.memory_usage(index=False, deep=False).sum())
+    obj = df.select_dtypes(include="object")
+    if obj.empty or not len(df):
+        return shallow
+    s = obj.head(10_000)
+    payload = int(
+        (s.memory_usage(index=False, deep=True).sum()
+         - s.memory_usage(index=False, deep=False).sum()) / len(s) * len(df))
+    return shallow + payload
+
+
+def _over_broadcast_limit(df: pd.DataFrame, max_rows: int, max_bytes: int) -> bool:
+    if len(df) > max_rows or _frame_bytes(df) > max_bytes:
+        import logging
+        logging.getLogger(__name__).warning(
+            "broadcast small side is %d rows / ~%.0f MiB (limits %d rows / "
+            "%.0f MiB) — falling back to the distributed hash join",
+            len(df), _frame_bytes(df) / 2**20, max_rows, max_bytes / 2**20)
+        return True
+    return False
+
+
 def broadcast_join(
     ds: rd.Dataset,
     small: pd.DataFrame,
@@ -255,10 +290,16 @@ def broadcast_join(
     how: str = "inner",
     *,
     suffix: str = "_r",
+    max_rows: int = BROADCAST_MAX_ROWS,
+    max_bytes: int = BROADCAST_MAX_BYTES,
 ) -> rd.Dataset:
     """Broadcast hash join for a small side (dimension table).  The small
     side is ``ray.put`` ONCE; every task reads it zero-copy from the object
-    store — never re-shipped per batch (J3/J4 semantics)."""
+    store — never re-shipped per batch (J3/J4 semantics).  A side past the
+    row/byte guard falls back to :func:`hash_join` (requires non-key columns
+    not to overlap, the usual dimension-join shape)."""
+    if _over_broadcast_limit(small, max_rows, max_bytes):
+        return hash_join(ds, rd.from_pandas(small), on, join_type=how)
     ref = ray.put(small)
 
     def join(df: pd.DataFrame) -> pd.DataFrame:
@@ -267,9 +308,16 @@ def broadcast_join(
     return ds.map_batches(join, batch_format="pandas")
 
 
-def broadcast_semi_join(ds: rd.Dataset, keys: pd.DataFrame, on: list[str], *, anti: bool = False) -> rd.Dataset:
+def broadcast_semi_join(ds: rd.Dataset, keys: pd.DataFrame, on: list[str], *,
+                        anti: bool = False,
+                        max_rows: int = BROADCAST_MAX_ROWS,
+                        max_bytes: int = BROADCAST_MAX_BYTES) -> rd.Dataset:
     """Semi/anti join against a broadcast key set (J2: the reference's
-    skip-if-present / insert-if-absent membership checks)."""
+    skip-if-present / insert-if-absent membership checks).  A key set past
+    the row/byte guard falls back to :func:`hash_semi_join`."""
+    if _over_broadcast_limit(keys, max_rows, max_bytes):
+        return hash_semi_join(ds, rd.from_pandas(keys[on].drop_duplicates()),
+                              on, anti=anti)
     ref = ray.put(keys[on].drop_duplicates())
 
     def semi(df: pd.DataFrame) -> pd.DataFrame:

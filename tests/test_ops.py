@@ -347,3 +347,34 @@ def test_cosine_tiling_invariant(vecs):
     b = cosine_near_dup_pairs(ds, 0.5)
     key = lambda p: sorted(map(tuple, p[["id_a", "id_b", "cos"]].values))
     assert key(a) == key(b) and len(a) > 0
+
+
+def test_broadcast_guard_falls_back_to_hash_join(ray_session):
+    """A 'small' side past the row/byte guard silently becomes a distributed
+    hash join (same rows); under the guard it broadcasts as before."""
+    from borges_ray.ops.relational import broadcast_join, broadcast_semi_join
+
+    fact = pd.DataFrame({"k": [1, 2, 3, 4, 2], "x": [10, 20, 30, 40, 21]})
+    dim = pd.DataFrame({"k": [1, 2, 3], "name": ["a", "b", "c"]})
+    ds = rd.from_pandas(fact)
+
+    want = (fact.merge(dim, on="k", how="inner")
+            .sort_values(["k", "x"]).reset_index(drop=True))
+    got_bc = (broadcast_join(ds, dim, on=["k"]).to_pandas()
+              .sort_values(["k", "x"]).reset_index(drop=True))
+    got_fb = (broadcast_join(ds, dim, on=["k"], max_rows=2).to_pandas()
+              .sort_values(["k", "x"]).reset_index(drop=True)[want.columns.tolist()])
+    pd.testing.assert_frame_equal(got_bc, want)
+    pd.testing.assert_frame_equal(got_fb.astype(want.dtypes), want)
+    # byte guard trips too
+    got_bytes = (broadcast_join(ds, dim, on=["k"], max_bytes=1).to_pandas()
+                 .sort_values(["k", "x"]).reset_index(drop=True)[want.columns.tolist()])
+    pd.testing.assert_frame_equal(got_bytes.astype(want.dtypes), want)
+
+    keys = dim[["k"]]
+    want_anti = fact[~fact.k.isin(keys.k)].reset_index(drop=True)
+    got_anti = (broadcast_semi_join(ds, keys, ["k"], anti=True, max_rows=1)
+                .to_pandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got_anti.sort_values("k").reset_index(drop=True).astype(want_anti.dtypes),
+        want_anti.sort_values("k").reset_index(drop=True))
