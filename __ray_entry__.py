@@ -391,17 +391,31 @@ def _q_cosine_neardup_lsh(sf_dir: str):
 
 
 def _q_knn_lsh(sf_dir: str):
-    """Approximate ANN via hyperplane-LSH bucket pruning.  Oracle: SQL
-    recomputes the seeded plane bucket bits and scores only the query's
-    bucket (see ``_oracle_knn_lsh``)."""
-    from borges_ray.ops.embed import knn_lsh
+    """Approximate ANN via hyperplane-LSH with PHYSICAL bucket pruning: the
+    corpus is written hive-partitioned by bucket once (``lshb=<b>/``), and
+    the query reads ONLY its bucket directory (~1/2^planes of the bytes).
+    Oracle: SQL recomputes the seeded plane bucket bits and scores only the
+    query's bucket (see ``_oracle_knn_lsh``) — identical rows to the
+    logical ``knn_lsh`` since bucket membership is the same."""
+    import hashlib
+    import tempfile
+
+    from borges_ray.ops.embed import (
+        build_lsh_index,
+        knn_lsh_partitioned,
+        lsh_planes,
+    )
     from borges_ray.ops.relational import load
 
     q = pd.read_parquet(f"{sf_dir}/embeddings.parquet").pipe(
         lambda d: d[d.vec_id == 0]["embedding"].iloc[0]
     )
     ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    df = knn_lsh(ds, np.asarray(q), 10, n_planes=4)
+    planes = lsh_planes(len(q), 4, seed=13)
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    idx_dir = f"{tempfile.gettempdir()}/borges_lshb_{tag}"
+    build_lsh_index(ds, planes, idx_dir)
+    df, _stats = knn_lsh_partitioned(idx_dir, np.asarray(q), 10, planes)
     return df[["vec_id", "cos"]]
 
 

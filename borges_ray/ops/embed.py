@@ -83,10 +83,13 @@ def knn_lsh(
     seed: int = 13,
 ) -> pd.DataFrame:
     """Approximate top-k: only rows whose hyperplane bucket matches the
-    query's bucket are scored.  At 100 TB this is the difference between a
-    full scan per query and a 1/2^planes partition-pruned scan; recall is
-    tunable via ``n_planes`` (fewer planes → bigger buckets → higher
-    recall)."""
+    query's bucket are SCORED — this logical variant still READS every
+    block and prunes compute only (one matmul-then-mask per batch).  For
+    physical pruning at 100 TB — reading ~1/2^planes of the bytes — write
+    the corpus once with :func:`build_lsh_index` and query with
+    :func:`knn_lsh_partitioned`; both produce identical rows (same planes →
+    same bucket membership).  Recall is tunable via ``n_planes`` (fewer
+    planes → bigger buckets → higher recall)."""
     q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
     dim = q.shape[1]
     rng = np.random.default_rng(seed)
@@ -119,6 +122,96 @@ def knn_lsh(
         .head(k)
         .reset_index(drop=True)[["query_idx", id_col, "cos"]]
     )
+
+
+def lsh_planes(dim: int, n_planes: int, seed: int = 13) -> np.ndarray:
+    """Deterministic hyperplane set shared by index build and query — the
+    same (dim, n_planes, seed) always yields the same planes, so bucket
+    membership is reproducible across processes."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def build_lsh_index(
+    ds: rd.Dataset,
+    planes: np.ndarray,
+    out_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """PHYSICAL hyperplane-LSH layout: write the corpus hive-partitioned by
+    bucket id (``lshb=<b>/`` dirs — the same bucket-directory idea as the
+    IVF ``ivf=<c>/`` layout, :func:`build_ivf_index`).  A query then READS
+    only its own bucket directory instead of scanning every block and
+    masking — bytes-read drops to ~1/2^n_planes of the corpus.  Idempotent
+    via a ``_DONE`` marker."""
+    import os
+
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    planes_ref = ray.put(planes)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        m = _normalize(_matrix(df[vec_col]))
+        out = df[[id_col, vec_col]].copy()
+        if len(out) and isinstance(out[vec_col].iloc[0], np.ndarray):
+            # see build_ivf_index: keep list<float> so the parquet
+            # round-trip avoids Ray's tensor-extension pandas metadata
+            out[vec_col] = [v.tolist() for v in out[vec_col]]
+        out["lshb"] = lsh_bucket_ids(m, ray.get(planes_ref)).astype("int64")
+        return out
+
+    ds.map_batches(assign, batch_format="pandas").write_parquet(
+        out_dir, partition_cols=["lshb"])
+    with open(done, "w") as fp:
+        fp.write("ok")
+    return out_dir
+
+
+def knn_lsh_partitioned(
+    index_dir: str,
+    query_vecs: np.ndarray,
+    k: int,
+    planes: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[pd.DataFrame, dict]:
+    """Hyperplane-LSH top-k over the partitioned layout: ONLY the query
+    buckets' ``lshb=<b>/`` directories are read (physical pruning — the
+    logical :func:`knn_lsh` scans every block and masks).  Returns (top-k
+    frame, io stats with bytes_read / bytes_total evidencing the read
+    reduction).  Rows are identical to :func:`knn_lsh` run with the same
+    planes."""
+    import os
+
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    q_buckets = sorted({int(b) for b in lsh_bucket_ids(q, planes)})
+
+    def _dir_bytes(d: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files if f.endswith(".parquet"))
+        return total
+
+    dirs = [os.path.join(index_dir, f"lshb={b}") for b in q_buckets
+            if os.path.isdir(os.path.join(index_dir, f"lshb={b}"))]
+    stats = {"bytes_read": sum(_dir_bytes(p) for p in dirs),
+             "bytes_total": _dir_bytes(index_dir),
+             "partitions_read": len(dirs),
+             "partitions_total": 1 << planes.shape[0]}
+    if not dirs:
+        empty = pd.DataFrame({"query_idx": pd.Series(dtype="int64"),
+                              id_col: pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64")})
+        return empty, stats
+    files = sorted(os.path.join(d, f) for d in dirs for f in os.listdir(d)
+                   if f.endswith(".parquet"))
+    sub = rd.read_parquet(files)
+    return knn_brute(sub, query_vecs, k, id_col=id_col, vec_col=vec_col), stats
 
 
 def cosine_near_dup_pairs(

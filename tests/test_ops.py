@@ -188,6 +188,37 @@ def test_knn_ivf_partitioned_prunes_reads(ray_session, tmp_path):
     assert (merged.cos_a == merged.cos_e).all()
 
 
+def test_knn_lsh_partitioned_prunes_reads(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from borges_ray.ops.embed import (
+        build_lsh_index,
+        knn_lsh,
+        knn_lsh_partitioned,
+        lsh_planes,
+    )
+
+    df = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ds = rd.from_pandas(df)
+    dim = len(df["embedding"].iloc[0])
+    planes = lsh_planes(dim, 4, seed=13)
+    idx = str(tmp_path / "lshb")
+    build_lsh_index(ds, planes, idx)
+    q = np.asarray(df[df.vec_id == 0]["embedding"].iloc[0])
+    got, stats = knn_lsh_partitioned(idx, q, 10, planes)
+    # physical pruning: one bucket dir of up to 2^4, strictly fewer bytes
+    assert stats["partitions_read"] == 1
+    assert stats["partitions_total"] == 16
+    assert 0 < stats["bytes_read"] < stats["bytes_total"]
+    # identical rows to the logical (scan-and-mask) variant: same planes →
+    # same bucket membership → same candidates and exact scores
+    logical = knn_lsh(ds, q, 10, n_planes=4, seed=13)
+    assert got[["vec_id", "cos"]].values.tolist() == \
+        logical[["vec_id", "cos"]].values.tolist()
+
+
 def test_knn_lsh_recall_vs_brute(ray_session):
     import numpy as np
     import pandas as pd
