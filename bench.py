@@ -16,9 +16,15 @@ sized to the sf tier (sf × 1M pages, Common-Crawl-ish page bodies):
 Plus timings for a representative subset of ``queries()`` over
 ``$GRAFT_SF_DIR``.  Prints exactly ONE JSON line on stdout.
 
-``--scaling``: the bulk-ingest job at RAY_GRAFT_CPUS=8 vs 32 in fresh
-processes on the SAME corpus (cache warmed first) → throughput at both +
-scaling efficiency (the in-sandbox stand-in for N vs 4N nodes).
+Each pipeline runs ``BENCH_REPS`` times (default 3) and reports the MEDIAN
+as its headline plus the min and the full rep list — single best-of-reps
+numbers do not reproduce on this steal-prone host (BASELINE.md).
+``BENCH_MODE`` ∈ {full, ingest, crawl} restricts what runs.
+
+``--scaling``: the bulk-ingest job at 2/8/32 CPUs AND the BSP crawl at
+8/32 CPUs in fresh interleaved processes on the SAME corpus (cache warmed
+first) → throughput at each level + scaling efficiency (the in-sandbox
+stand-in for N vs 4N nodes).
 """
 
 from __future__ import annotations
@@ -72,26 +78,43 @@ def ensure_corpus(n_pages: int, num_buckets: int) -> str:
     return pages_root
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _reps() -> int:
+    # ≥3 reps by default so a MEDIAN is meaningful: the sandbox hypervisor's
+    # bursty steal makes identical runs span 1.5-3× (BASELINE.md), and a
+    # best-of-reps headline alone is not reproducible evidence.  The
+    # headline is the median; the min is reported alongside as the
+    # uncontended approximation.  The scaling harness sets BENCH_REPS=1
+    # because it does its own interleaved min-of-reps across levels.
+    return int(os.environ.get("BENCH_REPS", "3"))
+
+
 def bench_ingest(pages_root: str, n_pages: int, num_cpus: int) -> dict:
     import shutil
 
     from borges_ray.pipelines.ingest import bulk_ingest
 
     out_dir = os.path.join(BENCH_ROOT, f"ingest_out_{os.getpid()}")
-    # min of BENCH_REPS runs (default 2) — steal-noise methodology per
-    # BASELINE.md; the scaling harness sets BENCH_REPS=1 because it does its
-    # own interleaved min-of-reps across parallelism levels
-    wall = float("inf")
-    for _rep in range(int(os.environ.get("BENCH_REPS", "2"))):
+    walls = []
+    for _rep in range(_reps()):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         res = bulk_ingest(pages_root, out_dir, num_cpus_hint=num_cpus)
-        wall = min(wall, time.time() - t0)
+        walls.append(time.time() - t0)
     shutil.rmtree(out_dir, ignore_errors=True)
+    med = _median(walls)
     return {
-        "ingest_wall_sec": round(wall, 2),
+        "ingest_wall_sec": round(med, 2),            # headline = median
+        "ingest_wall_sec_min": round(min(walls), 2),
+        "ingest_wall_all": [round(w, 2) for w in walls],
         "ingest_rows_out": res["rows_out"],
-        "ingest_pages_per_sec": round(n_pages / wall, 1),
+        "ingest_pages_per_sec": round(n_pages / med, 1),
+        "ingest_pages_per_sec_best": round(n_pages / min(walls), 1),
     }
 
 
@@ -113,27 +136,30 @@ def bench_crawl(pages_root: str, n_pages: int, num_buckets: int) -> dict:
     ckpt_dir = os.path.join(BENCH_ROOT, f"ckpt_{os.getpid()}")
     seeds = synth_seeds(SEED, n_pages)
     robots = synth_robots(SEED, n_pages).to_pandas()
-    # min of 2 runs: the sandbox hypervisor's bursty steal makes single
-    # runs span 1.5-3× (BASELINE.md); min-of-reps approximates the
-    # uncontended number, matching the scaling harness's methodology
-    wall = float("inf")
-    for _rep in range(int(os.environ.get("BENCH_REPS", "2"))):
+    # median + min of ≥3 reps (see _reps): the headline is the median, the
+    # min approximates uncontended performance on this noisy shared host
+    walls = []
+    for _rep in range(_reps()):
         shutil.rmtree(ckpt_dir, ignore_errors=True)
         t0 = time.time()
         summary = run_crawl(pages_root, seeds, robots, cfg, ckpt_dir, resume=False)
-        wall = min(wall, time.time() - t0)
+        walls.append(time.time() - t0)
     last = ckpt_mod.last_committed_round(ckpt_dir)
     m = ckpt_mod.read_all_rounds(ckpt_dir, "metrics", last)
     md = m.to_pandas() if m is not None else None
     fetch_attempts = int(md["selected"].sum()) if md is not None else 0
     links = int(md["links_emitted"].sum()) if md is not None else 0
     shutil.rmtree(ckpt_dir, ignore_errors=True)
+    med = _median(walls)
     return {
-        "crawl_wall_sec": round(wall, 2),
+        "crawl_wall_sec": round(med, 2),             # headline = median
+        "crawl_wall_sec_min": round(min(walls), 2),
+        "crawl_wall_all": [round(w, 2) for w in walls],
         "crawl_rounds": summary["rounds"],
         "crawl_fetch_attempts": fetch_attempts,
-        "crawl_pages_per_sec": round(fetch_attempts / wall, 1),
-        "frontier_urls_per_sec": round((links + fetch_attempts) / wall, 1),
+        "crawl_pages_per_sec": round(fetch_attempts / med, 1),
+        "frontier_urls_per_sec": round((links + fetch_attempts) / med, 1),
+        "frontier_urls_per_sec_best": round((links + fetch_attempts) / min(walls), 1),
     }
 
 
@@ -185,13 +211,18 @@ def run_bench() -> dict:
     _init_ray(num_cpus)
     pages_root = ensure_corpus(n_pages, num_buckets)
 
-    ingest_stats = bench_ingest(pages_root, n_pages, num_cpus)
-    crawl_stats = bench_crawl(pages_root, n_pages, num_buckets) if mode == "full" else {}
+    ingest_stats = bench_ingest(pages_root, n_pages, num_cpus) \
+        if mode in ("full", "ingest") else {}
+    crawl_stats = bench_crawl(pages_root, n_pages, num_buckets) \
+        if mode in ("full", "crawl") else {}
     queries = bench_queries(sf_dir) if mode == "full" else {}
 
+    headline = (("bulk_ingest_wall_sec", ingest_stats["ingest_wall_sec"])
+                if ingest_stats else
+                ("bsp_crawl_wall_sec", crawl_stats["crawl_wall_sec"]))
     result = {
-        "metric": "bulk_ingest_wall_sec",
-        "value": ingest_stats["ingest_wall_sec"],
+        "metric": headline[0],
+        "value": headline[1],
         "unit": "sec",
         "queries": queries,
         "sf": sf,
@@ -238,8 +269,8 @@ def run_scaling() -> dict:
     (the standard way to approximate uncontended performance on a noisy
     shared host)."""
 
-    def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MODE="ingest",
+    def run(ncpu: int, mode: str = "ingest") -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_MODE=mode,
                    BENCH_REPS="1")
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
@@ -257,6 +288,14 @@ def run_scaling() -> dict:
         ncpu: min(rs, key=lambda r: r["value"]) for ncpu, rs in runs_by_level.items()
     }
 
+    # the BSP crawl at the same two parallelism levels (interleaved) so
+    # frontier URLs/s has two-cluster-size evidence too
+    crawl_runs: dict[int, list[dict]] = {}
+    for ncpu in (8, 32, 8, 32):
+        crawl_runs.setdefault(ncpu, []).append(run(ncpu, mode="crawl"))
+    crawl_best = {n: min(rs, key=lambda r: r["value"]) for n, rs in crawl_runs.items()}
+    crawl_eff = (crawl_best[8]["value"] / crawl_best[32]["value"]) / 4
+
     calib = _cpu_calibration((2, 8, 32))
     eff_2_8 = (best[2]["value"] / best[8]["value"]) / 4
     eff_8_32 = (best[8]["value"] / best[32]["value"]) / 4
@@ -273,6 +312,14 @@ def run_scaling() -> dict:
             "8_to_32": {"sec_lo": best[8]["value"], "sec_hi": best[32]["value"],
                          "efficiency": round(eff_8_32, 3),
                          "hw_ceiling": round(hw_8_32, 3)},
+        },
+        "crawl_pair_8_to_32": {
+            "sec_lo": crawl_best[8]["value"], "sec_hi": crawl_best[32]["value"],
+            "frontier_urls_per_sec": {
+                str(n): v["frontier_urls_per_sec"] for n, v in crawl_best.items()},
+            "efficiency": round(crawl_eff, 3),
+            "all_runs_sec": {str(n): [r["value"] for r in rs]
+                             for n, rs in crawl_runs.items()},
         },
         "pages_per_sec": {str(k): v["ingest_pages_per_sec"] for k, v in best.items()},
         "all_runs_sec": {str(k): [r["value"] for r in rs] for k, rs in runs_by_level.items()},
