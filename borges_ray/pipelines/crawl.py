@@ -69,7 +69,7 @@ from ..canonical import canonicalize, host_of, partition_of
 from ..stages.fetch import fetch_selected
 from ..stages.links import WINNER_ASC, WINNER_SORT, gate_candidates, link_candidates
 from ..stages.parse import parse_fetched
-from ..stages.politeness import budgets_from_robots, defer_frontier, select_frontier
+from ..stages.politeness import defer_frontier, delays_from_robots, select_frontier
 from ..state import checkpoint as ckpt
 from ..state.urlseen import create_seen_index
 
@@ -165,14 +165,21 @@ def bootstrap(seeds: pa.Table, robots_df: pd.DataFrame, cfg: EngineConfig,
 
 
 def _update_host_state(old_dir: str, sel_counts: pd.DataFrame, new_dir: str,
-                       num_partitions: int) -> None:
-    """Fold this round's per-host selection counts into the host→next_seq
-    counter table, kept hive-partitioned by ``hb = hash(host) % P``.
+                       num_partitions: int, delays: dict[str, int],
+                       rnd: int, round_ms: int) -> None:
+    """Fold this round's per-host selection counts into the host state
+    table — ``(host, next_seq, next_allowed_ms)`` kept hive-partitioned by
+    ``hb = hash(host) % P``.  ``next_allowed_ms`` is the host's continuous
+    politeness clock (Scrapy's per-slot ``next_request_time``, see
+    ``stages/politeness.py``): a host that fetched ``n`` URLs this round
+    advances to ``max(old_clock, rnd·round_ms) + n·delay``, carrying any
+    fractional-round remainder into the next round.
 
     Driver cost is O(hosts ACTIVE this round) — politeness-bounded — never
     O(all hosts ever seen): only buckets containing an active host are
     read+rewritten; untouched buckets carry forward as HARDLINKS (a file op,
-    no data read).  ``sel_counts`` is the (host, n) frame of this round's
+    no data read — an idle host's stale clock is a no-op under the max()
+    rule).  ``sel_counts`` is the (host, n) frame of this round's
     selections — the same bounded size as the selection itself."""
     from ..canonical import stable_hash
 
@@ -190,6 +197,7 @@ def _update_host_state(old_dir: str, sel_counts: pd.DataFrame, new_dir: str,
             if d.startswith("hb="):
                 old_buckets[int(d.split("=", 1)[1])] = os.path.join(old_dir, d)
 
+    default_delay = delays["__default__"]
     for b in sorted(set(by_bucket) | set(old_buckets)):
         src = old_buckets.get(b)
         dst = os.path.join(new_dir, f"hb={b}")
@@ -200,14 +208,29 @@ def _update_host_state(old_dir: str, sel_counts: pd.DataFrame, new_dir: str,
                 if f.endswith(".parquet"):
                     os.link(os.path.join(src, f), os.path.join(dst, f))
             continue
-        old = (pq.read_table(src).to_pandas()[["host", "next_seq"]]
-               if src is not None else
-               pd.DataFrame({"host": pd.Series(dtype=object),
-                             "next_seq": pd.Series(dtype="int64")}))
-        add = by_bucket[b].rename(columns={"n": "next_seq"})[["host", "next_seq"]]
-        merged = (pd.concat([old, add], ignore_index=True)
-                  .groupby("host", sort=True)["next_seq"].sum().reset_index())
-        merged["next_seq"] = merged["next_seq"].astype("int64")
+        if src is not None:
+            old = pq.read_table(src).to_pandas()
+            if "next_allowed_ms" not in old.columns:  # pre-carryover ckpt
+                old["next_allowed_ms"] = 0
+            old = old[["host", "next_seq", "next_allowed_ms"]]
+        else:
+            old = pd.DataFrame({"host": pd.Series(dtype=object),
+                                "next_seq": pd.Series(dtype="int64"),
+                                "next_allowed_ms": pd.Series(dtype="int64")})
+        add = by_bucket[b][["host", "n"]]
+        merged = old.merge(add, on="host", how="outer")
+        merged["n"] = merged["n"].fillna(0).astype("int64")
+        merged["next_seq"] = (merged["next_seq"].fillna(0).astype("int64")
+                              + merged["n"])
+        merged["next_allowed_ms"] = merged["next_allowed_ms"].fillna(0).astype("int64")
+        active = merged["n"] > 0
+        if active.any():
+            delay = merged["host"].map(lambda h: delays.get(h, default_delay))
+            start = merged["next_allowed_ms"].clip(lower=rnd * round_ms)
+            merged.loc[active, "next_allowed_ms"] = (
+                start + merged["n"] * delay)[active].astype("int64")
+        merged = (merged[["host", "next_seq", "next_allowed_ms"]]
+                  .sort_values("host", kind="mergesort").reset_index(drop=True))
         os.makedirs(dst, exist_ok=True)
         pq.write_table(pa.Table.from_pandas(merged, preserve_index=False),
                        os.path.join(dst, "state-0.parquet"))
@@ -249,8 +272,8 @@ def run_crawl(
             per_shard.setdefault(stable_hash(u) % cfg.num_seen_shards, []).append(u)
         ray.get([shards[s].load_keys.remote(us) for s, us in per_shard.items()])
 
-    budgets = budgets_from_robots(robots_df, cfg.round_ms, cfg.default_delay_ms)
-    budgets_ref = ray.put(budgets)
+    delays = delays_from_robots(robots_df, cfg.default_delay_ms)
+    delays_ref = ray.put(delays)
     robots_ref = ray.put(
         {h: tuple(p) for h, p in zip(robots_df["host"], robots_df["disallow_prefixes"])}
     )
@@ -277,9 +300,10 @@ def run_crawl(
         # object store is safe and saves a write→read round trip.  Host
         # counters come from the partitioned host-state checkpoint — the
         # driver never holds a hosts dict.
-        selected = select_frontier(frontier, budgets_ref, host_state_dir,
+        selected = select_frontier(frontier, delays_ref, host_state_dir,
                                    num_partitions=cfg.num_partitions,
-                                   rnd=rnd, night_shift=cfg.night_shift).materialize()
+                                   rnd=rnd, night_shift=cfg.night_shift,
+                                   round_ms=cfg.round_ms).materialize()
         sel_dir = os.path.join(next_dir, "selected")
         # hive-partitioned by the url-hash partition: the deferral scan
         # reads per-partition membership slices instead of a broadcast set.
@@ -444,7 +468,7 @@ def run_crawl(
                                         "n": pd.Series(dtype="int64")})
         _update_host_state(host_state_dir, host_counts,
                            os.path.join(next_dir, "host_state"),
-                           cfg.num_partitions)
+                           cfg.num_partitions, delays, rnd, cfg.round_ms)
 
         if has_crawled:
             crawled_t = pq.read_table(crawled_dir,

@@ -2,9 +2,17 @@
 
 The reference throttles per-domain with ``DOWNLOAD_DELAY = 1``
 (``Borges/settings.py:31``) plus assorted per-site sleeps (SURVEY.md T4).
-In BSP terms each round represents ``round_ms`` of virtual wall time, so a
-host may fetch ``max(1, round_ms // crawl_delay_ms)`` URLs per round — the
-token-bucket state reduced to a per-round budget.
+The reference's delay is CONTINUOUS wall-clock — Scrapy's per-slot
+``next_request_time`` carries across any bookkeeping boundary.  The BSP
+re-expression keeps that continuity: each round represents ``round_ms`` of
+virtual time, and every host carries a virtual clock ``next_allowed_ms``
+in the host-state checkpoint.  In round ``r`` a host may fetch at times
+``t = max(next_allowed_ms, r·round_ms), t+delay, t+2·delay, …`` while
+``t < (r+1)·round_ms`` — so a host with ``delay = 1.7×round_ms`` fetches
+in rounds 0, 1, 3, 5, … (~0.59/round average), not once every round as a
+per-round integer budget would allow.  After ``k`` fetches the clock
+advances to ``start + k·delay``, carrying the fractional remainder into
+the next round.
 
 Scale shape (SURVEY.md §7.2 step 4):
 
@@ -50,19 +58,22 @@ def host_active(host: str, rnd: int, night_shift: bool) -> bool:
     return stable_hash("gate:" + host) % 3 != 0 or rnd % 2 == 0
 
 
-def budgets_from_robots(robots_df: pd.DataFrame, round_ms: int, default_delay_ms: int) -> dict[str, int]:
-    """host → per-round fetch budget."""
-    out = {}
-    for h, d in zip(robots_df["host"], robots_df["crawl_delay_ms"]):
-        out[h] = max(1, round_ms // int(d))
-    out["__default__"] = max(1, round_ms // default_delay_ms)
+def delays_from_robots(robots_df: pd.DataFrame, default_delay_ms: int) -> dict[str, int]:
+    """host → crawl delay in virtual ms (``__default__`` for unlisted
+    hosts).  Per-round budgets are DERIVED from these at selection time
+    against each host's carried virtual clock — see :func:`select_frontier`."""
+    out = {h: int(d) for h, d in
+           zip(robots_df["host"], robots_df["crawl_delay_ms"])}
+    out["__default__"] = int(default_delay_ms)
     return out
 
 
-def load_host_offsets(host_state_dir: str, bucket: int | None = None) -> dict[str, int]:
-    """host → next_seq from the hive-partitioned host-state checkpoint;
-    with ``bucket`` set, reads ONLY that ``hb=<b>/`` dir (the per-group
-    slice — O(hosts in bucket), not O(all hosts ever seen))."""
+def load_host_offsets(host_state_dir: str, bucket: int | None = None) -> dict[str, tuple[int, int]]:
+    """host → (next_seq, next_allowed_ms) from the hive-partitioned
+    host-state checkpoint; with ``bucket`` set, reads ONLY that ``hb=<b>/``
+    dir (the per-group slice — O(hosts in bucket), not O(all hosts ever
+    seen)).  ``next_allowed_ms`` defaults to 0 for pre-carryover
+    checkpoints (a clock in the past is a no-op under the max() rule)."""
     import os
 
     import pyarrow.parquet as pq
@@ -75,21 +86,25 @@ def load_host_offsets(host_state_dir: str, bucket: int | None = None) -> dict[st
              for f in fs if f.endswith(".parquet")]
     if not files:
         return {}
-    out: dict[str, int] = {}
+    out: dict[str, tuple[int, int]] = {}
     for f in files:
-        t = pq.read_table(f, columns=["host", "next_seq"])
+        t = pq.read_table(f)
+        na = (t["next_allowed_ms"].to_pylist()
+              if "next_allowed_ms" in t.column_names else [0] * t.num_rows)
         out.update(zip(t["host"].to_pylist(),
-                       (int(v) for v in t["next_seq"].to_pylist())))
+                       ((int(s), int(a)) for s, a in
+                        zip(t["next_seq"].to_pylist(), na))))
     return out
 
 
 def select_frontier(
     frontier: rd.Dataset,
-    budgets_ref: "ray.ObjectRef",
+    delays_ref: "ray.ObjectRef",
     host_state_dir: str,
     num_partitions: int = 16,
     rnd: int = 0,
     night_shift: bool = False,
+    round_ms: int = 10_000,
 ) -> rd.Dataset:
     """→ selected rows with ``host_seq`` assigned (deterministic).
 
@@ -98,32 +113,47 @@ def select_frontier(
     microseconds after first access) — actor-pool startup latency would
     dominate the per-round cost for no amortization win.
 
-    Host sequence counters come from the hive-partitioned host-state
-    checkpoint: the final per-host-bucket group reads ONLY its ``hb=<b>/``
-    slice — the r01 driver-side dict over every host ever seen is gone
-    (O(total hosts) driver memory at 10^8-host scale)."""
+    Host sequence counters AND per-host virtual clocks come from the
+    hive-partitioned host-state checkpoint: the final per-host-bucket group
+    reads ONLY its ``hb=<b>/`` slice — the r01 driver-side dict over every
+    host ever seen is gone (O(total hosts) driver memory at 10^8-host
+    scale).  The combiner pass (which runs before the shuffle and has no
+    host-state slice) uses the clock-free UPPER BOUND ``ceil(round_ms /
+    delay)`` per host; the final per-bucket pass applies the exact
+    carryover rule, so the shuffle still moves ≤ bound × blocks rows per
+    host and the selection is exact."""
 
-    def _prune(df: pd.DataFrame, budgets: dict, offsets: dict | None) -> pd.DataFrame:
+    def _prune(df: pd.DataFrame, delays: dict, offsets: dict | None) -> pd.DataFrame:
         """Vectorized per-host top-budget: sort once, cumcount per host,
-        keep ranks < budget.  With ``offsets`` also assigns host_seq."""
-        default = budgets["__default__"]
+        keep ranks < budget.  Budget = fetch slots of the host's virtual
+        clock within this round's [rnd·round_ms, (rnd+1)·round_ms) window
+        (upper bound ceil(round_ms/delay) when no clock is available).
+        With ``offsets`` also assigns host_seq."""
+        default = delays["__default__"]
         if night_shift:
             hosts = df["host"].unique()
             lut = {h: host_active(h, rnd, night_shift) for h in hosts}
             df = df[df["host"].map(lut)]
         df = df.sort_values(ORDER_COLS, ascending=ORDER_ASC, kind="mergesort")
         ranks = df.groupby("host", sort=False).cumcount()
-        budget = df["host"].map(lambda h: budgets.get(h, default))
+        delay = df["host"].map(lambda h: delays.get(h, default))
+        end = (rnd + 1) * round_ms
+        if offsets is None:
+            budget = -(-round_ms // delay)           # ceil: clock-free bound
+        else:
+            clock = df["host"].map(lambda h: offsets.get(h, (0, 0))[1])
+            start = clock.clip(lower=rnd * round_ms)
+            budget = (-((start - end) // delay)).clip(lower=0)  # ceil((end-start)/delay)
         out = df[ranks < budget]
         if offsets is not None:
             out = out.copy()
             kept_ranks = ranks[ranks < budget]
-            base = out["host"].map(lambda h: offsets.get(h, 0))
+            base = out["host"].map(lambda h: offsets.get(h, (0, 0))[0])
             out["host_seq"] = (base + kept_ranks).astype("int64")
         return out
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return _prune(df, ray.get(budgets_ref), None)
+        return _prune(df, ray.get(delays_ref), None)
 
     candidates = frontier.map_batches(combine, batch_format="pandas")
 
@@ -133,9 +163,9 @@ def select_frontier(
         parts = []
         for b, g in df.groupby("__hb", sort=False):
             offsets = load_host_offsets(host_state_dir, int(b))
-            parts.append(_prune(g, ray.get(budgets_ref), offsets))
+            parts.append(_prune(g, ray.get(delays_ref), offsets))
         if not parts:
-            return _prune(df, ray.get(budgets_ref), {})
+            return _prune(df, ray.get(delays_ref), {})
         return pd.concat(parts, ignore_index=True)
 
     # shuffle key: a hash bucket of host (all of one host's candidates

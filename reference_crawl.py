@@ -7,10 +7,15 @@ semantics directly:
 - **Insert-if-absent dedup at enqueue** (``Borges/db_scripts/insert_jl.py:28-41``,
   Scrapy dupefilter ``Borges/settings.py:103``): the URL-seen set is "URLs
   ever enqueued", seeds included.
-- **Per-host politeness budget** (``DOWNLOAD_DELAY = 1`` at
-  ``Borges/settings.py:31`` generalized to per-host ``crawl_delay_ms``): each
-  BSP round represents ``round_ms`` of wall time; a host may fetch
-  ``max(1, round_ms // delay_ms)`` URLs per round.
+- **Per-host politeness clock** (``DOWNLOAD_DELAY = 1`` at
+  ``Borges/settings.py:31`` generalized to per-host ``crawl_delay_ms``):
+  Scrapy's delay is CONTINUOUS wall time (per-slot ``next_request_time``),
+  so each host carries a virtual clock across rounds.  Round ``r`` spans
+  virtual time ``[r·round_ms, (r+1)·round_ms)``; the host fetches at
+  ``t = max(clock, r·round_ms), t+delay, …`` while ``t`` is inside the
+  round, then the clock advances past its last fetch — a host with
+  ``delay = 1.7×round_ms`` fetches in rounds 0, 1, 3, 5, … (~0.59/round),
+  not once per round as a truncated integer budget would.
 - **Deterministic per-host order** (§2.10: per-shard sequential, cross-shard
   free): within a host, selection order is (priority desc, discovered_round
   asc, url asc); ``host_seq`` numbers the host's fetches across rounds.
@@ -25,8 +30,11 @@ semantics directly:
 Crawl-round algorithm (shared spec, engine mirrors it exactly):
 
 round i:
-  1. per host: select top ``budget(host)`` frontier rows by
-     (priority desc, discovered_round asc, url asc); assign ``host_seq``.
+  1. per host: budget = fetch slots of the host's virtual clock within
+     this round's window (``ceil((round_end - max(clock, round_start)) /
+     delay)``, floored at 0); select top ``budget`` frontier rows by
+     (priority desc, discovered_round asc, url asc); assign ``host_seq``
+     and advance the clock by ``delay`` per selected row.
   2. fetch selected against pages; status 200/404.
   3. parse 200s: extract text/lang/links; canonicalize links against the
      page URL; children carry depth+1, priority = max(0, parent-1),
@@ -91,6 +99,7 @@ def crawl(
     seen: set[str] = set()
     frontier: dict[str, dict] = {}  # canonical url -> frontier row
     host_seq: dict[str, int] = {}
+    next_allowed: dict[str, int] = {}  # host -> virtual clock (ms)
 
     def enqueue(cands: list[dict], rnd: int) -> tuple[int, int]:
         """Dedup vs seen + robots gate; returns (n_new, n_blocked)."""
@@ -137,12 +146,18 @@ def crawl(
         for host, rows in by_host.items():
             if not host_active(host, rnd, cfg.night_shift):
                 continue
-            budget = max(1, cfg.round_ms // _delay_ms(host, robots, cfg))
+            delay = _delay_ms(host, robots, cfg)
+            start = max(next_allowed.get(host, 0), rnd * cfg.round_ms)
+            end = (rnd + 1) * cfg.round_ms
+            budget = max(0, -((start - end) // delay))  # ceil((end-start)/delay)
             rows.sort(key=lambda r: (-r["priority"], r["discovered_round"], r["url"]))
-            for r in rows[:budget]:
+            take = rows[:budget]
+            for r in take:
                 seq = host_seq.get(host, 0)
                 host_seq[host] = seq + 1
                 selected.append({**r, "host_seq": seq})
+            if take:
+                next_allowed[host] = start + len(take) * delay
         for r in selected:
             del frontier[r["url"]]
 

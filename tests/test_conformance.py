@@ -113,6 +113,49 @@ def test_attempts_parity(oracle_result, engine_result):
     assert (m["attempts"].to_numpy() == o["attempts"].to_numpy()).all()
 
 
+def test_politeness_fractional_delay_carryover(ray_session, tmp_path):
+    """T4 token carryover: a host with ``delay = 1.7 × round_ms`` must
+    average ~0.59 fetches/round via the carried virtual clock (rounds
+    {0, 1, 3, 5} of 6) — NOT one per round as the old truncated integer
+    budget (``max(1, round_ms // delay)``) gave.  Engine ↔ oracle parity
+    on the exact fixture where the two rules differ."""
+    import pyarrow as pa
+
+    from borges_ray.pipelines.crawl import EngineConfig, collect_crawled, run_crawl
+    from reference_crawl import CrawlConfig, crawl
+
+    urls = [f"http://slow.example.test/page/{i}" for i in range(10)]
+    html = b"<html><body><div id='content'>slow page text</div></body></html>"
+    pages = pa.table({"url": urls, "html": [html] * len(urls)})
+    seeds = pa.table({"url": urls, "priority": [5] * len(urls)})
+    robots = pd.DataFrame({
+        "host": ["slow.example.test"],
+        "disallow_prefixes": [[]],
+        "crawl_delay_ms": [17_000],      # 1.7 × the 10 000 ms round
+    })
+    pages_root = str(tmp_path / "pages")
+    write_pages_bucketed(pages, pages_root, num_buckets=2)
+    cfg = EngineConfig(max_rounds=6, num_partitions=4, num_buckets=2,
+                       num_seen_shards=2)
+    run_crawl(pages_root, seeds, robots, cfg, str(tmp_path / "ck"), resume=False)
+    eng = collect_crawled(str(tmp_path / "ck")).to_pandas()
+
+    ora = crawl(dict(zip(urls, [html] * len(urls))), [(u, 5) for u in urls],
+                {"slow.example.test": {"disallow_prefixes": [],
+                                       "crawl_delay_ms": 17_000}},
+                CrawlConfig(max_rounds=6, num_partitions=4))
+    odf = pd.DataFrame(ora.crawled)
+
+    # the carryover signature: one fetch in rounds 0 and 1, a forced skip
+    # in round 2 (clock at 34 s > round end 30 s), then 3 and 5
+    assert sorted(set(eng["fetch_round"])) == [0, 1, 3, 5]
+    m = eng.set_index("url").sort_index()
+    o = odf.set_index("url").sort_index()
+    assert list(m.index) == list(o.index)
+    for col in ("status", "fetch_round", "host_seq", "extracted_text"):
+        assert (m[col].to_numpy() == o[col].to_numpy()).all(), col
+
+
 def test_flaky_and_night_shift_conformance(web, ray_session, tmp_path):
     """T6 retry model + F9 time gating: engine ↔ oracle parity with both
     policies enabled."""
