@@ -25,7 +25,9 @@ and the pages corpus is probed per-bucket, never shuffled (SURVEY.md §7.3).
 from __future__ import annotations
 
 import os
+import sys
 import threading
+import time
 from dataclasses import dataclass
 
 # fsspec.implementations.http fails to import in this container (no
@@ -278,8 +280,16 @@ def run_crawl(
         {h: tuple(p) for h, p in zip(robots_df["host"], robots_df["disallow_prefixes"])}
     )
 
+    timing = bool(os.environ.get("BORGES_CRAWL_TIMING"))
+    prefetch: dict | None = None  # round-pipelined selection (see below)
     rnd = last
     while rnd < cfg.max_rounds:
+        t_round = time.time()
+        marks: dict[str, float] = {}
+
+        def _mark(name: str, t0: float) -> None:
+            marks[name] = round(time.time() - t0, 2)
+
         this_dir = ckpt.round_dir(ckpt_dir, rnd)
         next_dir = ckpt.round_dir(ckpt_dir, rnd + 1)
         frontier_path = os.path.join(this_dir, "frontier")
@@ -299,17 +309,98 @@ def run_crawl(
         # politeness-BOUNDED (≤ budget × hosts rows), so pinning it in the
         # object store is safe and saves a write→read round trip.  Host
         # counters come from the partitioned host-state checkpoint — the
-        # driver never holds a hosts dict.
-        selected = select_frontier(frontier, delays_ref, host_state_dir,
-                                   num_partitions=cfg.num_partitions,
-                                   rnd=rnd, night_shift=cfg.night_shift,
-                                   round_ms=cfg.round_ms).materialize()
+        # driver never holds a hosts dict.  If the PREVIOUS round prefetched
+        # this round's selection (round pipelining: the select ran
+        # concurrently with the previous round's tail — blocked/tally
+        # split, metrics, commit), reuse it; inputs are identical (the
+        # committed frontier + host-state files), so the result is too.
+        t0 = time.time()
+        if prefetch is not None and prefetch["rnd"] == rnd:
+            prefetch["thread"].join()
+            if "err" in prefetch["state"]:
+                raise prefetch["state"]["err"]
+            selected = prefetch["state"]["selected"]
+            prefetch = None
+        else:
+            selected = select_frontier(frontier, delays_ref, host_state_dir,
+                                       num_partitions=cfg.num_partitions,
+                                       rnd=rnd, night_shift=cfg.night_shift,
+                                       round_ms=cfg.round_ms).materialize()
+        _mark("select", t0)
         sel_dir = os.path.join(next_dir, "selected")
         # hive-partitioned by the url-hash partition: the deferral scan
         # reads per-partition membership slices instead of a broadcast set.
         # Coalesce blocks first — the hive write fans out blocks×partitions
         # files otherwise (537 tiny files/round measured at 32×32)
+        t0 = time.time()
         selected.repartition(2).write_parquet(sel_dir, partition_cols=["partition"])
+        _mark("write_sel", t0)
+
+        # 6 (early). host_state: fold this round's per-host selections into
+        # the partitioned counter/clock table — depends ONLY on the written
+        # selection, so it runs on a thread overlapped with fetch+parse.
+        # The counts come from the selection checkpoint's host column —
+        # politeness-BOUNDED, never O(all hosts)
+        hs_err: list[BaseException] = []
+
+        def _host_state_job(rnd=rnd, sel_dir=sel_dir,
+                            host_state_dir=host_state_dir, next_dir=next_dir):
+            try:
+                t0h = time.time()
+                sel_host_parts = []
+                for dp, _dn, fs in os.walk(sel_dir):
+                    for f in fs:
+                        if f.endswith(".parquet"):
+                            t = pq.read_table(os.path.join(dp, f), columns=["host"])
+                            sel_host_parts.append(t["host"].to_pandas().value_counts())
+                if sel_host_parts:
+                    host_counts = (pd.concat(sel_host_parts).groupby(level=0).sum()
+                                   .rename("n").rename_axis("host").reset_index())
+                else:
+                    host_counts = pd.DataFrame({"host": pd.Series(dtype=object),
+                                                "n": pd.Series(dtype="int64")})
+                _update_host_state(host_state_dir, host_counts,
+                                   os.path.join(next_dir, "host_state"),
+                                   cfg.num_partitions, delays, rnd, cfg.round_ms)
+                marks["host_state"] = round(time.time() - t0h, 2)
+            except BaseException as e:  # surfaced before prefetch/commit
+                hs_err.append(e)
+
+        hs_thread = threading.Thread(target=_host_state_job)
+        hs_thread.start()
+
+        def _launch_prefetch(rnd=rnd, next_dir=next_dir):
+            """Round pipelining: once round r+1's frontier AND host-state
+            files are fully written, run its politeness selection on a
+            thread concurrent with THIS round's remaining tail.  Nothing is
+            persisted until round r+1 itself, so crash/resume semantics are
+            unchanged."""
+            if rnd + 1 >= cfg.max_rounds:
+                return None
+            hs_thread.join()
+            if hs_err:
+                raise hs_err[0]
+            nf_path = os.path.join(next_dir, "frontier")
+            if _count_rows(nf_path) == 0:
+                return None
+            nf = rd.read_parquet(nf_path, override_num_blocks=cfg.num_partitions)
+            state: dict = {}
+            t0p = time.time()
+
+            def _run():
+                try:
+                    state["selected"] = select_frontier(
+                        nf, delays_ref, os.path.join(next_dir, "host_state"),
+                        num_partitions=cfg.num_partitions, rnd=rnd + 1,
+                        night_shift=cfg.night_shift,
+                        round_ms=cfg.round_ms).materialize()
+                    marks["prefetch_select"] = round(time.time() - t0p, 2)
+                except BaseException as e:
+                    state["err"] = e
+
+            th = threading.Thread(target=_run)
+            th.start()
+            return {"rnd": rnd + 1, "thread": th, "state": state}
 
         # 2. deferral (frontier scan minus selected urls) — runs CONCURRENTLY
         # with fetch+parse on a driver thread: the two pipelines share no
@@ -348,15 +439,20 @@ def run_crawl(
         else:
             fetched = fetch_selected(selected, pages_root, cfg.num_buckets,
                                      flaky=cfg.flaky)
+        t0 = time.time()
         parsed = parse_fetched(fetched, rnd).materialize()
+        _mark("fetch_parse", t0)
+        t0 = time.time()
         crawled_dir = os.path.join(next_dir, "crawled")
         _write_ds_into(crawled_dir, parsed, "fetched")
+        _mark("write_crawled", t0)
 
         # 5. link candidates → winner dedup → seen + robots gate
         has_crawled = os.path.isdir(crawled_dir) and any(
             f.endswith(".parquet") for f in os.listdir(crawled_dir))
         new_dir = os.path.join(next_dir, "new")
         new_ds = None
+        t0 = time.time()
         if has_crawled:
             parsed_back = parsed.select_columns(["url", "status", "priority", "depth", "links"])
             cands = link_candidates(parsed_back, rnd, cfg.num_partitions, cfg.max_depth)
@@ -366,8 +462,11 @@ def run_crawl(
             # write→read round trip
             new_ds = gate_candidates(cands, shards, robots_ref, rnd + 1).materialize()
             _write_ds_into(new_dir, new_ds, "new")
+        _mark("gate", t0)
 
+        t0 = time.time()
         defer_thread.join()
+        _mark("defer_join", t0)
         if defer_err:
             raise defer_err[0]
 
@@ -430,12 +529,21 @@ def run_crawl(
                                  .size().rename("n").reset_index(),
                     batch_format="pandas").to_pandas()
 
-            jobs = [_job(f) for f in (_frontier_job, _seen_job,
-                                      _blocked_job, _tally_job)]
-            for j in jobs:
+            t0 = time.time()
+            jf = _job(_frontier_job)
+            others = [_job(f) for f in (_seen_job, _blocked_job, _tally_job)]
+            jf.start()
+            for j in others:
                 j.start()
-            for j in jobs:
+            # the frontier derivation completes round r+1's frontier —
+            # kick off its prefetched selection while the small
+            # seen/blocked/tally jobs (and metrics below) still run
+            jf.join()
+            if not errs:
+                prefetch = _launch_prefetch()
+            for j in others:
                 j.join()
+            _mark("split", t0)
             if errs:
                 raise errs[0]
             blocked_pd = derived["blocked_pd"]  # robots-denied: tiny
@@ -449,26 +557,12 @@ def run_crawl(
         else:
             _write_ds_into(os.path.join(next_dir, "seen_delta"),
                            schemas.SEEN.empty_table(), "links")
+            prefetch = _launch_prefetch()
 
-        # 6. host_state: fold this round's per-host selections into the
-        # partitioned counter table.  The counts come from the selection
-        # checkpoint's host column — politeness-BOUNDED, never O(all hosts)
-        sel_host_parts = []
-        if os.path.isdir(sel_dir):
-            for dp, _dn, fs in os.walk(sel_dir):
-                for f in fs:
-                    if f.endswith(".parquet"):
-                        t = pq.read_table(os.path.join(dp, f), columns=["host"])
-                        sel_host_parts.append(t["host"].to_pandas().value_counts())
-        if sel_host_parts:
-            host_counts = (pd.concat(sel_host_parts).groupby(level=0).sum()
-                           .rename("n").rename_axis("host").reset_index())
-        else:
-            host_counts = pd.DataFrame({"host": pd.Series(dtype=object),
-                                        "n": pd.Series(dtype="int64")})
-        _update_host_state(host_state_dir, host_counts,
-                           os.path.join(next_dir, "host_state"),
-                           cfg.num_partitions, delays, rnd, cfg.round_ms)
+        hs_thread.join()  # no-op if _launch_prefetch already joined it
+        if hs_err:
+            raise hs_err[0]
+        t0 = time.time()
 
         if has_crawled:
             crawled_t = pq.read_table(crawled_dir,
@@ -530,8 +624,12 @@ def run_crawl(
             per_part[[f.name for f in schemas.METRICS]], preserve_index=False
         ).cast(schemas.METRICS)
         _write_ds_into(os.path.join(next_dir, "metrics"), m_t, "m")
+        _mark("metrics", t0)
 
         ckpt.commit_round(ckpt_dir, rnd + 1)
+        if timing:
+            print(f"[crawl-timing] round={rnd} total={time.time() - t_round:.2f} "
+                  f"{marks}", file=sys.stderr)
         rnd += 1
 
     return {
