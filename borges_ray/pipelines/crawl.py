@@ -263,16 +263,33 @@ def run_crawl(
         last = 0
 
     # --- rebuild run-wide state from committed checkpoints ----------------
+    # Distributed: the seen-delta Parquet is read as a Dataset and each
+    # WORKER task routes its batch of urls to the shard actors
+    # (state.urlseen.seen_load) — the driver never materializes the seen
+    # set (at 10^10 urls the old to_pylist() rebuild was the last
+    # whole-corpus driver read in the crawl).  Shard actors serialize
+    # concurrent loaders and load_keys is idempotent, so overlapping
+    # batches from parallel tasks are safe.
     shards = create_seen_index(cfg.num_seen_shards, cfg.seen_capacity)
-    seen_all = ckpt.read_all_rounds(ckpt_dir, "seen_delta", last)
-    if seen_all is not None and seen_all.num_rows:
-        urls = seen_all["url"].to_pylist()
-        from ..canonical import stable_hash
+    seen_files = [
+        os.path.join(p, f)
+        for r in range(last + 1)
+        if os.path.isdir(p := os.path.join(ckpt.round_dir(ckpt_dir, r), "seen_delta"))
+        for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+    ]
+    if seen_files:
+        from ..state.urlseen import seen_load
 
-        per_shard: dict[int, list[str]] = {}
-        for u in urls:
-            per_shard.setdefault(stable_hash(u) % cfg.num_seen_shards, []).append(u)
-        ray.get([shards[s].load_keys.remote(us) for s, us in per_shard.items()])
+        def _load_seen(df: pd.DataFrame, shards=shards) -> pd.DataFrame:
+            return pd.DataFrame({"n": [seen_load(shards, df["url"].tolist())]})
+
+        loaded = (
+            rd.read_parquet(seen_files, columns=["url"],
+                            override_num_blocks=cfg.num_partitions)
+            .map_batches(_load_seen, batch_format="pandas")
+            .sum("n")
+        )
+        del loaded
 
     delays = delays_from_robots(robots_df, cfg.default_delay_ms)
     delays_ref = ray.put(delays)

@@ -100,3 +100,20 @@ def seen_check_and_add(shards: list, urls: list[str], rnd: int) -> np.ndarray:
     for s, (idx, fut) in futures.items():
         mask[idx] = ray.get(fut)
     return mask
+
+
+def seen_load(shards: list, urls: list[str]) -> int:
+    """Resume path: route an already-seen URL batch to its shards
+    (``load_keys`` — registers membership without claiming newness).
+    Called from WORKER tasks during the distributed rebuild, so the driver
+    never holds the seen set; safe to call concurrently from many tasks
+    (load_keys is idempotent and the actor serializes callers)."""
+    if not urls:
+        return 0
+    n = len(shards)
+    per_shard: dict[int, list[str]] = {}
+    for u in urls:
+        per_shard.setdefault(stable_hash(u) % n, []).append(u)
+    futs = [shards[s].load_keys.remote(us) for s, us in per_shard.items()]
+    ray.get(futs)
+    return len(urls)
