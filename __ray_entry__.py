@@ -229,6 +229,29 @@ def _q_hash_join(sf_dir: str):
     return df
 
 
+def _q_salted_join(sf_dir: str):
+    """Skew-salted large×large join (J1 + hot-key salting,
+    ``relational.hash_join(hot_key_threshold=...)``): lineitem joined to its
+    own per-returnflag census on a 3-value key where EVERY key is hot, so
+    the salted path — keys-only hot detection, left spread across salts,
+    right replicated per salt — is fully exercised, then re-aggregated."""
+    from borges_ray.ops.relational import grouped_agg, hash_join, load
+
+    li = load(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+    flags = grouped_agg(
+        load(sf_dir, "lineitem", columns=["l_returnflag"]),
+        ["l_returnflag"], {"flag_n": ("count", "l_returnflag")})
+    joined = hash_join(li, flags, on=["l_returnflag"],
+                       hot_key_threshold=500, salt_buckets=4)
+    out = grouped_agg(joined, ["l_returnflag", "flag_n"],
+                      {"n": ("count", "l_orderkey"),
+                       "sum_key": ("sum", "l_orderkey")})
+    df = out.to_pandas()
+    for c in ("flag_n", "n", "sum_key"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def _q_anti_join(sf_dir: str):
     """Anti-join: customers with no URGENT order (J2 skip-if-present).
     Distributed build side — the driver never reads the orders table."""
@@ -763,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "join_broadcast": _q_join_broadcast,
         "join_hash": _q_hash_join,
+        "join_salted": _q_salted_join,
         "anti_join": _q_anti_join,
         "semi_join": _q_semi_join,
         "explode_tokens": _q_explode_tokens,
@@ -1185,6 +1209,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "join_salted": """
+            WITH flags AS (
+                SELECT l_returnflag, count(*) AS flag_n
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l.l_returnflag, flag_n, count(*) AS n,
+                   CAST(sum(l.l_orderkey) AS BIGINT) AS sum_key
+            FROM lineitem l JOIN flags USING (l_returnflag)
+            GROUP BY l.l_returnflag, flag_n
+            ORDER BY l.l_returnflag
         """,
         "anti_join": """
             SELECT c_custkey FROM customer

@@ -428,6 +428,9 @@ def hash_join(
     join_type: str = "inner",
     num_partitions: int = 16,
     native: bool = False,
+    hot_key_threshold: int | None = None,
+    salt_buckets: int = 8,
+    hot: pd.DataFrame | None = None,
 ) -> rd.Dataset:
     """Large×large equi-join, hash-partitioned on the key.
 
@@ -442,9 +445,19 @@ def hash_join(
     Ray's native ``Dataset.join`` but with plain shuffle tasks instead of a
     separate aggregator-actor pool (whose startup dominates at interactive
     scales).  ``native=True`` delegates to ``Dataset.join`` (useful to
-    cross-check).  Skew: salt hot keys upstream (the politeness/budget
-    bound does this for the crawl; for general joins pass a pre-salted key
-    column).
+    cross-check).
+
+    Skew: pass ``hot_key_threshold`` to salt hot keys.  Keys whose LEFT-side
+    row count exceeds the threshold (found by a keys-only combiner count —
+    an extra pass that moves only ``(key, n)`` pairs, or pass a precomputed
+    ``hot`` frame to skip it) are spread across ``salt_buckets`` salt values
+    on the left and REPLICATED once per salt on the right, so no single
+    merge task ever holds more than ~threshold + right-side rows of one key.
+    Put the skewed side on the LEFT.  Supported for ``inner`` and
+    ``left_outer`` (an unmatched left row occupies exactly one salt;
+    replicated right rows can never surface unmatched).  ``right_outer`` /
+    ``full_outer`` with salting raise — replicated right rows would emit one
+    null-padded duplicate per salt.
     """
     if native:
         return left.join(right, join_type=join_type, num_partitions=num_partitions,
@@ -485,20 +498,80 @@ def hash_join(
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
         return _tag(df, 1, l_only)
 
-    all_cols = lcols + r_only + ["__side"]
-    both = left.map_batches(lambda df: tag_left(df)[all_cols], batch_format="pandas").union(
-        right.map_batches(lambda df: tag_right(df)[all_cols], batch_format="pandas")
+    hot_ref = None
+    if hot_key_threshold is not None:
+        if join_type not in ("inner", "left_outer"):
+            raise ValueError(
+                f"salted hash_join supports inner/left_outer, not {join_type}")
+        if hot is None:
+            hot = hot_keys(left, on, hot_key_threshold)
+        if len(hot):
+            hot_ref = ray.put(
+                set(hot[on].itertuples(index=False, name=None)))
+
+    def add_salt_left(out: pd.DataFrame) -> pd.DataFrame:
+        mask = np.asarray(pd.MultiIndex.from_frame(out[on]).isin(ray.get(hot_ref)))
+        salt = np.zeros(len(out), dtype=np.int64)
+        salt[np.nonzero(mask)[0]] = np.arange(int(mask.sum())) % salt_buckets
+        out["__salt"] = salt
+        return out
+
+    def add_salt_right(out: pd.DataFrame) -> pd.DataFrame:
+        mask = np.asarray(pd.MultiIndex.from_frame(out[on]).isin(ray.get(hot_ref)))
+        cold = out[~mask].copy()
+        cold["__salt"] = np.int64(0)
+        if not mask.any():
+            return cold
+        hotdf = out[mask]
+        reps = [hotdf.assign(__salt=np.int64(s)) for s in range(salt_buckets)]
+        return pd.concat([cold, *reps], ignore_index=True)
+
+    salt_cols = ["__salt"] if hot_ref is not None else []
+    all_cols = lcols + r_only + ["__side"] + salt_cols
+
+    def prep_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = tag_left(df)
+        return (add_salt_left(out) if hot_ref is not None else out)[all_cols]
+
+    def prep_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = tag_right(df)
+        return (add_salt_right(out) if hot_ref is not None else out)[all_cols]
+
+    both = left.map_batches(prep_left, batch_format="pandas").union(
+        right.map_batches(prep_right, batch_format="pandas")
     )
 
     how = {"inner": "inner", "left_outer": "left", "right_outer": "right",
            "full_outer": "outer"}.get(join_type, join_type)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["__side"] == 0][lcols]
-        r = df[df["__side"] == 1][rcols]
-        return _dearrow(l.merge(r, on=on, how=how))
+        l = df[df["__side"] == 0][lcols + salt_cols]
+        r = df[df["__side"] == 1][rcols + salt_cols]
+        out = l.merge(r, on=on + salt_cols, how=how)
+        if salt_cols:
+            out = out.drop(columns=salt_cols)
+        return _dearrow(out)
 
-    return groupby_buckets(both, on, merge, n_buckets=num_partitions)
+    return groupby_buckets(both, on + salt_cols, merge, n_buckets=num_partitions)
+
+
+def hot_keys(ds: rd.Dataset, on: list[str], threshold: int) -> pd.DataFrame:
+    """Keys whose total row count exceeds ``threshold`` — the skew-detection
+    pass for salted joins.  Per-block ``value_counts`` combiner first, so
+    the shuffle moves only already-reduced ``(key, n)`` pairs; the result is
+    tiny by definition (≤ total_rows / threshold keys)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(on, dropna=False, observed=True).size().rename(
+            "__n").reset_index()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(on, dropna=False, observed=True)["__n"].sum().reset_index()
+        return g[g["__n"] > threshold]
+
+    counts = ds.map_batches(partial, batch_format="pandas")
+    out = groupby_buckets(counts, on, final).to_pandas()
+    return out.reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

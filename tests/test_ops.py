@@ -409,3 +409,64 @@ def test_broadcast_guard_falls_back_to_hash_join(ray_session):
     pd.testing.assert_frame_equal(
         got_anti.sort_values("k").reset_index(drop=True).astype(want_anti.dtypes),
         want_anti.sort_values("k").reset_index(drop=True))
+
+
+def test_salted_hash_join_skew(ray_session):
+    """Salted join on an adversarial hot key (J1 skew handling): results
+    equal pandas ground truth for inner and left_outer, the hot key is
+    detected by the keys-only combiner pass, and the salted shuffle splits
+    the hot key across multiple co-location buckets (no single merge task
+    holds the whole key)."""
+    from borges_ray.ops.relational import groupby_buckets, hash_join, hot_keys
+
+    rng = np.random.default_rng(7)
+    n_hot, n_cold = 20_000, 2_000
+    left = pd.DataFrame({
+        "k": np.concatenate([np.zeros(n_hot, dtype=np.int64),
+                             rng.integers(1, 101, n_cold)]),
+        "v": np.arange(n_hot + n_cold, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(0, 101, dtype=np.int64),
+                          "w": np.arange(0, 101, dtype=np.int64) * 10})
+    lds = rd.from_pandas(left).repartition(8)
+    rds = rd.from_pandas(right).repartition(2)
+
+    hk = hot_keys(lds, ["k"], 5_000)
+    assert hk["k"].tolist() == [0] and int(hk["__n"].iloc[0]) == n_hot
+
+    out = (hash_join(lds, rds, on=["k"], hot_key_threshold=5_000,
+                     salt_buckets=8)
+           .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    exp = (left.merge(right, on="k", how="inner")
+           .sort_values(["k", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp)
+
+    # left_outer with unmatched hot+cold left rows: exactly one row per
+    # left row, no per-salt duplicates from the replicated right side
+    right_odd = right[right.k % 2 == 1]
+    out2 = (hash_join(lds, rd.from_pandas(right_odd).repartition(2),
+                      on=["k"], join_type="left_outer",
+                      hot_key_threshold=5_000, salt_buckets=8)
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    exp2 = (left.merge(right_odd, on="k", how="left")
+            .sort_values(["k", "v"]).reset_index(drop=True))
+    assert len(out2) == len(left)
+    pd.testing.assert_frame_equal(
+        out2[exp2.columns.tolist()].astype({"w": "Int64"}),
+        exp2.astype({"w": "Int64"}))
+
+    # the salted shuffle splits the hot key: bucket on (k, salt) and count
+    # the hot key's rows per (key, salt) GROUP — each merge call handles one
+    # group's worth of the hot key, which must be ~n_hot/salt_buckets
+    salted = left.copy()
+    salted["__salt"] = np.where(salted.k.eq(0),
+                                np.arange(len(salted)) % 8, 0).astype(np.int64)
+    per_group = groupby_buckets(
+        rd.from_pandas(salted).repartition(8), ["k", "__salt"],
+        lambda df: (df[df.k == 0].groupby("__salt").size()
+                    .rename("hot_rows").reset_index()),
+        n_buckets=16).to_pandas()
+    assert per_group["hot_rows"].max() <= n_hot // 8 + 8
+
+    with pytest.raises(ValueError):
+        hash_join(lds, rds, on=["k"], join_type="full_outer",
+                  hot_key_threshold=10)
