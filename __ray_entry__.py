@@ -308,6 +308,40 @@ def _q_window_hourly(sf_dir: str):
     return df
 
 
+def _q_window_sliding(sf_dir: str):
+    """Sliding/hopping event-time windows (1 h length, 15 min hop —
+    ``relational.sliding_window_agg``): every event lands in exactly 4
+    windows via vectorized bounded replication, then one grouped agg.
+    ``window_start`` is int64 epoch-µs (engine-exact)."""
+    from borges_ray.ops.relational import load, sliding_window_agg
+
+    ds = load(sf_dir, "events", columns=["event_type", "ts", "event_id"])
+    out = sliding_window_agg(ds, "event_type", "ts",
+                             3_600_000_000, 900_000_000,
+                             {"n": ("count", "event_id"),
+                              "max_id": ("max", "event_id")})
+    df = out.to_pandas()
+    for c in ("window_start", "n", "max_id"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def _q_running_totals(sf_dir: str):
+    """Per-key running aggregates in event order (SQL window-function
+    analogue, ``relational.running_agg``): row_number and running max per
+    user ordered by (ts, event_id)."""
+    from borges_ray.ops.relational import load, running_agg
+
+    ds = load(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = running_agg(ds, "user_id", "ts",
+                      {"row_n": ("row_number", ""),
+                       "run_max": ("cummax", "value")},
+                      tiebreak=["event_id"])
+    df = out.to_pandas()[["event_id", "user_id", "row_n", "run_max"]]
+    df["row_n"] = df["row_n"].astype("int64")
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_sessionize(sf_dir: str):
     """Session windows (30-min gap) per user (§2.10)."""
     from borges_ray.ops.relational import grouped_agg, load, sessionize
@@ -791,6 +825,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": _q_semi_join,
         "explode_tokens": _q_explode_tokens,
         "window_hourly": _q_window_hourly,
+        "window_sliding": _q_window_sliding,
+        "running_totals": _q_running_totals,
         "sessionize": _q_sessionize,
         "asof_lag": _q_asof_lag,
         "group_having": _q_group_having,
@@ -1241,6 +1277,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "window_sliding": """
+            SELECT event_type,
+                   (epoch_us(ts) // 900000000 - i) * 900000000 AS window_start,
+                   count(*) AS n, max(event_id) AS max_id
+            FROM events CROSS JOIN generate_series(0, 3) AS t(i)
+            GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
+        "running_totals": """
+            SELECT event_id, user_id,
+                   row_number() OVER w AS row_n,
+                   max(value) OVER w AS run_max
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+            ORDER BY event_id
         """,
         "sessionize": """
             WITH lagged AS (

@@ -611,6 +611,73 @@ def windowed_agg(
     return grouped_agg(ds.map_batches(assign, batch_format="pyarrow"), [key, "window_start"], aggs)
 
 
+def sliding_window_agg(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    window_us: int,
+    hop_us: int,
+    aggs: dict[str, tuple[str, str]],
+) -> rd.Dataset:
+    """Sliding (hopping) event-time windows: length ``window_us``, hop
+    ``hop_us`` (must divide the length).  Each event is replicated into the
+    exactly ``window_us/hop_us`` windows covering it — for start
+    ``s = (ts//hop - i)*hop``, ``ts - s = ts%hop + i*hop < window`` holds
+    for every ``i < window/hop``, so the fan-out is uniform and bounded,
+    known before execution (no data-dependent blow-up).  Replication is
+    vectorized per batch, then :func:`grouped_agg` on (key, window_start).
+    ``window_start`` is emitted as int64 epoch-microseconds (exact across
+    engines; timestamp stringification differs between ns/us backends)."""
+    if window_us % hop_us:
+        raise ValueError("hop_us must divide window_us")
+    k = window_us // hop_us
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[ts_col].astype("int64").to_numpy()
+        base = (ts // hop_us) * hop_us
+        parts = []
+        for i in range(k):
+            p = df.copy()
+            p["window_start"] = base - i * hop_us
+            parts.append(p)
+        return pd.concat(parts, ignore_index=True)
+
+    return grouped_agg(ds.map_batches(assign, batch_format="pandas"),
+                       [key, "window_start"], aggs)
+
+
+def running_agg(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str,
+    cum: dict[str, tuple[str, str]],
+    tiebreak: list[str] | None = None,
+) -> rd.Dataset:
+    """Per-key RUNNING aggregates in event order — the SQL window-function
+    analogue (``... OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED
+    PRECEDING)``).  ``cum`` maps out_name → (op, col) with op one of
+    ``row_number | cumsum | cummax | cummin | cumcount``.  One bucketed
+    shuffle co-locates each key, then a single vectorized pandas pass per
+    block (sort + groupby-cumulative).  Partitioning assumption as
+    :func:`sessionize`: one key's events fit in one group block (§2.10);
+    always pass ``tiebreak`` for a deterministic order."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, ts_col] + (tiebreak or []),
+                            kind="mergesort").copy()
+        g = df.groupby(key, sort=False)
+        for name, (op, col) in cum.items():
+            if op == "row_number":
+                df[name] = (g.cumcount() + 1).astype("int64")
+            elif op == "cumcount":
+                df[name] = g.cumcount().astype("int64")
+            else:
+                df[name] = getattr(g[col], op)()
+        return df
+
+    return groupby_buckets(ds, [key], per_bucket)
+
+
 def sessionize(
     ds: rd.Dataset,
     key: str,

@@ -470,3 +470,46 @@ def test_salted_hash_join_skew(ray_session):
     with pytest.raises(ValueError):
         hash_join(lds, rds, on=["k"], join_type="full_outer",
                   hot_key_threshold=10)
+
+
+def test_sliding_and_running_windows(ray_session):
+    """sliding_window_agg: every event in exactly window/hop windows,
+    counts match a brute-force expansion; running_agg matches pandas
+    expanding aggregates."""
+    from borges_ray.ops.relational import running_agg, sliding_window_agg
+
+    rng = np.random.default_rng(3)
+    n = 4_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, n),
+        "ts": pd.to_datetime(rng.integers(0, 10**10, n) * 1000, unit="us"),
+        "eid": np.arange(n, dtype=np.int64),
+        "v": rng.normal(size=n)})
+    ds = rd.from_pandas(df).repartition(6)
+
+    W, H = 4_000_000_000, 1_000_000_000  # 4 windows per event
+    got = (sliding_window_agg(ds, "k", "ts", W, H,
+                              {"n": ("count", "eid")})
+           .to_pandas().sort_values(["k", "window_start"]).reset_index(drop=True))
+    assert got["n"].sum() == 4 * n
+    ts = df["ts"].astype("int64")
+    rows = []
+    for i in range(4):
+        rows.append(pd.DataFrame({"k": df["k"], "window_start": (ts // H - i) * H}))
+    exp = (pd.concat(rows).groupby(["k", "window_start"]).size().rename("n")
+           .reset_index().sort_values(["k", "window_start"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype(exp.dtypes), exp)
+
+    run = (running_agg(ds, "k", "ts",
+                       {"row_n": ("row_number", ""), "run_max": ("cummax", "v")},
+                       tiebreak=["eid"])
+           .to_pandas().sort_values("eid").reset_index(drop=True))
+    sdf = df.sort_values(["k", "ts", "eid"], kind="mergesort")
+    sdf = sdf.assign(row_n=sdf.groupby("k", sort=False).cumcount() + 1,
+                     run_max=sdf.groupby("k", sort=False)["v"].cummax())
+    exp2 = sdf.sort_values("eid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(run[["eid", "row_n", "run_max"]],
+                                  exp2[["eid", "row_n", "run_max"]])
+
+    with pytest.raises(ValueError):
+        sliding_window_agg(ds, "k", "ts", W, 3_000_000_000, {"n": ("count", "eid")})
