@@ -342,6 +342,50 @@ def _q_running_totals(sf_dir: str):
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_asof_join(sf_dir: str):
+    """True two-table as-of join (§2.10, ``relational.asof_join``): each
+    event picks the customer's most recent order at the event time
+    (right side pre-deduped per (custkey, orderdate) so the as-of row is
+    well-defined).  Oracle: DuckDB ``ASOF JOIN``."""
+    from borges_ray.ops.relational import asof_join, grouped_agg, load
+
+    ev = load(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    ro = grouped_agg(
+        load(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"]),
+        ["o_custkey", "o_orderdate"], {"okey": ("max", "o_orderkey")})
+    ro = ro.map_batches(
+        lambda t: t.rename_columns(["user_id", "ots", "okey"]),
+        batch_format="pyarrow")
+    out = asof_join(ev, ro, "user_id", "ts", "ots", how="inner")
+    df = out.to_pandas()[["event_id", "user_id", "okey"]]
+    df["okey"] = df["okey"].astype("int64")
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_topk_per_group(sf_dir: str):
+    """Top-3 orders per customer by price (``relational.topk_per_group`` —
+    the ROW_NUMBER-window shape with a per-block combiner)."""
+    from borges_ray.ops.relational import load, topk_per_group
+
+    orders = load(sf_dir, "orders",
+                  columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    out = topk_per_group(orders, "o_custkey",
+                         ["o_totalprice", "o_orderkey"], 3,
+                         descending=[True, False])
+    df = out.to_pandas().sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+    return df
+
+
+def _q_grouped_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles (``relational.grouped_quantile``,
+    DuckDB ``quantile_disc`` rule — element selection, no interpolation)."""
+    from borges_ray.ops.relational import grouped_quantile, load
+
+    ev = load(sf_dir, "events", columns=["event_type", "value"])
+    out = grouped_quantile(ev, "event_type", "value", [0.25, 0.5, 0.75])
+    return (out.to_pandas().sort_values("event_type").reset_index(drop=True))
+
+
 def _q_sessionize(sf_dir: str):
     """Session windows (30-min gap) per user (§2.10)."""
     from borges_ray.ops.relational import grouped_agg, load, sessionize
@@ -826,6 +870,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_tokens": _q_explode_tokens,
         "window_hourly": _q_window_hourly,
         "window_sliding": _q_window_sliding,
+        "asof_join_orders": _q_asof_join,
+        "topk_per_group": _q_topk_per_group,
+        "grouped_quantiles": _q_grouped_quantiles,
         "running_totals": _q_running_totals,
         "sessionize": _q_sessionize,
         "asof_lag": _q_asof_lag,
@@ -1285,6 +1332,33 @@ def oracle_sql() -> dict[str, str]:
             FROM events CROSS JOIN generate_series(0, 3) AS t(i)
             GROUP BY event_type, window_start
             ORDER BY event_type, window_start
+        """,
+        "asof_join_orders": """
+            WITH ro AS (
+                SELECT o_custkey AS user_id, o_orderdate AS ots,
+                       max(o_orderkey) AS okey
+                FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, e.user_id, r.okey
+            FROM events e ASOF JOIN ro r
+              ON e.user_id = r.user_id AND r.ots <= e.ts
+            ORDER BY e.event_id
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice
+            FROM orders
+            QUALIFY row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) <= 3
+            ORDER BY o_custkey, o_orderkey
+        """,
+        "grouped_quantiles": """
+            SELECT event_type,
+                   quantile_disc(value, 0.25) AS q25,
+                   quantile_disc(value, 0.50) AS q50,
+                   quantile_disc(value, 0.75) AS q75
+            FROM events GROUP BY event_type
+            ORDER BY event_type
         """,
         "running_totals": """
             SELECT event_id, user_id,

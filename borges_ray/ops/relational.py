@@ -555,6 +555,141 @@ def hash_join(
     return groupby_buckets(both, on + salt_cols, merge, n_buckets=num_partitions)
 
 
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    *,
+    direction: str = "backward",
+    how: str = "inner",
+) -> rd.Dataset:
+    """Two-table as-of join (§2.10): each left row picks the right row with
+    the greatest ``right_ts`` ≤ its ``left_ts`` (direction="backward"; also
+    "forward"/"nearest"), matching DuckDB's ``ASOF JOIN``.  ONE bucketed
+    shuffle co-locates each key's rows from both sides, then a vectorized
+    ``pandas.merge_asof`` per block.  Right-side column names (other than
+    ``key``) must not collide with left's.  For well-defined results,
+    de-duplicate the right side per (key, right_ts) upstream — with
+    duplicates, "the" as-of row is undefined in SQL too.  ``how="left"``
+    keeps unmatched left rows (right columns null, ints as nullable Int64);
+    ``how="inner"`` drops them."""
+    lschema, rschema = left.schema(), right.schema()
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    rvals = [c for c in rcols if c != key]
+    clash = set(lcols) & set(rvals)
+    if clash:
+        raise ValueError(f"right-side columns collide with left: {sorted(clash)}")
+
+    fill_dtype = {c: _pd_dtype(t) for c, t in
+                  list(zip(lschema.names, lschema.types)) +
+                  list(zip(rschema.names, rschema.types))}
+
+    def tag(df: pd.DataFrame, side: int, missing: list[str]) -> pd.DataFrame:
+        out = df.copy()
+        out["__side"] = side
+        for c in missing:
+            d = fill_dtype[c]
+            out[c] = pd.Series(_na_of(d), index=out.index, dtype=d)
+        return out[lcols + rvals + ["__side"]]
+
+    both = left.map_batches(lambda df: tag(df, 0, rvals),
+                            batch_format="pandas").union(
+        right.map_batches(lambda df: tag(df, 1, [c for c in lcols if c != key]),
+                          batch_format="pandas"))
+
+    int_rvals = [c for c in rvals
+                 if fill_dtype[c].startswith(("Int", "UInt", "int", "uint"))]
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0][lcols].sort_values(left_ts, kind="mergesort")
+        r = (df[df["__side"] == 1][[key] + rvals]
+             .sort_values([right_ts] + [c for c in rvals if c != right_ts],
+                          kind="mergesort"))
+        if r.empty:
+            out = l.copy()
+            for c in rvals:
+                d = fill_dtype[c]
+                d = "Int64" if d.startswith(("int", "uint", "Int", "UInt")) else d
+                out[c] = pd.Series(_na_of(d), index=out.index, dtype=d)
+        else:
+            out = pd.merge_asof(l, r, left_on=left_ts, right_on=right_ts,
+                                by=key, direction=direction)
+            for c in int_rvals:
+                out[c] = out[c].astype("Int64")
+        if how == "inner":
+            out = out[out[right_ts].notna()]
+            for c in int_rvals:
+                out[c] = out[c].astype("int64")
+        return _dearrow(out.reset_index(drop=True))
+
+    return groupby_buckets(both, [key], per_block)
+
+
+def topk_per_group(
+    ds: rd.Dataset,
+    key: str,
+    order_cols: list[str],
+    k: int,
+    *,
+    descending: bool | list[bool] = True,
+) -> rd.Dataset:
+    """Top-k rows PER KEY (the ``row_number() OVER (PARTITION BY ...) <= k``
+    shape): per-block partial top-k per key first (a combiner — at most
+    k·keys rows leave each block), then the bucketed shuffle and a final
+    per-key top-k.  Pass a deterministic full ordering in ``order_cols``."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_cols)
+    ascending = [not d for d in descending]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(order_cols, ascending=ascending,
+                               kind="mergesort")
+                .groupby(key, sort=False).head(k))
+
+    return groupby_buckets(ds.map_batches(partial, batch_format="pandas"),
+                           [key], partial)
+
+
+def grouped_quantile(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    qs: list[float],
+) -> rd.Dataset:
+    """Exact per-group DISCRETE quantiles: one bucketed shuffle on the key,
+    then a single vectorized numpy pass per block (sort by (key, value),
+    group offsets via boundary diff, quantile = ``sorted[ceil(q·n)−1]`` —
+    DuckDB's ``quantile_disc`` rule, an exact element with no float
+    interpolation, so results hash identically across engines).  Null
+    values are dropped first.  Exact quantiles are not map-side
+    decomposable, so the value column does shuffle — at the 10^10 design
+    point switch to a sketch (t-digest) if the exchange dominates."""
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        qcols = [f"q{int(q * 100)}" for q in qs]
+        df = df[[key, value_col]].dropna(subset=[value_col])
+        if df.empty:
+            return pd.DataFrame({key: df[key],
+                                 **{c: pd.Series(dtype="float64")
+                                    for c in qcols}})
+        s = df.sort_values([key, value_col], kind="mergesort")
+        vals = s[value_col].to_numpy()
+        keys_arr = s[key].to_numpy()
+        starts = np.nonzero(np.r_[True, keys_arr[1:] != keys_arr[:-1]])[0]
+        sizes = np.diff(np.r_[starts, len(keys_arr)])
+        out = {key: keys_arr[starts]}
+        for q, c in zip(qs, qcols):
+            idx = starts + np.maximum(
+                0, np.ceil(q * sizes).astype(np.int64) - 1)
+            out[c] = vals[idx]
+        return pd.DataFrame(out)
+
+    return groupby_buckets(ds, [key], per_block)
+
+
 def hot_keys(ds: rd.Dataset, on: list[str], threshold: int) -> pd.DataFrame:
     """Keys whose total row count exceeds ``threshold`` — the skew-detection
     pass for salted joins.  Per-block ``value_counts`` combiner first, so

@@ -513,3 +513,69 @@ def test_sliding_and_running_windows(ray_session):
 
     with pytest.raises(ValueError):
         sliding_window_agg(ds, "k", "ts", W, 3_000_000_000, {"n": ("count", "eid")})
+
+
+def test_asof_topk_quantile_ops(ray_session):
+    """asof_join matches a per-row brute-force as-of lookup (inner + left,
+    incl. keys with no right rows); topk_per_group matches pandas; the
+    discrete grouped_quantile implements sorted[ceil(q*n)-1] exactly."""
+    from borges_ray.ops.relational import (asof_join, grouped_quantile,
+                                           topk_per_group)
+
+    rng = np.random.default_rng(11)
+    n = 3_000
+    left = pd.DataFrame({
+        "k": rng.integers(0, 8, n),          # key 7 has no right rows
+        "lts": rng.integers(0, 1000, n).astype("int64"),
+        "lid": np.arange(n, dtype=np.int64)})
+    right = (pd.DataFrame({
+        "k": rng.integers(0, 7, 300),
+        "rts": rng.integers(0, 1000, 300).astype("int64")})
+        .drop_duplicates(["k", "rts"]).reset_index(drop=True))
+    right["rv"] = np.arange(len(right), dtype=np.int64)
+
+    def brute(row):
+        cand = right[(right.k == row.k) & (right.rts <= row.lts)]
+        if cand.empty:
+            return pd.NA
+        return cand.loc[cand.rts.idxmax(), "rv"]
+
+    exp_rv = left.apply(brute, axis=1)
+    lds = rd.from_pandas(left).repartition(5)
+    rds = rd.from_pandas(right).repartition(3)
+
+    inner = (asof_join(lds, rds, "k", "lts", "rts", how="inner")
+             .to_pandas().sort_values("lid").reset_index(drop=True))
+    exp_inner = left.assign(rv=exp_rv).dropna(subset=["rv"]).reset_index(drop=True)
+    assert inner["lid"].tolist() == exp_inner["lid"].tolist()
+    assert inner["rv"].astype("int64").tolist() == exp_inner["rv"].astype("int64").tolist()
+
+    louter = (asof_join(lds, rds, "k", "lts", "rts", how="left")
+              .to_pandas().sort_values("lid").reset_index(drop=True))
+    assert len(louter) == n
+    assert louter["rv"].astype("Int64").equals(exp_rv.astype("Int64"))
+
+    # topk per group vs pandas
+    df = pd.DataFrame({"g": rng.integers(0, 20, 500),
+                       "x": rng.integers(0, 100, 500).astype("int64"),
+                       "id": np.arange(500, dtype=np.int64)})
+    got = (topk_per_group(rd.from_pandas(df).repartition(4), "g",
+                          ["x", "id"], 3, descending=[True, False])
+           .to_pandas().sort_values(["g", "id"]).reset_index(drop=True))
+    exp = (df.sort_values(["x", "id"], ascending=[False, True], kind="mergesort")
+           .groupby("g", sort=False).head(3)
+           .sort_values(["g", "id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["g", "x", "id"]], exp[["g", "x", "id"]])
+
+    # discrete quantile rule
+    qd = pd.DataFrame({"g": np.repeat([0, 1], [7, 4]),
+                       "v": np.r_[np.arange(7), np.arange(4)].astype("float64")})
+    got_q = (grouped_quantile(rd.from_pandas(qd), "g", "v", [0.25, 0.5, 0.75])
+             .to_pandas().sort_values("g").reset_index(drop=True))
+    # n=7: ceil(.25*7)-1=1, ceil(.5*7)-1=3, ceil(.75*7)-1=5 ; n=4: 0,1,2
+    assert got_q.loc[0, ["q25", "q50", "q75"]].tolist() == [1.0, 3.0, 5.0]
+    assert got_q.loc[1, ["q25", "q50", "q75"]].tolist() == [0.0, 1.0, 2.0]
+
+    with pytest.raises(ValueError):
+        asof_join(lds, rd.from_pandas(right.rename(columns={"rv": "lid"})),
+                  "k", "lts", "rts")
