@@ -523,24 +523,28 @@ def _q_knn_lsh(sf_dir: str):
 def _q_knn_ivf(sf_dir: str):
     """IVF (centroid-bucketed) ANN with PHYSICAL partition pruning: the
     corpus is written hive-partitioned by centroid once, and the query
-    reads only its n_probe partitions (rows-only: approximate)."""
+    reads only its n_probe partitions.  For the oracle the centroids are
+    DETERMINISTIC row vectors (embeddings of vec_id < 16) instead of
+    k-means output — assignment is argmax dot(v, c), which SQL recomputes
+    exactly (per-row normalization cannot change the argmax), so the probed
+    partitions and the top-k are identical between engines.  k-means
+    centroids (``train_ivf_centroids``) stay covered by
+    ``tests/test_ops.py::test_knn_ivf``."""
     import hashlib
     import tempfile
 
-    from borges_ray.ops.embed import (
-        build_ivf_index,
-        knn_ivf_partitioned,
-        train_ivf_centroids,
-    )
+    from borges_ray.ops.embed import build_ivf_index, knn_ivf_partitioned
     from borges_ray.ops.relational import load
 
-    q = pd.read_parquet(f"{sf_dir}/embeddings.parquet").pipe(
-        lambda d: d[d.vec_id == 0]["embedding"].iloc[0]
-    )
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    q = emb[emb.vec_id == 0]["embedding"].iloc[0]
+    cents = np.stack(
+        emb[emb.vec_id < 16].sort_values("vec_id")["embedding"].to_numpy()
+    ).astype(np.float64)
     ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    cents = train_ivf_centroids(ds, n_centroids=16)
     tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
-    idx_dir = f"{tempfile.gettempdir()}/borges_ivf_{tag}"
+    idx_dir = f"{tempfile.gettempdir()}/borges_ivfd_{tag}"
     build_ivf_index(ds, cents, idx_dir)
     df, _stats = knn_ivf_partitioned(idx_dir, np.asarray(q), 10, cents, n_probe=4)
     return df[["vec_id", "cos"]]
@@ -1102,6 +1106,41 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": _ORACLE_SIMHASH_NEARDUP,
         "cosine_neardup_lsh": _oracle_cosine_lsh(),
         "knn_lsh": _oracle_knn_lsh(),
+        "knn_ivf": """
+            -- exact twin of _q_knn_ivf: deterministic row centroids
+            -- (vec_id < 16), assignment = argmax dot(v, c) (row
+            -- normalization cannot change the argmax), probe = top-4
+            -- centroids by dot(q, c), then rounded-cos top-10 within the
+            -- probed partitions
+            WITH cents AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+                FROM embeddings WHERE vec_id < 16
+            ),
+            qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q
+                   FROM embeddings WHERE vec_id = 0),
+            assign AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_inner_product(
+                                   CAST(e.embedding AS DOUBLE[]), c.c) DESC,
+                               c.cid) AS rn
+                    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+            ),
+            probe AS (
+                SELECT cid FROM cents, qv
+                ORDER BY list_inner_product(c, q) DESC, cid LIMIT 4
+            )
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), qv.q), 6) AS cos
+            FROM embeddings e
+            JOIN assign a ON a.vec_id = e.vec_id
+            JOIN probe p ON p.cid = a.cid, qv
+            ORDER BY cos DESC, e.vec_id
+            LIMIT 10
+        """,
         "paged_search_urls": """
             SELECT n_nationkey,
                    CAST(i AS BIGINT) AS page_idx,
