@@ -562,6 +562,18 @@ def _q_minhash_neardup(sf_dir: str):
     return minhash_near_dup_pairs(ds, "doc_id", threshold=0.5)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs (threshold 0.3) via distributed
+    prefix filtering (PPJoin lemma) — no LSH miss probability; complements
+    minhash_neardup at thresholds below what 32-band/r=2 banding covers.
+    Oracle: the same all-pairs shingle-Jaccard SQL at 0.3."""
+    from borges_ray.ops.dedup import ngram_jaccard_pairs
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, "doc_id", threshold=0.3)
+
+
 def _q_minhash_dedup_survivors(sf_dir: str):
     """Full near-dup dedup: MinHash-LSH pairs → DISTRIBUTED connected
     components (log-depth spanning-forest merge) → survivors via a
@@ -843,6 +855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "minhash_neardup": _q_minhash_neardup,
+        "ngram_jaccard": _q_ngram_jaccard,
         "minhash_dedup_survivors": _q_minhash_dedup_survivors,
         "simhash_signatures": _q_simhash,
         "simhash_neardup": _q_simhash_neardup,
@@ -931,6 +944,13 @@ _METADATA_ORACLE = """
 #: All-pairs exact word-3-shingle Jaccard ≥ 0.5 — the SQL twin of the
 #: MinHash verify stage (shingle-hash sets vs shingle-string sets are
 #: identical absent u64 collisions; the division is the same IEEE double).
+def _jaccard_pairs_sql(threshold: float) -> str:
+    """All-pairs exact word-3-shingle Jaccard in SQL, parametrized on the
+    keep threshold — the shared twin of every Jaccard-family engine path
+    (minhash verify at 0.5, the prefix-filtered exact join at 0.3)."""
+    return _MINHASH_PAIRS_SQL.replace(">= 0.5", f">= {threshold}")
+
+
 _MINHASH_PAIRS_SQL = r"""
     WITH RECURSIVE toks AS (
         SELECT doc_id,
@@ -1202,6 +1222,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "minhash_neardup": _MINHASH_PAIRS_SQL + """
+            SELECT id_a, id_b, jaccard FROM jpairs
+        """,
+        "ngram_jaccard": _jaccard_pairs_sql(0.3) + """
             SELECT id_a, id_b, jaccard FROM jpairs
         """,
         "minhash_dedup_survivors": _MINHASH_PAIRS_SQL + """,

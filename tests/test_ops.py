@@ -65,6 +65,44 @@ def test_ngram_jaccard_kernel():
     assert 0.0 < jaccard("a b c d e f", "a b c d e g") < 1.0
 
 
+def test_ngram_jaccard_pairs_exact_vs_brute(docs):
+    """The prefix-filtered self-join must return EXACTLY the brute-force
+    all-pairs result — completeness is the PPJoin lemma, precision the
+    verify stage — including at a threshold (0.3) below what the default
+    MinHash banding reliably covers."""
+    import itertools
+
+    from borges_ray.ops.dedup import jaccard, ngram_jaccard_pairs
+
+    df, ds = docs
+    got = ngram_jaccard_pairs(ds, "doc_id", threshold=0.3)
+    exp = []
+    for (ia, ta), (ib, tb) in itertools.combinations(
+            zip(df.doc_id, df.text), 2):
+        j = jaccard(ta, tb, 3)
+        if j >= 0.3:
+            exp.append((ia, ib, j))
+    exp = pd.DataFrame(exp, columns=["id_a", "id_b", "jaccard"]).sort_values(
+        ["id_a", "id_b"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert ((0, 100) in set(map(tuple, got[["id_a", "id_b"]].values)))
+
+
+def test_ngram_jaccard_bucket_cap_keeps_precision(docs):
+    """With an adversarially tiny ``max_bucket``, recall may drop (logged)
+    but every returned pair still carries its TRUE Jaccard ≥ threshold —
+    the verify stage re-computes from text regardless of how candidates
+    were generated."""
+    from borges_ray.ops.dedup import jaccard, ngram_jaccard_pairs
+
+    df, ds = docs
+    got = ngram_jaccard_pairs(ds, "doc_id", threshold=0.3, max_bucket=2)
+    texts = dict(zip(df.doc_id, df.text))
+    for r in got.itertuples(index=False):
+        assert jaccard(texts[r.id_a], texts[r.id_b], 3) == r.jaccard
+        assert r.jaccard >= 0.3
+
+
 @pytest.fixture(scope="module")
 def vecs(ray_session):
     rng = np.random.default_rng(6)
