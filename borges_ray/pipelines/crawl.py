@@ -90,6 +90,7 @@ class EngineConfig:
     night_shift: bool = False    # F9 time-of-day host gating
     api_keys: tuple = ()         # T2/S13: non-empty → session-actor fetch path
     render: bool = False         # S12: browser-render actor fetch path
+    seen_filter: str = "bloom"   # "bloom" | "cuckoo" (deletable — recrawl)
 
 
 def _count_rows(path: str) -> int:
@@ -270,7 +271,8 @@ def run_crawl(
     # whole-corpus driver read in the crawl).  Shard actors serialize
     # concurrent loaders and load_keys is idempotent, so overlapping
     # batches from parallel tasks are safe.
-    shards = create_seen_index(cfg.num_seen_shards, cfg.seen_capacity)
+    shards = create_seen_index(cfg.num_seen_shards, cfg.seen_capacity,
+                               filter_kind=cfg.seen_filter)
     seen_files = [
         os.path.join(p, f)
         for r in range(last + 1)

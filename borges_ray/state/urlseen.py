@@ -38,9 +38,18 @@ class UrlSeenShard:
     reaches the shards from exactly one task per round, so no other task
     can double-claim it)."""
 
-    def __init__(self, shard_id: int, capacity: int = 1_000_000):
+    def __init__(self, shard_id: int, capacity: int = 1_000_000,
+                 filter_kind: str = "bloom"):
         self.shard_id = shard_id
-        self.bloom = BloomFilter(capacity)
+        if filter_kind == "cuckoo":
+            from .cuckoo import CuckooFilter
+
+            self.bloom = CuckooFilter(capacity)
+        elif filter_kind == "bloom":
+            self.bloom = BloomFilter(capacity)
+        else:
+            raise ValueError(f"unknown filter_kind {filter_kind!r}")
+        self.filter_kind = filter_kind
         self.exact: dict[str, int] = {}  # url -> round first seen
 
     def check_and_add(self, urls: list[str], rnd: int) -> np.ndarray:
@@ -73,14 +82,31 @@ class UrlSeenShard:
         self.bloom.add_batch(fresh)
         return len(self.exact)
 
+    def invalidate(self, urls: list[str]) -> int:
+        """Recrawl invalidation: forget membership so the next
+        ``check_and_add`` re-admits the URL as new.  With the cuckoo filter
+        the fingerprint is DELETED too (fast path stays tight across recrawl
+        epochs); with Bloom the bitmap goes conservatively stale — correct,
+        because membership truth is the exact set, but each stale URL pays
+        the slow confirm path forever (the design reason cuckoo exists).
+        Returns how many of ``urls`` were actually forgotten."""
+        present = [u for u in urls if u in self.exact]
+        for u in present:
+            del self.exact[u]
+        if self.filter_kind == "cuckoo" and present:
+            self.bloom.delete_batch(present)
+        return len(present)
+
     def size(self) -> int:
         return len(self.exact)
 
 
-def create_seen_index(num_shards: int, capacity_per_shard: int = 1_000_000) -> list:
+def create_seen_index(num_shards: int, capacity_per_shard: int = 1_000_000,
+                      filter_kind: str = "bloom") -> list:
     """Spawn the shard actor pool (detached-per-run, owned by the driver)."""
     return [
-        UrlSeenShard.remote(i, capacity_per_shard) for i in range(num_shards)
+        UrlSeenShard.remote(i, capacity_per_shard, filter_kind)
+        for i in range(num_shards)
     ]
 
 
@@ -100,6 +126,19 @@ def seen_check_and_add(shards: list, urls: list[str], rnd: int) -> np.ndarray:
     for s, (idx, fut) in futures.items():
         mask[idx] = ray.get(fut)
     return mask
+
+
+def seen_invalidate(shards: list, urls: list[str]) -> int:
+    """Route a recrawl-invalidation batch to its shards; returns how many
+    URLs were forgotten (idempotent: re-invalidating is a no-op)."""
+    if not urls:
+        return 0
+    n = len(shards)
+    per_shard: dict[int, list[str]] = {}
+    for u in urls:
+        per_shard.setdefault(stable_hash(u) % n, []).append(u)
+    futs = [shards[s].invalidate.remote(us) for s, us in per_shard.items()]
+    return int(sum(ray.get(futs)))
 
 
 def seen_load(shards: list, urls: list[str]) -> int:

@@ -278,3 +278,28 @@ def test_render_fetch_parity_and_timeout(web, ray_session, tmp_path):
     tight = RenderSession(pages_root, 4, timeout_ms=1)
     out2 = tight(sel)
     assert (out2.status == 504).all() and out2.html.isna().all()
+
+
+def test_cuckoo_seen_filter_parity(web, ray_session, tmp_path):
+    """The cuckoo-filter seen backend (deletable fast path — recrawl
+    invalidation) produces byte-identical crawled rows and the same seen
+    set as the default Bloom backend: the filter only short-circuits the
+    confirm path, membership truth is unchanged."""
+    from borges_ray.pipelines.crawl import (
+        EngineConfig, collect_crawled, collect_seen, run_crawl)
+
+    _pages, seeds, robots, pages_root, _ = web
+    base = EngineConfig(max_rounds=4, num_partitions=8, num_buckets=4,
+                        num_seen_shards=2)
+    ck_a = str(tmp_path / "a")
+    run_crawl(pages_root, seeds, robots.to_pandas(), base, ck_a, resume=False)
+    cuck = EngineConfig(max_rounds=4, num_partitions=8, num_buckets=4,
+                        num_seen_shards=2, seen_filter="cuckoo")
+    ck_b = str(tmp_path / "b")
+    run_crawl(pages_root, seeds, robots.to_pandas(), cuck, ck_b, resume=False)
+    a = collect_crawled(ck_a).to_pandas().set_index("url").sort_index()
+    b = collect_crawled(ck_b).to_pandas().set_index("url").sort_index()
+    assert list(a.index) == list(b.index)
+    for col in ("status", "attempts", "extracted_text", "fetch_round", "host_seq"):
+        assert (a[col].to_numpy() == b[col].to_numpy()).all(), col
+    assert set(collect_seen(ck_a)["url"]) == set(collect_seen(ck_b)["url"])

@@ -29,6 +29,60 @@ def test_bloom_empty_and_determinism():
     assert (bf1.bits == bf2.bits).all()
 
 
+def test_cuckoo_membership_delete_and_determinism():
+    from borges_ray.state.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(capacity=10_000)
+    keys = [f"http://h{i}.example/p/{i}" for i in range(5000)]
+    cf.add_batch(keys)
+    assert cf.contains_batch(keys).all()                 # no false negatives
+    other = [f"http://other{i}.example/x" for i in range(5000)]
+    assert cf.contains_batch(other).mean() < 0.005       # ~0.012% design rate
+
+    # deletion: removed keys become definitely-absent, others unaffected
+    gone, kept = keys[:2500], keys[2500:]
+    assert cf.delete_batch(gone).all()
+    assert not cf.contains_batch(gone).any()
+    assert cf.contains_batch(kept).all()
+    assert cf.count == len(kept)
+
+    # determinism: same op sequence → identical table (resume rebuild)
+    cf2 = CuckooFilter(capacity=10_000)
+    cf2.add_batch(keys)
+    cf2.delete_batch(gone)
+    assert (cf.table == cf2.table).all()
+
+
+def test_cuckoo_over_capacity_raises():
+    from borges_ray.state.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(capacity=1024)  # 1024-min floor → 512 buckets × 4
+    with pytest.raises(RuntimeError):
+        cf.add_batch([f"k{i}" for i in range(4096)])
+
+
+@pytest.mark.parametrize("kind", ["bloom", "cuckoo"])
+def test_seen_shards_invalidate_readmits(ray_session, kind):
+    """Recrawl invalidation: forgotten URLs come back as NEW on the next
+    round, untouched URLs stay seen — under either filter backend (cuckoo
+    additionally deletes the fingerprint; Bloom just goes stale on the
+    fast path, membership truth being the exact set either way)."""
+    from borges_ray.state.urlseen import (
+        create_seen_index, seen_check_and_add, seen_invalidate)
+
+    shards = create_seen_index(2, 10_000, filter_kind=kind)
+    urls = [f"http://h.example/{i}" for i in range(50)]
+    assert seen_check_and_add(shards, urls, 1).all()
+    stale = urls[::5]
+    assert seen_invalidate(shards, stale) == len(stale)
+    assert seen_invalidate(shards, stale) == 0           # idempotent
+    m = seen_check_and_add(shards, urls, 2)
+    assert m.sum() == len(stale)
+    assert all(m[i] == (i % 5 == 0) for i in range(50))
+    # re-admitted URLs are seen again afterwards
+    assert not seen_check_and_add(shards, stale, 3).any()
+
+
 def test_seen_shards_exactly_once(ray_session):
     from borges_ray.state.urlseen import create_seen_index, seen_check_and_add
 
