@@ -847,6 +847,104 @@ def _q_crawl_pipeline(sf_dir: str):
     return collect_crawled(f"{tmp}/ckpt")
 
 
+def _q_paragraph_dedup(sf_dir: str):
+    """CCNet-style corpus-global paragraph dedup (first occurrence wins)
+    over 3-token chunks; keys-only min shuffle + one text shuffle."""
+    from borges_ray.ops.ccnet import paragraph_dedup
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    return paragraph_dedup(ds, width=3)
+
+
+def _q_dup_chunk_metrics(sf_dir: str):
+    """Gopher-style within-document repetition metrics over 2-token
+    chunks (duplicate-line fraction analogue); shuffle-free."""
+    from borges_ray.ops.ccnet import dup_chunk_metrics
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_chunk_metrics(ds, width=2)
+
+
+def _q_shard_pack(sf_dir: str):
+    """Token-budget training-shard assignment via distributed prefix sum
+    (range-partitioned two-phase scan; driver sees only per-range sums)."""
+    from borges_ray.ops.pack import shard_pack
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_w(df: pd.DataFrame) -> pd.DataFrame:
+        from borges_ray.ops.textops import token_count_batch
+
+        ws, _ = token_count_batch(df["text"].fillna(""))
+        return pd.DataFrame({"doc_id": df["doc_id"], "w": ws})
+
+    weighted = ds.map_batches(add_w, batch_format="pandas")
+    out = shard_pack(weighted, "doc_id", "w", budget=500, range_size=64)
+    return out.select_columns(["doc_id", "w", "cum", "shard_id"])
+
+
+def _q_pii_redact(sf_dir: str):
+    """PII scrubbing (emails / phones / IPv4 → typed placeholders) with
+    per-doc counts.  The synthetic corpus carries no PII, so both sides
+    append the SAME deterministic doc_id-derived contact string, then
+    redact — exercising every pattern on every row."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.textops import PiiRedactor
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def augment(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"]
+        out = df.copy()
+        out["text"] = (
+            df["text"].fillna("")
+            + " Contact user" + d.astype(str) + "@mail.example.com or 555-"
+            + (d % 1000).astype(str).str.zfill(3) + "-"
+            + ((d * 7) % 10000).astype(str).str.zfill(4)
+            + " at 192.168." + (d % 256).astype(str) + "." + ((d * 3) % 256).astype(str) + "."
+        )
+        return out
+
+    return ds.map_batches(augment, batch_format="pandas").map_batches(
+        PiiRedactor, batch_format="pandas", concurrency=4)
+
+
+def _q_warc_roundtrip(sf_dir: str):
+    """WARC source/sink roundtrip: documents → .warc record files →
+    parsed back; returns (doc_id, n_bytes of payload).  Proves header
+    framing + Content-Length slicing are byte-exact."""
+    import re as _re
+    import shutil
+
+    from borges_ray.ops.relational import load
+    from borges_ray.sources.warc import read_warc, write_warc
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    tmp = "/tmp/borges_warc/" + _re.sub(r"\W+", "_", sf_dir.strip("/"))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def to_rec(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": "http://corpus.example/" + df["doc_id"].astype(str),
+            "warc_ts": "2026-01-01T00:00:" + (df["doc_id"] % 60).astype(str).str.zfill(2) + "Z",
+            "payload": [t.encode("utf-8") for t in df["text"].fillna("")],
+        })
+
+    write_warc(ds.map_batches(to_rec, batch_format="pandas"), tmp)
+    back = read_warc(tmp)
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["url"].str.rsplit("/", n=1).str[1].astype("int64"),
+            "n_bytes": df["payload"].map(len).astype("int64"),
+        })
+
+    return back.map_batches(summarize, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bpe_tokens": _q_bpe_tokens,
@@ -879,6 +977,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_docs_exact": _q_dedup_docs,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "dup_chunk_metrics": _q_dup_chunk_metrics,
+        "shard_pack": _q_shard_pack,
+        "pii_redact": _q_pii_redact,
+        "warc_roundtrip": _q_warc_roundtrip,
         "join_broadcast": _q_join_broadcast,
         "join_hash": _q_hash_join,
         "join_salted": _q_salted_join,
@@ -1341,6 +1444,83 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
                    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
                          / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1), 6) AS mean_word_len
+            FROM documents
+        """,
+        "paragraph_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok,
+                     unnest(range(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')))) AS i
+              FROM documents
+            ), paras AS (
+              SELECT doc_id, i // 3 AS pidx, string_agg(tok, ' ' ORDER BY i) AS para
+              FROM toks GROUP BY doc_id, i // 3
+            ), firsts AS (
+              SELECT doc_id, pidx, para,
+                     row_number() OVER (PARTITION BY para ORDER BY doc_id, pidx) AS rn
+              FROM paras
+            )
+            SELECT doc_id, count(*) AS n_paras_kept,
+                   string_agg(para, ' ' ORDER BY pidx) AS text
+            FROM firsts WHERE rn = 1 GROUP BY doc_id
+        """,
+        "dup_chunk_metrics": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok,
+                     unnest(range(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')))) AS i
+              FROM documents
+            ), paras AS (
+              SELECT doc_id, i // 2 AS pidx, string_agg(tok, ' ' ORDER BY i) AS para
+              FROM toks GROUP BY doc_id, i // 2
+            ), counts AS (
+              SELECT doc_id, pidx, para, length(para) AS plen,
+                     count(*) OVER (PARTITION BY doc_id, para) AS m
+              FROM paras
+            )
+            SELECT doc_id, count(*) AS n_paras,
+                   CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+                   round(CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_para_frac,
+                   round(CAST(sum(CASE WHEN m > 1 THEN plen ELSE 0 END) AS DOUBLE) / greatest(sum(plen), 1), 6) AS dup_char_frac
+            FROM counts GROUP BY doc_id
+        """,
+        "shard_pack": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS w
+              FROM documents
+            )
+            SELECT doc_id, w,
+                   CAST(sum(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum,
+                   CAST((sum(w) OVER (ORDER BY doc_id) - w) // 500 AS BIGINT) AS shard_id
+            FROM n
+        """,
+        "pii_redact": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' Contact user' || doc_id || '@mail.example.com or 555-'
+                          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                          || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                          || ' at 192.168.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256) || '.' AS t
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+              FROM aug
+            ), s2 AS (
+              SELECT doc_id, n_emails,
+                     CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+                     regexp_replace(t, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS t
+              FROM s1
+            )
+            SELECT doc_id, n_emails, n_phones,
+                   CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+                   regexp_replace(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS text
+            FROM s2
+        """,
+        "warc_roundtrip": """
+            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
         """,
         "join_broadcast": """

@@ -1,0 +1,154 @@
+"""CCNet-style paragraph-level corpus deduplication and Gopher-style
+repetition metrics, Ray-Data-first.
+
+Large-scale pre-training corpora are deduplicated not only per document
+(``dedup.exact_dedup``) but per PARAGRAPH across the whole corpus (the
+CCNet recipe: hash every paragraph, drop every occurrence after the
+first), and filtered on within-document repetition signals (the Gopher
+rules: fraction of duplicate lines, fraction of characters inside
+duplicate lines).  The reference corpus' synthetic documents carry no
+newlines, so "paragraph" here is a fixed-width non-overlapping window of
+whitespace tokens (``width``) — the operator semantics (corpus-global
+first-occurrence-wins on the chunk hash; per-doc duplicate-chunk
+fractions) are the real thing and independent of the splitter.
+
+Scale shape (10^10 docs):
+
+- the global first-occurrence min is a KEYS-ONLY shuffle — per paragraph
+  occurrence only ``(hash u64, rank i64)`` moves (`grouped_agg` partial
+  min inside each batch first);
+- paragraph text crosses the wire exactly ONCE: the winner ranks encode
+  their ``doc_id`` in the high bits, so membership-filter and per-doc
+  reassembly share a single bucketed shuffle on ``doc_id``;
+- repetition metrics never shuffle at all (a document is one row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from .relational import groupby_buckets, grouped_agg
+from .textops import fingerprint_batch
+
+#: max paragraphs per document — rank = doc_id << PIDX_BITS | pidx must fit
+#: in int64, so doc_id < 2^(63-PIDX_BITS) = 2^43 (8.8e12 docs).
+PIDX_BITS = 20
+
+
+def _chunk_frame(df: pd.DataFrame, id_col: str, text_col: str, width: int) -> pd.DataFrame:
+    """One row per width-token chunk: (id, pidx, para).  Splitting is a
+    per-document structural op (ragged output), done with one pass over the
+    batch's token lists."""
+    ids: list[int] = []
+    pidx: list[int] = []
+    paras: list[str] = []
+    tok_lists = df[text_col].fillna("").str.split()
+    for doc_id, toks in zip(df[id_col].to_numpy(), tok_lists):
+        for p in range(0, len(toks), width):
+            ids.append(doc_id)
+            pidx.append(p // width)
+            paras.append(" ".join(toks[p : p + width]))
+    return pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64),
+                         "pidx": np.asarray(pidx, dtype=np.int64),
+                         "para": paras})
+
+
+def chunk_paragraphs(ds: rd.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text", width: int = 10) -> rd.Dataset:
+    """documents → exploded (id, pidx, para) chunk rows."""
+    return ds.map_batches(lambda df: _chunk_frame(df, id_col, text_col, width),
+                          batch_format="pandas")
+
+
+def paragraph_dedup(ds: rd.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text", width: int = 10) -> rd.Dataset:
+    """Corpus-global paragraph dedup, first occurrence wins.
+
+    An occurrence's global order is ``rank = doc_id << PIDX_BITS | pidx``;
+    for each distinct paragraph (64-bit content fingerprint) only the
+    min-rank occurrence survives.  Surviving chunks are reassembled per
+    document in chunk order.  Returns (id_col, n_paras_kept, text_col) —
+    documents whose every paragraph already appeared earlier vanish.
+
+    Two exchanges: a keys-only ``(fp, rank)`` min-combine, then ONE
+    bucketed shuffle of the chunk text on ``doc_id`` (winner ranks are
+    routed to their doc's bucket by decoding ``rank >> PIDX_BITS``).
+    """
+    occ = chunk_paragraphs(ds, id_col, text_col, width)
+
+    def add_keys(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__fp"] = fingerprint_batch(df["para"]).astype("int64")
+        out["__rank"] = (df[id_col].to_numpy(np.int64) << PIDX_BITS) | df["pidx"].to_numpy(np.int64)
+        return out
+
+    occ = occ.map_batches(add_keys, batch_format="pandas")
+
+    # keys-only global min: (fp u64, rank i64) per occurrence, partial min
+    # per batch, one small shuffle on fp
+    winners = grouped_agg(occ.select_columns(["__fp", "__rank"]),
+                          ["__fp"], {"__rank": ("min", "__rank")})
+
+    def tag_occ(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: df[id_col], "pidx": df["pidx"],
+                             "para": df["para"], "__rank": df["__rank"],
+                             "__side": np.int8(0)})
+
+    def tag_win(df: pd.DataFrame) -> pd.DataFrame:
+        # route each winner rank to its document's bucket
+        return pd.DataFrame({id_col: (df["__rank"].to_numpy(np.int64) >> PIDX_BITS),
+                             "pidx": np.int64(0), "para": "",
+                             "__rank": df["__rank"], "__side": np.int8(1)})
+
+    both = occ.map_batches(tag_occ, batch_format="pandas").union(
+        winners.map_batches(tag_win, batch_format="pandas"))
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        keep_ranks = df.loc[df["__side"] == 1, "__rank"]
+        rows = df[df["__side"] == 0]
+        rows = rows[rows["__rank"].isin(set(keep_ranks.to_numpy()))]
+        if rows.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "n_paras_kept": pd.Series([], dtype="int64"),
+                                 text_col: pd.Series([], dtype="object")})
+        rows = rows.sort_values([id_col, "pidx"], kind="mergesort")
+        g = rows.groupby(id_col, sort=False)
+        out = g.agg(n_paras_kept=("pidx", "count"), __text=("para", " ".join)).reset_index()
+        return out.rename(columns={"__text": text_col})
+
+    return groupby_buckets(both, [id_col], reassemble)
+
+
+def dup_chunk_metrics(ds: rd.Dataset, id_col: str = "doc_id",
+                      text_col: str = "text", width: int = 10) -> rd.Dataset:
+    """Gopher-style within-document repetition signals per document:
+    ``n_paras``, ``n_dup_paras`` (chunks whose text occurs more than once
+    in the SAME document), ``dup_para_frac``, ``dup_char_frac`` (fraction
+    of chunk characters inside duplicated chunks).  No shuffle — a
+    document is one row, so the whole metric is a per-batch kernel."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        chunks = _chunk_frame(df, id_col, text_col, width)
+        if chunks.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "n_paras": pd.Series([], dtype="int64"),
+                                 "n_dup_paras": pd.Series([], dtype="int64"),
+                                 "dup_para_frac": pd.Series([], dtype="float64"),
+                                 "dup_char_frac": pd.Series([], dtype="float64")})
+        chunks["plen"] = chunks["para"].str.len().astype("int64")
+        m = chunks.groupby([id_col, "para"], sort=False)["para"].transform("size")
+        chunks["dup"] = (m > 1)
+        chunks["dup_chars"] = np.where(chunks["dup"], chunks["plen"], 0)
+        g = chunks.groupby(id_col, sort=False)
+        out = g.agg(n_paras=("pidx", "count"),
+                    n_dup_paras=("dup", "sum"),
+                    __dup_chars=("dup_chars", "sum"),
+                    __chars=("plen", "sum")).reset_index()
+        out["n_dup_paras"] = out["n_dup_paras"].astype("int64")
+        out["dup_para_frac"] = (out["n_dup_paras"] / out["n_paras"]).round(6)
+        out["dup_char_frac"] = (out["__dup_chars"] / out["__chars"].clip(lower=1)).round(6)
+        return out.drop(columns=["__dup_chars", "__chars"])
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -114,6 +114,42 @@ class LangId:
         return out
 
 
+class PiiRedactor:
+    """PII scrubbing for web-scale corpora: emails, NANP-style phone
+    numbers, and IPv4 addresses are replaced by typed placeholder tokens.
+
+    Patterns are chosen to mean the SAME thing in Python ``re`` and in
+    RE2-style engines (DuckDB ``regexp_replace``) so the operator is
+    SQL-oracle-checkable: character classes, bounded repetition and ``\\b``
+    only — no lookarounds.  Redaction is sequential (email → phone → ip)
+    and each count is taken on the text as it stood BEFORE that pattern's
+    own pass, so engines agree even when patterns could overlap.
+
+    Compile-once state: use as an actor-pool callable class
+    (``map_batches(PiiRedactor, concurrency=N)``)."""
+
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+    IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.steps = [
+            ("n_emails", re.compile(self.EMAIL), "<EMAIL>"),
+            ("n_phones", re.compile(self.PHONE), "<PHONE>"),
+            ("n_ips", re.compile(self.IPV4), "<IP>"),
+        ]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        texts = df[self.text_col].fillna("")
+        for count_col, pat, repl in self.steps:
+            out[count_col] = texts.str.count(pat.pattern).astype("int64")
+            texts = texts.str.replace(pat.pattern, repl, regex=True)
+        out[self.text_col] = texts
+        return out
+
+
 FP_BASE = np.uint64(1_000_003)
 
 _POW_CACHE = np.array([1], dtype=np.uint64)

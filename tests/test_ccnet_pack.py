@@ -1,0 +1,124 @@
+"""Tests for CCNet-style paragraph dedup, repetition metrics, distributed
+prefix-sum shard packing, PII redaction, and the WARC source roundtrip."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+@pytest.fixture(scope="module")
+def chunk_docs(ray_session):
+    # doc 0: "a b c d e f" — unique chunks
+    # doc 1: repeats doc 0's first chunk ("a b") and its own chunk twice
+    # doc 2: entirely made of already-seen chunks
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a b c d e f",
+                 "a b x y x y",
+                 "a b x y c d"],
+    })
+    return df, rd.from_pandas(df)
+
+
+def test_paragraph_dedup_first_occurrence_wins(chunk_docs):
+    from borges_ray.ops.ccnet import paragraph_dedup
+
+    _, ds = chunk_docs
+    out = paragraph_dedup(ds, width=2).to_pandas().sort_values("doc_id")
+    got = dict(zip(out.doc_id, out.text))
+    # doc 0 keeps everything; doc 1 loses "a b" and the second "x y";
+    # doc 2 loses all chunks and vanishes
+    assert got == {0: "a b c d e f", 1: "x y"}
+    n = dict(zip(out.doc_id, out.n_paras_kept))
+    assert n == {0: 3, 1: 1}
+
+
+def test_paragraph_dedup_no_surviving_duplicate(chunk_docs):
+    """Global invariant: after dedup, every chunk text is unique corpus-wide."""
+    from borges_ray.ops.ccnet import chunk_paragraphs, paragraph_dedup
+
+    _, ds = chunk_docs
+    out = paragraph_dedup(ds, width=2)
+    chunks = chunk_paragraphs(out, width=2).to_pandas()
+    assert chunks["para"].is_unique
+
+
+def test_dup_chunk_metrics(chunk_docs):
+    from borges_ray.ops.ccnet import dup_chunk_metrics
+
+    _, ds = chunk_docs
+    out = dup_chunk_metrics(ds, width=2).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.n_paras.tolist() == [3, 3, 3]
+    # only doc 1 has a WITHIN-doc duplicate chunk ("x y" twice)
+    assert out.n_dup_paras.tolist() == [0, 2, 0]
+    assert out.dup_para_frac.tolist() == [0.0, round(2 / 3, 6), 0.0]
+
+
+def test_prefix_sum_matches_pandas(ray_session):
+    from borges_ray.ops.pack import prefix_sum
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"k": np.arange(500, dtype=np.int64),
+                       "w": rng.integers(1, 50, 500).astype(np.int64)})
+    shuffled = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    ds = rd.from_pandas(shuffled).repartition(8)
+    out = prefix_sum(ds, "k", "w", "cum", range_size=32).to_pandas().sort_values("k")
+    expect = df.sort_values("k").w.cumsum().to_numpy()
+    assert (out.cum.to_numpy() == expect).all()
+
+
+def test_shard_pack_budget(ray_session):
+    from borges_ray.ops.pack import shard_pack
+
+    df = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                       "w": np.full(100, 10, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(4)
+    out = shard_pack(ds, "k", "w", budget=25, range_size=16).to_pandas().sort_values("k")
+    # each row starts at offset 10*k; shard = (10k) // 25
+    assert (out.shard_id.to_numpy() == (10 * out.k.to_numpy()) // 25).all()
+    # no shard's total weight exceeds budget + one max row weight
+    totals = out.groupby("shard_id").w.sum()
+    assert (totals <= 25 + 10).all()
+
+
+def test_pii_redactor():
+    from borges_ray.ops.textops import PiiRedactor
+
+    df = pd.DataFrame({"text": [
+        "mail a.b-c_d@ex-ample.co.uk now",
+        "call 555-123-4567 or 555-000-1111",
+        "host 10.0.255.1 fake 1234.5.6.7 end",
+        "none here",
+    ]})
+    out = PiiRedactor()(df)
+    assert out.n_emails.tolist() == [1, 0, 0, 0]
+    assert out.n_phones.tolist() == [0, 2, 0, 0]
+    # 1234.5.6.7 must NOT match (leading 1234 breaks \b\d{1,3})
+    assert out.n_ips.tolist() == [0, 0, 1, 0]
+    assert out.text.tolist() == [
+        "mail <EMAIL> now",
+        "call <PHONE> or <PHONE>",
+        "host <IP> fake 1234.5.6.7 end",
+        "none here",
+    ]
+
+
+def test_warc_roundtrip_adversarial_payload(ray_session, tmp_path):
+    """Payload bytes containing WARC header text must survive byte-exact
+    (Content-Length slicing, not scanning)."""
+    from borges_ray.sources.warc import read_warc, write_warc
+
+    evil = b"WARC/1.0\r\nWARC-Target-URI: http://fake\r\n\r\nbinary\x00\xffdata"
+    df = pd.DataFrame({
+        "url": ["http://a/1", "http://a/2", "http://a/3"],
+        "warc_ts": ["t1", "t2", "t3"],
+        "payload": [b"hello", evil, b""],
+    })
+    write_warc(rd.from_pandas(df), str(tmp_path / "w"))
+    back = read_warc(str(tmp_path / "w")).to_pandas().sort_values("url").reset_index(drop=True)
+    assert back.url.tolist() == df.url.tolist()
+    assert back.payload.tolist() == df.payload.tolist()
+    assert back.warc_ts.tolist() == df.warc_ts.tolist()
