@@ -945,6 +945,110 @@ def _q_warc_roundtrip(sf_dir: str):
     return back.map_batches(summarize, batch_format="pandas")
 
 
+def _q_url_canonicalize(sf_dir: str):
+    """M1 URL canonicalization, oracle-checked by golden reconstruction:
+    both sides derive a MESSY url variant from doc_id (upper-case scheme,
+    default ports, fragments, unsorted query params, dot-segments, a
+    non-http scheme that must drop); the engine must actually parse and
+    normalize it to match the oracle's arithmetic rebuild of the canonical
+    form (cf. ``borges_ray/canonical.py`` rules)."""
+    from borges_ray.canonical import canonicalize_batch, host_of
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id"])
+
+    def messy(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"]
+        h = (d % 50).astype(str)
+        v = (d % 5).to_numpy()
+        ds_ = d.astype(str)
+        urls = pd.Series(
+            np.select(
+                [v == 0, v == 1, v == 2, v == 3],
+                [
+                    "HTTP://WWW.Host" + h + ".Example.com:80/a/" + ds_ + "?b=2&a=1#frag",
+                    "https://host" + h + ".example.com:443/x/./y/../z/" + ds_,
+                    "https://host" + h + ".example.com:8443/p/" + ds_,
+                    "http://host" + h + ".example.com",
+                ],
+                default="ftp://host" + h + ".example.com/" + ds_,
+            ),
+            index=df.index,
+        )
+        return pd.DataFrame({"doc_id": d, "raw": urls})
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"doc_id": df["doc_id"],
+                            "url": canonicalize_batch(df["raw"].tolist())})
+        out = out[out["url"].notna()].copy()
+        out["host"] = [host_of(u) for u in out["url"]]
+        return out
+
+    return ds.map_batches(messy, batch_format="pandas").map_batches(
+        canon, batch_format="pandas")
+
+
+def _q_stopword_fraction(sf_dir: str):
+    """Stopword-ratio quality filter signal (the standard cheap heuristic
+    for machine-generated / non-prose text), fully vectorized."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.textops import STOPWORDS
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.findall(r"[a-z]+")
+        n_words = words.str.len().astype("int64")
+        n_stop = words.map(lambda ws: sum(1 for w in ws if w in STOPWORDS)).astype("int64")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"], "n_words": n_words, "n_stop": n_stop,
+            "stopword_frac": (n_stop / n_words.clip(lower=1)).round(6),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _md5_hex4(ids: pd.Series) -> np.ndarray:
+    import hashlib
+
+    return np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+                     for i in ids], dtype=np.int64)
+
+
+def _q_sample_md5(sf_dir: str):
+    """Deterministic ~30% corpus subsample: keep doc iff the first 16 bits
+    of md5(doc_id) fall under the rate threshold.  Unlike seeded
+    ``random_sample`` this is layout-independent AND SQL-twinnable
+    (DuckDB ``md5``), so resharding the input never changes the sample."""
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        keep = _md5_hex4(df["doc_id"]) < int(0.3 * 65536)
+        return df[keep]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Per-language stratified sample: the 20 docs with the smallest
+    md5(doc_id) per lang — a deterministic quota sample expressed as
+    top-k-per-group (combiner-bounded shuffle)."""
+    from borges_ray.ops.relational import load, topk_per_group
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def add_h(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["h16"] = _md5_hex4(df["doc_id"])
+        return out
+
+    sampled = topk_per_group(ds.map_batches(add_h, batch_format="pandas"),
+                             "lang", ["h16", "doc_id"], 20, descending=False)
+    return sampled.select_columns(["lang", "doc_id", "h16"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bpe_tokens": _q_bpe_tokens,
@@ -982,6 +1086,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_pack": _q_shard_pack,
         "pii_redact": _q_pii_redact,
         "warc_roundtrip": _q_warc_roundtrip,
+        "url_canonicalize": _q_url_canonicalize,
+        "stopword_fraction": _q_stopword_fraction,
+        "sample_md5": _q_sample_md5,
+        "stratified_sample": _q_stratified_sample,
         "join_broadcast": _q_join_broadcast,
         "join_hash": _q_hash_join,
         "join_salted": _q_salted_join,
@@ -1522,6 +1630,46 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "url_canonicalize": """
+            SELECT doc_id,
+                   CASE doc_id % 5
+                     WHEN 0 THEN 'http://www.host' || (doc_id % 50) || '.example.com/a/' || doc_id || '?a=1&b=2'
+                     WHEN 1 THEN 'https://host' || (doc_id % 50) || '.example.com/x/z/' || doc_id
+                     WHEN 2 THEN 'https://host' || (doc_id % 50) || '.example.com:8443/p/' || doc_id
+                     WHEN 3 THEN 'http://host' || (doc_id % 50) || '.example.com/'
+                   END AS url,
+                   CASE WHEN doc_id % 5 = 0 THEN 'www.host' || (doc_id % 50) || '.example.com'
+                        ELSE 'host' || (doc_id % 50) || '.example.com' END AS host
+            FROM documents
+            WHERE doc_id % 5 <> 4
+        """,
+        "stopword_fraction": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
+                   CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                        w -> list_contains(['the','a','an','and','or','of','to','in','on','for','with','at','by','from','as','is','are','was','were','be','been','it','this','that'], w))) AS BIGINT) AS n_stop,
+                   round(CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                        w -> list_contains(['the','a','an','and','or','of','to','in','on','for','with','at','by','from','as','is','are','was','were','be','been','it','this','that'], w))) AS DOUBLE)
+                        / greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1), 6) AS stopword_frac
+            FROM documents
+        """,
+        "sample_md5": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                  < CAST(0.3 * 65536 AS BIGINT)
+        """,
+        "stratified_sample": """
+            WITH h AS (
+              SELECT lang, doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS h16
+              FROM documents
+            )
+            SELECT lang, doc_id, h16 FROM (
+              SELECT lang, doc_id, h16,
+                     row_number() OVER (PARTITION BY lang ORDER BY h16, doc_id) AS rn
+              FROM h
+            ) WHERE rn <= 20
         """,
         "join_broadcast": """
             SELECT c_mktsegment,
