@@ -945,6 +945,17 @@ def _q_warc_roundtrip(sf_dir: str):
     return back.map_batches(summarize, batch_format="pandas")
 
 
+def _q_dup_spans(sf_dir: str):
+    """Substring-level duplication: per doc, the token positions covered
+    by any corpus-duplicated sliding 5-token window (what substring dedup
+    would trim).  Keys-only window exchange + distributed semi-join."""
+    from borges_ray.ops.ccnet import dup_span_coverage
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_span_coverage(ds, width=5)
+
+
 def _q_url_canonicalize(sf_dir: str):
     """M1 URL canonicalization, oracle-checked by golden reconstruction:
     both sides derive a MESSY url variant from doc_id (upper-case scheme,
@@ -1086,6 +1097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_pack": _q_shard_pack,
         "pii_redact": _q_pii_redact,
         "warc_roundtrip": _q_warc_roundtrip,
+        "dup_spans": _q_dup_spans,
         "url_canonicalize": _q_url_canonicalize,
         "stopword_fraction": _q_stopword_fraction,
         "sample_md5": _q_sample_md5,
@@ -1630,6 +1642,27 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "dup_spans": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+              FROM documents
+            ), wins AS (
+              SELECT doc_id, i, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS w
+              FROM toks, LATERAL (SELECT unnest(range(greatest(len(t) - 4, 0))) AS i) AS u
+            ), dups AS (
+              SELECT doc_id, i
+              FROM (SELECT doc_id, i, count(*) OVER (PARTITION BY w) AS m FROM wins)
+              WHERE m > 1
+            ), cov AS (
+              SELECT doc_id, count(DISTINCT j) AS n_covered
+              FROM dups, LATERAL (SELECT unnest(range(i, i + 5)) AS j) AS v
+              GROUP BY doc_id
+            )
+            SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered,
+                   round(CAST(coalesce(c.n_covered, 0) AS DOUBLE) / greatest(len(t.t), 1), 6) AS covered_frac
+            FROM toks t LEFT JOIN cov c USING (doc_id)
         """,
         "url_canonicalize": """
             SELECT doc_id,

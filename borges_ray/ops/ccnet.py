@@ -121,6 +121,82 @@ def paragraph_dedup(ds: rd.Dataset, id_col: str = "doc_id",
     return groupby_buckets(both, [id_col], reassemble)
 
 
+def dup_span_coverage(ds: rd.Dataset, id_col: str = "doc_id",
+                      text_col: str = "text", width: int = 10) -> rd.Dataset:
+    """Substring-level duplication signal (the Lee et al. 2022
+    "Deduplicating Training Data" shape): for every SLIDING window of
+    ``width`` tokens, find windows whose text occurs more than once
+    anywhere in the corpus, and report per document how many token
+    positions are covered by at least one duplicated window
+    (``n_covered`` / ``covered_frac``) — the quantity substring dedup
+    would trim.
+
+    Distributed shape: window occurrences are ``(doc_id, i, hash u64)``
+    rows — keys-only from the start (window TEXT never leaves the
+    producing task; at design scale replace the per-window string build
+    with a polynomial rolling hash over token hashes).  Duplicate
+    detection is a keys-only count combine; membership flows back through
+    a distributed semi-join on the hash; interval-union coverage is one
+    vectorized sweep per doc bucket.
+    """
+    from .relational import hash_join, hash_semi_join
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        starts: list[int] = []
+        texts: list[str] = []
+        for doc_id, toks in zip(df[id_col].to_numpy(),
+                                df[text_col].fillna("").str.split()):
+            for i in range(max(len(toks) - width + 1, 0)):
+                ids.append(doc_id)
+                starts.append(i)
+                texts.append(" ".join(toks[i : i + width]))
+        out = pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64),
+                            "i": np.asarray(starts, dtype=np.int64)})
+        out["__wh"] = fingerprint_batch(pd.Series(texts, dtype="object")).astype("int64")
+        return out
+
+    occ = ds.map_batches(windows, batch_format="pandas")
+
+    counts = grouped_agg(occ.select_columns(["__wh"]), ["__wh"],
+                         {"m": ("count", "__wh")})
+    dup_hashes = counts.map_batches(
+        lambda df: df[df["m"] > 1][["__wh"]], batch_format="pandas")
+
+    dup_occ = hash_semi_join(occ, dup_hashes, on=["__wh"])
+
+    def coverage(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "n_covered": pd.Series([], dtype="int64")})
+        df = df.sort_values([id_col, "i"], kind="mergesort").copy()
+        end = df["i"] + width
+        cm = end.groupby(df[id_col], sort=False).cummax()
+        prev_end = cm.groupby(df[id_col], sort=False).shift(1)
+        lower = np.maximum(prev_end.fillna(df["i"]), df["i"])
+        add = np.clip(end - lower, 0, None).astype("int64")
+        out = pd.DataFrame({id_col: df[id_col], "__add": add})
+        return out.groupby(id_col, sort=False)["__add"].sum().rename("n_covered").reset_index()
+
+    cov = groupby_buckets(dup_occ.select_columns([id_col, "i"]), [id_col], coverage)
+
+    def tokcount(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: df[id_col],
+                             "n_tokens": df[text_col].fillna("").str.split()
+                             .str.len().astype("int64")})
+
+    per_doc = ds.map_batches(tokcount, batch_format="pandas")
+    joined = hash_join(per_doc, cov, on=[id_col], join_type="left_outer")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["n_covered"] = out["n_covered"].fillna(0).astype("int64")
+        out["covered_frac"] = (out["n_covered"] / out["n_tokens"].clip(lower=1)).round(6)
+        return out[[id_col, "n_tokens", "n_covered", "covered_frac"]]
+
+    return joined.map_batches(finalize, batch_format="pandas")
+
+
 def dup_chunk_metrics(ds: rd.Dataset, id_col: str = "doc_id",
                       text_col: str = "text", width: int = 10) -> rd.Dataset:
     """Gopher-style within-document repetition signals per document:

@@ -57,6 +57,26 @@ def test_dup_chunk_metrics(chunk_docs):
     assert out.dup_para_frac.tolist() == [0.0, round(2 / 3, 6), 0.0]
 
 
+def test_dup_span_coverage(ray_session):
+    from borges_ray.ops.ccnet import dup_span_coverage
+
+    # docs 0 and 1 share the exact 3-token span "p q r" (cross-doc dup);
+    # doc 2 repeats its own span "m n o m n o" (overlapping windows);
+    # doc 3 is clean
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b p q r c d",
+                 "e f g p q r h",
+                 "m n o m n o",
+                 "u v w x y z"],
+    })
+    out = dup_span_coverage(rd.from_pandas(df), width=3).to_pandas()
+    got = {r.doc_id: (r.n_tokens, r.n_covered) for r in out.itertuples()}
+    # doc 2: windows "m n o"(0) "n o m"(1) "o m n"(2) "m n o"(3) — "m n o"
+    # duplicated at starts 0 and 3 → covered positions 0-2 and 3-5 = all 6
+    assert got == {0: (7, 3), 1: (7, 3), 2: (6, 6), 3: (6, 0)}
+
+
 def test_prefix_sum_matches_pandas(ray_session):
     from borges_ray.ops.pack import prefix_sum
 
