@@ -945,6 +945,22 @@ def _q_warc_roundtrip(sf_dir: str):
     return back.map_batches(summarize, batch_format="pandas")
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (cluster-then-prune semantic dedup) with deterministic row
+    centroids (vec_id < 16) so assignment AND the within-cluster drop rule
+    are exactly SQL-recomputable."""
+    from borges_ray.ops.embed import semdedup
+    from borges_ray.ops.relational import load
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    cents = np.stack(
+        emb[emb.vec_id < 16].sort_values("vec_id")["embedding"].to_numpy()
+    ).astype(np.float64)
+    ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(ds, cents, 0.35)
+
+
 def _q_dup_spans(sf_dir: str):
     """Substring-level duplication: per doc, the token positions covered
     by any corpus-duplicated sliding 5-token window (what substring dedup
@@ -1098,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "warc_roundtrip": _q_warc_roundtrip,
         "dup_spans": _q_dup_spans,
+        "semdedup": _q_semdedup,
         "url_canonicalize": _q_url_canonicalize,
         "stopword_fraction": _q_stopword_fraction,
         "sample_md5": _q_sample_md5,
@@ -1642,6 +1659,31 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "semdedup": """
+            WITH cents AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+                FROM embeddings WHERE vec_id < 16
+            ),
+            assign AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, c.cid,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_inner_product(
+                                   CAST(e.embedding AS DOUBLE[]), c.c) DESC,
+                               c.cid) AS rn
+                    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+            ),
+            e AS (
+                SELECT a.vec_id, a.cid, CAST(em.embedding AS DOUBLE[]) AS emb
+                FROM assign a JOIN embeddings em ON em.vec_id = a.vec_id
+            )
+            SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cid FROM e a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM e b
+                WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+                  AND round(list_cosine_similarity(b.emb, a.emb), 6) >= 0.35)
         """,
         "dup_spans": r"""
             WITH toks AS (

@@ -344,6 +344,70 @@ def cosine_near_dup_exact(
     )
 
 
+def semdedup(
+    ds: rd.Dataset,
+    centroids: np.ndarray,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pair_chunk: int = 2048,
+) -> rd.Dataset:
+    """Semantic dedup (the SemDeDup recipe, Abbas et al. 2023): assign
+    every embedding to its nearest centroid, then WITHIN each cluster drop
+    any row whose cosine to a lower-id cluster member reaches
+    ``threshold``.  Returns surviving ``(id_col, cid)`` rows.
+
+    Determinism adaptations (SQL-twinnable): assignment is
+    ``argmax dot(v_norm, centroid)`` with lowest-cid tiebreak (row
+    normalization cannot change the argmax, so the oracle recomputes it
+    from raw vectors); the drop rule compares against ALL lower-id members
+    (not just surviving ones), so it needs no sequential pass and is an
+    ``EXISTS`` in SQL.
+
+    Scale shape: clusters are the shuffle unit (one bucketed exchange on
+    cid); the within-cluster quadratic pair scan streams in
+    ``pair_chunk``-row slabs, bounding peak memory at
+    ``pair_chunk × cluster_rows`` floats per task — at the 10^10 design
+    point raise ``n_centroids`` so clusters stay block-sized (same
+    partitioning assumption as :func:`cosine_near_dup_pairs`, here
+    explicit and memory-bounded)."""
+    from .relational import groupby_buckets
+
+    cents_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cents = ray.get(cents_ref)
+        m = _normalize(_matrix(df[vec_col]))
+        out = df[[id_col, vec_col]].copy()
+        out["cid"] = np.argmax(m @ cents.T, axis=1).astype("int32")
+        return out
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "cid": pd.Series([], dtype="int32")})
+        frames = []
+        for cid, g in df.groupby("cid", sort=False):
+            g = g.sort_values(id_col, kind="mergesort")
+            m = _normalize(_matrix(g[vec_col]))
+            n = len(g)
+            dropped = np.zeros(n, dtype=bool)
+            for s in range(0, n, pair_chunk):
+                e = min(s + pair_chunk, n)
+                cos = np.round(m[s:e] @ m[:e].T, 6)
+                # row r is global i = s + r; admissible cols are j < i
+                mask = np.tril(np.ones((e - s, e), dtype=bool), k=s - 1)
+                dropped[s:e] = ((cos >= threshold) & mask).any(axis=1)
+            frames.append(pd.DataFrame({id_col: g[id_col].to_numpy()[~dropped],
+                                        "cid": np.int32(cid)}))
+        return pd.concat(frames, ignore_index=True)
+
+    return groupby_buckets(assigned, ["cid"], prune)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the centroid-bucketed scale path
 # ---------------------------------------------------------------------------

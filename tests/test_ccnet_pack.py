@@ -104,6 +104,39 @@ def test_shard_pack_budget(ray_session):
     assert (totals <= 25 + 10).all()
 
 
+def test_semdedup_drops_near_duplicates(ray_session):
+    """Planted near-identical vectors in one cluster are pruned to the
+    lowest id; the slab-chunked pair scan (pair_chunk=4) must agree with
+    the direct rule."""
+    from borges_ray.ops.embed import semdedup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((2, 8))
+    vecs, ids = [], []
+    for i in range(20):
+        v = base[i % 2] + 0.3 * rng.standard_normal(8)    # two loose clusters
+        vecs.append(v.tolist())
+        ids.append(i)
+    vecs.append((np.asarray(vecs[7]) * 3.0).tolist())     # scaled copy of id 7
+    ids.append(50)
+    df = pd.DataFrame({"vec_id": ids, "embedding": vecs})
+    cents = np.stack([np.asarray(v) for v in [vecs[0], vecs[1]]])
+
+    out = semdedup(rd.from_pandas(df), cents, 0.999, pair_chunk=4).to_pandas()
+    survivors = set(out.vec_id)
+    assert 50 not in survivors                 # cos(id50, id7) == 1.0
+    assert 7 in survivors
+    # exact rule cross-check: drop iff any lower-id same-cluster cos >= t
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in df.embedding])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cid = np.argmax(m @ cents.T, axis=1)
+    cos = np.round(m @ m.T, 6)
+    expect = {int(df.vec_id[i]) for i in range(len(df))
+              if not any(cos[i, j] >= 0.999 and cid[j] == cid[i]
+                         and df.vec_id[j] < df.vec_id[i] for j in range(len(df)))}
+    assert survivors == expect
+
+
 def test_pii_redactor():
     from borges_ray.ops.textops import PiiRedactor
 
