@@ -945,6 +945,47 @@ def _q_warc_roundtrip(sf_dir: str):
     return back.map_batches(summarize, batch_format="pandas")
 
 
+def _q_robots_parse(sf_dir: str):
+    """T5 raw robots.txt parsing, golden-reconstruction oracle: both sides
+    derive a robots.txt BODY from doc_id (UA groups incl. a specific-agent
+    override of ``*``, multiple/empty Disallow lines, inline comments,
+    case-insensitive directives, fractional Crawl-delay); the engine must
+    parse the actual text to match the oracle's arithmetic rebuild."""
+    from borges_ray.ops.relational import load
+    from borges_ray.stages.robots import parse_robots
+
+    ds = load(sf_dir, "documents", columns=["doc_id"])
+
+    def make_txt(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"]
+        v = (d % 4).to_numpy()
+        txt = pd.Series(np.select(
+            [v == 0, v == 1, v == 2],
+            [
+                "User-agent: *\nDisallow: /private" + (d % 7).astype(str)
+                + "/\nCrawl-delay: " + (1 + d % 5).astype(str) + "\n",
+                "User-agent: *\nDisallow: /all/\nUser-agent: borges\nDisallow: /only"
+                + (d % 3).astype(str) + "/\nCrawl-delay: " + (2 + d % 3).astype(str) + ".0\n",
+                "User-agent: *\nDisallow: /a" + (d % 5).astype(str)
+                + "/\nDisallow: /b" + (d % 11).astype(str) + "/\nDisallow:\n",
+            ],
+            default="# note\nUSER-AGENT: *\ndisallow: /x" + (d % 9).astype(str)
+            + "/ # inline\ncrawl-DELAY: " + (d % 6).astype(str) + "\n",
+        ), index=df.index)
+        return pd.DataFrame({"host": d, "robots_txt": txt})
+
+    parsed = parse_robots(ds.map_batches(make_txt, batch_format="pandas"), "borges")
+
+    def flat(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["host"],
+            "disallow": ["|".join(p) for p in df["disallow_prefixes"]],
+            "crawl_delay_ms": df["crawl_delay_ms"],
+        })
+
+    return parsed.map_batches(flat, batch_format="pandas")
+
+
 def _q_semdedup(sf_dir: str):
     """SemDeDup (cluster-then-prune semantic dedup) with deterministic row
     centroids (vec_id < 16) so assignment AND the within-cluster drop rule
@@ -1115,6 +1156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "dup_spans": _q_dup_spans,
         "semdedup": _q_semdedup,
+        "robots_parse": _q_robots_parse,
         "url_canonicalize": _q_url_canonicalize,
         "stopword_fraction": _q_stopword_fraction,
         "sample_md5": _q_sample_md5,
@@ -1658,6 +1700,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "warc_roundtrip": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        """,
+        "robots_parse": """
+            SELECT doc_id,
+              CASE doc_id % 4
+                WHEN 0 THEN '/private' || (doc_id % 7) || '/'
+                WHEN 1 THEN '/only' || (doc_id % 3) || '/'
+                WHEN 2 THEN '/a' || (doc_id % 5) || '/|/b' || (doc_id % 11) || '/'
+                ELSE '/x' || (doc_id % 9) || '/'
+              END AS disallow,
+              CAST(CASE doc_id % 4
+                WHEN 0 THEN (1 + doc_id % 5) * 1000
+                WHEN 1 THEN (2 + doc_id % 3) * 1000
+                WHEN 2 THEN 1000
+                ELSE (doc_id % 6) * 1000
+              END AS BIGINT) AS crawl_delay_ms
             FROM documents
         """,
         "semdedup": """

@@ -1,0 +1,106 @@
+"""robots.txt parsing — raw policy text → the engine's structured policy
+table (RFC 9309-lite).
+
+The reference disables robots handling outright (``ROBOTSTXT_OBEY = False``,
+``Borges/settings.py:23``) and the engine's crawl loop consumes an
+already-structured per-host policy table (``synth.synth_robots``).  This
+stage closes the gap between raw crawled ``/robots.txt`` bodies and that
+table, so a real deployment can feed fetched policy text straight into the
+seen/robots gate.
+
+Supported subset (documented, deterministic):
+
+- ``User-agent`` groups: consecutive UA lines share the rule group that
+  follows; a UA line after rules starts a new group.
+- Group selection: a group naming OUR agent exactly (case-insensitive)
+  beats ``*``; no matching group → allow all.
+- ``Disallow``: empty value = allow-all (ignored); non-empty values are
+  path prefixes (no wildcard expansion — a prefix match is what the gate
+  implements, ``stages/links.py``).
+- ``Crawl-delay``: seconds (int or float) → ms; absent → ``default_delay_ms``.
+- Comments (``#`` to end of line), unknown directives, and blank lines are
+  ignored (blank lines do NOT end a group — grouping is UA-line driven).
+
+Pure per-row parsing — no shuffle; runs as a vectorized-batch map stage.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+DEFAULT_DELAY_MS = 1000
+
+
+def parse_robots_text(text: str, user_agent: str,
+                      default_delay_ms: int = DEFAULT_DELAY_MS) -> tuple[list[str], int]:
+    """One robots.txt body → (sorted disallow prefixes, crawl_delay_ms)
+    for ``user_agent``."""
+    ua = user_agent.lower()
+    # groups: list of (set of agents, disallows, delay_ms or None)
+    groups: list[tuple[list[str], list[str], int | None]] = []
+    agents: list[str] = []
+    rules: list[str] = []
+    delay: int | None = None
+    in_rules = False
+
+    def flush():
+        nonlocal agents, rules, delay, in_rules
+        if agents:
+            groups.append((agents, rules, delay))
+        agents, rules, delay, in_rules = [], [], None, False
+
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_rules:
+                flush()
+            agents.append(val.lower())
+        elif key == "disallow":
+            in_rules = True
+            if val:
+                rules.append(val)
+        elif key == "crawl-delay":
+            in_rules = True
+            try:
+                delay = int(float(val) * 1000)
+            except ValueError:
+                pass
+    flush()
+
+    chosen: tuple[list[str], int | None] | None = None
+    star: tuple[list[str], int | None] | None = None
+    for agents_, rules_, delay_ in groups:
+        if ua in agents_ and chosen is None:
+            chosen = (rules_, delay_)
+        if "*" in agents_ and star is None:
+            star = (rules_, delay_)
+    pick = chosen if chosen is not None else star
+    if pick is None:
+        return [], default_delay_ms
+    dis, dly = pick
+    return sorted(set(dis)), dly if dly is not None else default_delay_ms
+
+
+def parse_robots(ds: rd.Dataset, user_agent: str, *,
+                 host_col: str = "host", text_col: str = "robots_txt",
+                 default_delay_ms: int = DEFAULT_DELAY_MS) -> rd.Dataset:
+    """(host, robots_txt) rows → the structured policy table the crawl
+    gate consumes: (host, disallow_prefixes: list<string>,
+    crawl_delay_ms: int64)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        parsed = [parse_robots_text(t or "", user_agent, default_delay_ms)
+                  for t in df[text_col]]
+        return pd.DataFrame({
+            host_col: df[host_col].to_numpy(),
+            "disallow_prefixes": [p[0] for p in parsed],
+            "crawl_delay_ms": pd.Series([p[1] for p in parsed], dtype="int64"),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")

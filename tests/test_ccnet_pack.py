@@ -159,6 +159,24 @@ def test_pii_redactor():
     ]
 
 
+def test_parse_robots_text():
+    from borges_ray.stages.robots import parse_robots_text
+
+    # specific-agent group beats *, shared-UA groups, defaults
+    txt = ("User-agent: a\nUser-agent: b\nDisallow: /shared/\n"
+           "User-agent: *\nDisallow: /star/\nCrawl-delay: 9\n"
+           "User-agent: borges\nDisallow: /mine/\nDisallow: /mine2/\n"
+           "Crawl-delay: 1.5\n")
+    assert parse_robots_text(txt, "Borges") == (["/mine/", "/mine2/"], 1500)
+    assert parse_robots_text(txt, "b") == (["/shared/"], 1000)       # no delay in group
+    assert parse_robots_text(txt, "zzz") == (["/star/"], 9000)       # falls to *
+    assert parse_robots_text("", "borges") == ([], 1000)             # empty → allow
+    # comments, case, empty Disallow, junk lines
+    messy = ("# top\nUSER-AGENT: *  # trailing\nDISALLOW:\n"
+             "disallow: /p/ # inline\nnoise line\ncrawl-delay: oops\n")
+    assert parse_robots_text(messy, "x") == (["/p/"], 1000)
+
+
 def test_warc_roundtrip_adversarial_payload(ray_session, tmp_path):
     """Payload bytes containing WARC header text must survive byte-exact
     (Content-Length slicing, not scanning)."""
