@@ -945,6 +945,27 @@ def _q_warc_roundtrip(sf_dir: str):
     return back.map_batches(summarize, batch_format="pandas")
 
 
+def _q_tfidf_terms(sf_dir: str):
+    """Top-10 TF-IDF terms per language (keys-only count shuffles +
+    distributed token join + combiner-bounded per-group top-k)."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.textops import tfidf_top_terms
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return tfidf_top_terms(ds, k=10)
+
+
+def _q_hist_quantiles(sf_dir: str):
+    """Histogram-sketch per-group quantiles: only (key, bin) counts
+    shuffle — the mergeable scale path next to the exact
+    ``grouped_quantiles``."""
+    from borges_ray.ops.relational import hist_quantile, load
+
+    ds = load(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    return hist_quantile(ds, "o_orderpriority", "o_totalprice",
+                         [0.5, 0.9, 0.99], lo=0.0, hi=600000.0, n_bins=128)
+
+
 def _q_robots_parse(sf_dir: str):
     """T5 raw robots.txt parsing, golden-reconstruction oracle: both sides
     derive a robots.txt BODY from doc_id (UA groups incl. a specific-agent
@@ -1157,6 +1178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "semdedup": _q_semdedup,
         "robots_parse": _q_robots_parse,
+        "tfidf_terms": _q_tfidf_terms,
+        "hist_quantiles": _q_hist_quantiles,
         "url_canonicalize": _q_url_canonicalize,
         "stopword_fraction": _q_stopword_fraction,
         "sample_md5": _q_sample_md5,
@@ -1701,6 +1724,49 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "tfidf_terms": r"""
+            WITH tok AS (
+              SELECT lang, doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT lang, doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2, 3
+            ), dfreq AS (
+              SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+            ), n AS (SELECT count(*) AS n FROM documents),
+            sc AS (
+              SELECT lang, token,
+                     round(CAST(sum(tf) AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / df), 6) AS score
+              FROM tf JOIN dfreq USING (token), n GROUP BY lang, token, df, n.n
+            )
+            SELECT lang, token, score FROM (
+              SELECT lang, token, score,
+                     row_number() OVER (PARTITION BY lang ORDER BY score DESC, token) AS rn
+              FROM sc
+            ) WHERE rn <= 10
+        """,
+        "hist_quantiles": """
+            WITH b AS (
+              SELECT o_orderpriority,
+                     CAST(least(greatest(floor(o_totalprice / 600000.0 * 128), 0), 127) AS BIGINT) AS bin
+              FROM orders
+            ), c AS (
+              SELECT o_orderpriority, bin, count(*) AS n FROM b GROUP BY 1, 2
+            ), cum AS (
+              SELECT o_orderpriority, bin, n,
+                     sum(n) OVER (PARTITION BY o_orderpriority ORDER BY bin) AS cn,
+                     sum(n) OVER (PARTITION BY o_orderpriority) AS total
+              FROM c
+            )
+            SELECT o_orderpriority,
+                   round(min(CASE WHEN cn >= greatest(CAST(ceil(0.5 * total) AS BIGINT), 1)
+                             THEN (bin + 1) * (600000.0 / 128) END), 6) AS q50,
+                   round(min(CASE WHEN cn >= greatest(CAST(ceil(0.9 * total) AS BIGINT), 1)
+                             THEN (bin + 1) * (600000.0 / 128) END), 6) AS q90,
+                   round(min(CASE WHEN cn >= greatest(CAST(ceil(0.99 * total) AS BIGINT), 1)
+                             THEN (bin + 1) * (600000.0 / 128) END), 6) AS q99
+            FROM cum GROUP BY o_orderpriority
         """,
         "robots_parse": """
             SELECT doc_id,

@@ -690,6 +690,59 @@ def grouped_quantile(
     return groupby_buckets(ds, [key], per_block)
 
 
+def hist_quantile(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    qs: list[float],
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> rd.Dataset:
+    """Approximate per-group quantiles via a MERGEABLE fixed-bin histogram
+    sketch — the scale path :func:`grouped_quantile` points to: only
+    ``(key, bin)`` COUNTS ever shuffle (≤ keys × n_bins rows regardless of
+    input size), never the value column.
+
+    Deterministic rule (SQL-twinnable): ``bin = clip(floor((v - lo) /
+    (hi - lo) * n_bins), 0, n_bins - 1)``; the q-quantile estimate is the
+    UPPER EDGE of the smallest bin whose cumulative count reaches
+    ``ceil(q·n)``.  Error is bounded by one bin width; the answer depends
+    only on (lo, hi, n_bins), not on partitioning or merge order."""
+    step = (hi - lo) / n_bins
+
+    def binify(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64)
+        b = np.clip(np.floor((v - lo) / (hi - lo) * n_bins), 0, n_bins - 1)
+        return pd.DataFrame({key: df[key], "__bin": b.astype("int64")})
+
+    counts = grouped_agg(ds.map_batches(binify, batch_format="pandas"),
+                         [key, "__bin"], {"n": ("count", "__bin")})
+
+    qcols = [f"q{int(q * 100)}" for q in qs]
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({key: df[key],
+                                 **{c: pd.Series(dtype="float64") for c in qcols}})
+        df = df.sort_values([key, "__bin"], kind="mergesort")
+        out_rows = {key: [], **{c: [] for c in qcols}}
+        for k, g in df.groupby(key, sort=False):
+            cum = g["n"].cumsum().to_numpy()
+            total = cum[-1]
+            bins = g["__bin"].to_numpy()
+            out_rows[key].append(k)
+            for q, c in zip(qs, qcols):
+                need = int(np.ceil(q * total)) if q > 0 else 1
+                idx = int(np.searchsorted(cum, need))
+                out_rows[c].append(round(lo + (bins[idx] + 1) * step, 6))
+        return pd.DataFrame(out_rows)
+
+    # counts are ≤ keys × n_bins rows — one bucketed pass finishes
+    return groupby_buckets(counts, [key], finalize)
+
+
 def hot_keys(ds: rd.Dataset, on: list[str], threshold: int) -> pd.DataFrame:
     """Keys whose total row count exceeds ``threshold`` — the skew-detection
     pass for salted joins.  Per-block ``value_counts`` combiner first, so

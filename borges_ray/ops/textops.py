@@ -191,6 +191,52 @@ def fingerprint_batch(texts: pd.Series) -> pd.Series:
     return pd.Series(out, index=texts.index, dtype="uint64")
 
 
+def tfidf_top_terms(ds: rd.Dataset, *, group_col: str = "lang",
+                    id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 10) -> rd.Dataset:
+    """Top-k TF-IDF terms per group (the corpus-profiling op behind
+    keyword dashboards / domain-mix audits): term frequency aggregated
+    per (group, token), document frequency corpus-wide,
+    ``score = tf_group · ln(N / df)`` rounded to 6 dp, deterministic
+    (score desc, token asc) tiebreak.
+
+    Scale shape: per-batch combiners collapse to (group, token, tf) /
+    (token, df) partials before the two keys-only count shuffles; the
+    tf×df join is a distributed hash join on token; top-k per group uses
+    the combiner-bounded :func:`~borges_ray.ops.relational.topk_per_group`.
+    The driver sees only the corpus row COUNT."""
+    from .relational import grouped_agg, hash_join, topk_per_group
+
+    n_docs = ds.count()
+
+    def tok_tf(df: pd.DataFrame) -> pd.DataFrame:
+        rows = df[[group_col, id_col]].copy()
+        rows["token"] = df[text_col].fillna("").str.split()
+        ex = rows.explode("token", ignore_index=True).dropna(subset=["token"])
+        g = ex.groupby([group_col, id_col, "token"], sort=False).size()
+        return g.rename("tf").reset_index()
+
+    per_doc = ds.map_batches(tok_tf, batch_format="pandas")
+
+    tf_group = grouped_agg(per_doc.select_columns([group_col, "token", "tf"]),
+                           [group_col, "token"], {"tf_sum": ("sum", "tf")})
+    dfreq = grouped_agg(per_doc.select_columns(["token"]),
+                        ["token"], {"df": ("count", "token")})
+
+    scored = hash_join(tf_group, dfreq, on=["token"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["score"] = np.round(
+            out["tf_sum"].to_numpy(dtype=np.float64)
+            * np.log(float(n_docs) / out["df"].to_numpy(dtype=np.float64)), 6)
+        return out[[group_col, "token", "score"]]
+
+    return topk_per_group(scored.map_batches(score, batch_format="pandas"),
+                          group_col, ["score", "token"], k,
+                          descending=[True, False])
+
+
 def add_text_stats(ds: rd.Dataset) -> rd.Dataset:
     """documents → + n_ws_tokens, n_bpe_tokens, fingerprint columns."""
 

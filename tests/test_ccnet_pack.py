@@ -159,6 +159,46 @@ def test_pii_redactor():
     ]
 
 
+def test_hist_quantile_bounded_error(ray_session):
+    """Sketch quantiles land within one bin width of the exact ones and
+    are invariant to repartitioning (mergeability)."""
+    from borges_ray.ops.relational import hist_quantile
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"k": np.repeat(["a", "b"], 500),
+                       "v": rng.uniform(0, 100, 1000)})
+    width = 100.0 / 64
+    for parts in (2, 16):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = hist_quantile(ds, "k", "v", [0.5, 0.9], lo=0.0, hi=100.0,
+                            n_bins=64).to_pandas().set_index("k")
+        for k, g in df.groupby("k"):
+            for q, col in [(0.5, "q50"), (0.9, "q90")]:
+                exact = np.quantile(g["v"], q)
+                assert abs(out.loc[k, col] - exact) <= width + 1e-9
+        if parts == 2:
+            first = out.sort_index()
+        else:
+            assert out.sort_index().equals(first)   # partition-invariant
+
+
+def test_tfidf_rare_term_outranks_common(ray_session):
+    from borges_ray.ops.textops import tfidf_top_terms
+
+    # "rare" appears many times but only in en docs; "common" is everywhere
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "lang": ["en", "en", "en", "de", "de", "de"],
+        "text": ["rare rare common", "rare rare common", "rare common",
+                 "common x", "common y", "common z"],
+    })
+    out = tfidf_top_terms(rd.from_pandas(df), k=2).to_pandas()
+    en = out[out.lang == "en"].sort_values("score", ascending=False)
+    assert en.iloc[0].token == "rare"
+    # common occurs in all 6 docs → idf = ln(1) = 0 → score 0
+    assert out[out.token == "common"].score.eq(0).all()
+
+
 def test_parse_robots_text():
     from borges_ray.stages.robots import parse_robots_text
 
