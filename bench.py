@@ -166,6 +166,9 @@ def bench_crawl(pages_root: str, n_pages: int, num_buckets: int) -> dict:
 QUERY_SUBSET = [
     "pricing_summary", "join_hash", "window_hourly",
     "dedup_docs_exact", "knn_cosine", "sessionize",
+    # dedup-family additions (r03): full MinHash→CC→survivors pipeline,
+    # corpus-global paragraph dedup, semantic dedup
+    "minhash_dedup_survivors", "paragraph_dedup", "semdedup",
 ]
 
 
