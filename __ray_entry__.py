@@ -26,6 +26,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _mod(arr, m: int):
+    """Integer modulo for Arrow arrays (pc has no mod kernel)."""
+    ms = pa.scalar(m, pa.int64())
+    return pc.subtract(arr, pc.multiply(pc.divide(arr, ms), ms))
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -945,6 +951,22 @@ def _q_warc_roundtrip(sf_dir: str):
     return back.map_batches(summarize, batch_format="pandas")
 
 
+def _q_decontaminate(sf_dir: str):
+    """Train/eval decontamination: train = docs with doc_id % 29 != 0,
+    eval = the rest; a train doc sharing any 4-token window with an eval
+    doc is flagged.  Keys-only window exchange, distinct-fingerprint eval
+    build side, distributed semi-join."""
+    from borges_ray.ops.ccnet import decontaminate_flags
+    from borges_ray.ops.relational import filter_batches, load
+
+    docs = load(sf_dir, "documents", columns=["doc_id", "text"])
+    train = filter_batches(
+        docs, lambda t: pc.not_equal(_mod(t["doc_id"], 29), pa.scalar(0, pa.int64())))
+    ev = filter_batches(
+        docs, lambda t: pc.equal(_mod(t["doc_id"], 29), pa.scalar(0, pa.int64())))
+    return decontaminate_flags(train, ev, width=4)
+
+
 def _q_tfidf_terms(sf_dir: str):
     """Top-10 TF-IDF terms per language (keys-only count shuffles +
     distributed token join + combiner-bounded per-group top-k)."""
@@ -1178,6 +1200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "semdedup": _q_semdedup,
         "robots_parse": _q_robots_parse,
+        "decontaminate": _q_decontaminate,
         "tfidf_terms": _q_tfidf_terms,
         "hist_quantiles": _q_hist_quantiles,
         "url_canonicalize": _q_url_canonicalize,
@@ -1724,6 +1747,26 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+              FROM documents
+            ), wins AS (
+              SELECT doc_id, i, array_to_string(list_slice(t, i + 1, i + 4), ' ') AS w
+              FROM toks, LATERAL (SELECT unnest(range(greatest(len(t) - 3, 0))) AS i) AS u
+            ), ew AS (
+              SELECT DISTINCT w FROM wins WHERE doc_id % 29 = 0
+            ), hits AS (
+              SELECT doc_id, count(*) AS n FROM wins
+              WHERE doc_id % 29 <> 0 AND w IN (SELECT w FROM ew)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_eval_hits,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 29 <> 0
         """,
         "tfidf_terms": r"""
             WITH tok AS (

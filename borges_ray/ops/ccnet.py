@@ -121,6 +121,63 @@ def paragraph_dedup(ds: rd.Dataset, id_col: str = "doc_id",
     return groupby_buckets(both, [id_col], reassemble)
 
 
+def _window_rows(df: pd.DataFrame, id_col: str, text_col: str,
+                 width: int) -> pd.DataFrame:
+    """One row per sliding ``width``-token window: (id, i, __wh) — the
+    window TEXT never leaves this function, only its 64-bit fingerprint."""
+    ids: list[int] = []
+    starts: list[int] = []
+    texts: list[str] = []
+    for doc_id, toks in zip(df[id_col].to_numpy(),
+                            df[text_col].fillna("").str.split()):
+        for i in range(max(len(toks) - width + 1, 0)):
+            ids.append(doc_id)
+            starts.append(i)
+            texts.append(" ".join(toks[i : i + width]))
+    out = pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64),
+                        "i": np.asarray(starts, dtype=np.int64)})
+    out["__wh"] = fingerprint_batch(pd.Series(texts, dtype="object")).astype("int64")
+    return out
+
+
+def decontaminate_flags(train: rd.Dataset, eval_ds: rd.Dataset,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        width: int = 10) -> rd.Dataset:
+    """Train-set decontamination against a held-out eval set (the GPT-3
+    appendix-C recipe): a training document is CONTAMINATED if it shares
+    any ``width``-token window with any eval document.  Returns one row
+    per train doc: (id, n_eval_hits = contaminated window positions,
+    contaminated bool).
+
+    Scale shape: eval windows reduce to DISTINCT fingerprints (keys-only
+    build side, typically tiny vs the corpus); train windows are
+    keys-only (id, i, hash) rows; the overlap is one distributed
+    semi-join + a count combine — train text never moves."""
+    from .relational import grouped_agg, hash_join, hash_semi_join
+
+    twin = train.map_batches(
+        lambda df: _window_rows(df, id_col, text_col, width),
+        batch_format="pandas")
+    ewin = eval_ds.map_batches(
+        lambda df: _window_rows(df, id_col, text_col, width)[["__wh"]],
+        batch_format="pandas")
+
+    hits = hash_semi_join(twin, ewin, on=["__wh"])
+    hit_counts = grouped_agg(hits.select_columns([id_col]),
+                             [id_col], {"n_eval_hits": ("count", id_col)})
+
+    ids = train.select_columns([id_col])
+    joined = hash_join(ids, hit_counts, on=[id_col], join_type="left_outer")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["n_eval_hits"] = out["n_eval_hits"].fillna(0).astype("int64")
+        out["contaminated"] = out["n_eval_hits"] > 0
+        return out[[id_col, "n_eval_hits", "contaminated"]]
+
+    return joined.map_batches(finalize, batch_format="pandas")
+
+
 def dup_span_coverage(ds: rd.Dataset, id_col: str = "doc_id",
                       text_col: str = "text", width: int = 10) -> rd.Dataset:
     """Substring-level duplication signal (the Lee et al. 2022
@@ -141,22 +198,9 @@ def dup_span_coverage(ds: rd.Dataset, id_col: str = "doc_id",
     """
     from .relational import hash_join, hash_semi_join
 
-    def windows(df: pd.DataFrame) -> pd.DataFrame:
-        ids: list[int] = []
-        starts: list[int] = []
-        texts: list[str] = []
-        for doc_id, toks in zip(df[id_col].to_numpy(),
-                                df[text_col].fillna("").str.split()):
-            for i in range(max(len(toks) - width + 1, 0)):
-                ids.append(doc_id)
-                starts.append(i)
-                texts.append(" ".join(toks[i : i + width]))
-        out = pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64),
-                            "i": np.asarray(starts, dtype=np.int64)})
-        out["__wh"] = fingerprint_batch(pd.Series(texts, dtype="object")).astype("int64")
-        return out
-
-    occ = ds.map_batches(windows, batch_format="pandas")
+    occ = ds.map_batches(
+        lambda df: _window_rows(df, id_col, text_col, width),
+        batch_format="pandas")
 
     counts = grouped_agg(occ.select_columns(["__wh"]), ["__wh"],
                          {"m": ("count", "__wh")})

@@ -148,3 +148,93 @@ def bulk_ingest(
     survivors.write_parquet(surv_dir)
     n_out = pads.dataset(surv_dir, format="parquet").count_rows()
     return {"rows_out": n_out, "rows_featurized": n_feat}
+
+
+def bulk_ingest_resumable(
+    pages_path: str,
+    out_dir: str,
+    *,
+    dedup: bool = True,
+    num_shards: int = 8,
+    num_cpus_hint: int | None = None,
+    batch_size: int = 512,
+) -> dict:
+    """Shard-resumable variant of :func:`bulk_ingest`: input files are
+    deterministically grouped into ``num_shards`` shards, each featurized
+    into its own ``features/shard=<k>/`` directory and sealed with a
+    ``_SHARD_DONE_<k>`` marker.  A rerun after a crash SKIPS sealed shards
+    and reprocesses only unsealed ones (partial shard output is deleted
+    first, so the commit is all-or-nothing per shard) — the "resumable
+    output" contract: never one giant file, one directory per input shard.
+
+    Within a shard the pipeline streams exactly as :func:`bulk_ingest`;
+    at the design point shards are many-GB file groups, so per-shard job
+    overhead amortizes.  The dedup pass runs after all shards are sealed
+    (keys-only; reads the union of shard dirs)."""
+    import os
+    import shutil
+
+    if os.path.isdir(pages_path):
+        files = sorted(
+            os.path.join(dp, f)
+            for dp, _dn, fs in os.walk(pages_path)
+            for f in fs if f.endswith(".parquet"))
+    else:
+        files = [pages_path]
+    num_shards = max(1, min(num_shards, len(files)))
+    feat_dir = os.path.join(out_dir, "features")
+    os.makedirs(feat_dir, exist_ok=True)
+
+    n_blocks = max(4 * (num_cpus_hint or 8), 64) // num_shards or 1
+    skipped = 0
+    for k in range(num_shards):
+        marker = os.path.join(feat_dir, f"_SHARD_DONE_{k}")
+        shard_dir = os.path.join(feat_dir, f"shard={k}")
+        if os.path.exists(marker):
+            skipped += 1
+            continue
+        shutil.rmtree(shard_dir, ignore_errors=True)
+        shard_files = files[k::num_shards]
+        ds = rd.read_parquet(shard_files, columns=["url", "html"],
+                             override_num_blocks=n_blocks)
+        ds.map_batches(_featurize_batch, batch_format="pyarrow",
+                       batch_size=batch_size).write_parquet(shard_dir)
+        with open(marker, "w") as fp:
+            fp.write("ok")
+
+    import pyarrow.dataset as pads
+
+    shard_dirs = [os.path.join(feat_dir, f"shard={k}") for k in range(num_shards)]
+    n_feat = sum(pads.dataset(d, format="parquet").count_rows() for d in shard_dirs)
+    if not dedup:
+        return {"rows_out": n_feat, "shards_skipped": skipped}
+
+    shard_files = sorted(
+        os.path.join(dp, f)
+        for d in shard_dirs
+        for dp, _dn, fs in os.walk(d)
+        for f in fs if f.endswith(".parquet"))
+    keys = rd.read_parquet(shard_files, columns=["url", "fingerprint"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__fb"] = (df["fingerprint"] % np.uint64(64)).astype("int64")
+        return out
+
+    def winner(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("url", kind="mergesort")
+        return df.drop_duplicates(subset="fingerprint", keep="first")[["url"]]
+
+    survivors = (
+        keys.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__fb", num_partitions=32)
+        .map_groups(winner, batch_format="pandas")
+    )
+    surv_dir = os.path.join(out_dir, "survivors")
+    import shutil as _sh
+
+    _sh.rmtree(surv_dir, ignore_errors=True)
+    survivors.write_parquet(surv_dir)
+    n_out = pads.dataset(surv_dir, format="parquet").count_rows()
+    return {"rows_out": n_out, "rows_featurized": n_feat,
+            "shards_skipped": skipped}

@@ -199,6 +199,51 @@ def test_tfidf_rare_term_outranks_common(ray_session):
     assert out[out.token == "common"].score.eq(0).all()
 
 
+def test_decontaminate_flags(ray_session):
+    from borges_ray.ops.ccnet import decontaminate_flags
+
+    train = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e",       # shares "b c d" with eval
+                 "x y z w v",       # clean
+                 "q b c d r b c d"],  # two hit windows
+    })
+    ev = pd.DataFrame({"doc_id": [100], "text": ["z b c d z"]})
+    out = decontaminate_flags(rd.from_pandas(train), rd.from_pandas(ev),
+                              width=3).to_pandas()
+    got = {r.doc_id: (r.n_eval_hits, r.contaminated) for r in out.itertuples()}
+    assert got == {1: (1, True), 2: (0, False), 3: (2, True)}
+
+
+def test_bulk_ingest_resumable_skips_sealed_shards(ray_session, tmp_path):
+    import os
+
+    from borges_ray.pipelines.ingest import bulk_ingest_resumable
+
+    pages = pd.DataFrame({
+        "url": [f"http://h{i%3}.com/p{i}" for i in range(40)],
+        "html": [f"<html><body><div class='article'>text {i % 30} body</div></body></html>".encode()
+                 for i in range(40)],
+    })
+    src = tmp_path / "pages"
+    src.mkdir()
+    for part in range(4):
+        pages.iloc[part * 10:(part + 1) * 10].to_parquet(src / f"p{part}.parquet")
+
+    out = str(tmp_path / "out")
+    r1 = bulk_ingest_resumable(str(src), out, num_shards=4)
+    assert r1["shards_skipped"] == 0 and r1["rows_featurized"] == 40
+
+    # simulate a crash that lost shard 2: unseal it
+    os.remove(os.path.join(out, "features", "_SHARD_DONE_2"))
+    mtime_before = os.path.getmtime(os.path.join(out, "features", "shard=1"))
+    r2 = bulk_ingest_resumable(str(src), out, num_shards=4)
+    assert r2["shards_skipped"] == 3                      # only shard 2 redone
+    assert r2["rows_featurized"] == 40
+    assert r2["rows_out"] == r1["rows_out"]               # identical result
+    assert os.path.getmtime(os.path.join(out, "features", "shard=1")) == mtime_before
+
+
 def test_parse_robots_text():
     from borges_ray.stages.robots import parse_robots_text
 
