@@ -1227,9 +1227,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-_STOP_SQL = "('the','a','an','and','or','of','to','in','on','for','with','at','by','from','as','is','are','was','were','be','been','it','this','that')"  # noqa: E501  (kept for later stopword oracle)
-
-
 #: Golden-field reconstruction for the synthetic article corpus — the SQL
 #: twin of borges_ray.synth_articles.golden_meta (every field is doc_id/text
 #: arithmetic; the engine must parse the actual markup to match it).

@@ -77,6 +77,67 @@ def test_dup_span_coverage(ray_session):
     assert got == {0: (7, 3), 1: (7, 3), 2: (6, 6), 3: (6, 0)}
 
 
+def _ref_paragraph_dedup(df: pd.DataFrame, width: int) -> pd.DataFrame:
+    """Pure-pandas reference: global first-occurrence-wins over chunks."""
+    seen: set[str] = set()
+    rows = []
+    for doc_id in sorted(df.doc_id):
+        toks = df.loc[df.doc_id == doc_id, "text"].iloc[0].split()
+        kept = []
+        for p in range(0, len(toks), width):
+            para = " ".join(toks[p : p + width])
+            if para not in seen:
+                seen.add(para)
+                kept.append(para)
+        if kept:
+            rows.append((doc_id, len(kept), " ".join(kept)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_paras_kept", "text"])
+
+
+def _ref_dup_span_coverage(df: pd.DataFrame, width: int) -> dict[int, int]:
+    """Brute-force reference: covered position count per doc."""
+    from collections import Counter
+
+    wins: list[tuple[int, int, str]] = []
+    for doc_id, text in zip(df.doc_id, df.text):
+        toks = text.split()
+        for i in range(max(len(toks) - width + 1, 0)):
+            wins.append((doc_id, i, " ".join(toks[i : i + width])))
+    counts = Counter(w for _, _, w in wins)
+    covered: dict[int, set[int]] = {int(d): set() for d in df.doc_id}
+    for doc_id, i, w in wins:
+        if counts[w] > 1:
+            covered[doc_id].update(range(i, i + width))
+    return {d: len(s) for d, s in covered.items()}
+
+
+@pytest.mark.parametrize("seed,n_docs,vocab,width", [
+    (1, 40, 6, 2),    # tiny vocab → heavy cross-doc duplication
+    (2, 60, 12, 3),
+    (3, 25, 4, 1),    # width 1: every repeated token is a dup chunk
+])
+def test_paragraph_dedup_matches_reference(seed, n_docs, vocab, width, ray_session):
+    from borges_ray.ops.ccnet import dup_span_coverage, paragraph_dedup
+
+    rng = np.random.default_rng(seed)
+    words = [f"w{j}" for j in range(vocab)]
+    df = pd.DataFrame({
+        "doc_id": np.arange(n_docs, dtype=np.int64),
+        "text": [" ".join(words[k] for k in rng.integers(0, vocab, rng.integers(1, 15)))
+                 for _ in range(n_docs)],
+    })
+    ds = rd.from_pandas(df).repartition(5)
+    out = (paragraph_dedup(ds, width=width).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    ref = _ref_paragraph_dedup(df, width)
+    pd.testing.assert_frame_equal(
+        out.astype({"doc_id": "int64", "n_paras_kept": "int64"}), ref)
+
+    cov = dup_span_coverage(rd.from_pandas(df).repartition(5), width=width).to_pandas()
+    ref_cov = _ref_dup_span_coverage(df, width)
+    assert dict(zip(cov.doc_id, cov.n_covered)) == ref_cov
+
+
 def test_prefix_sum_matches_pandas(ray_session):
     from borges_ray.ops.pack import prefix_sum
 
