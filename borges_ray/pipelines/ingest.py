@@ -238,3 +238,59 @@ def bulk_ingest_resumable(
     n_out = pads.dataset(surv_dir, format="parquet").count_rows()
     return {"rows_out": n_out, "rows_featurized": n_feat,
             "shards_skipped": skipped}
+
+
+def _main() -> None:
+    """CLI: ``python -m borges_ray.pipelines.ingest [--pages DIR]
+    [--n-pages N] [--out DIR] [--resumable] [--shards K]`` — runs the bulk
+    ingest pipeline (on a synthesized page corpus unless ``--pages`` points
+    at an existing (url, html) Parquet layout) and prints the row counts."""
+    import argparse
+    import os
+    import tempfile
+    import time
+
+    import ray
+
+    ap = argparse.ArgumentParser(description="borges_ray bulk ingest")
+    ap.add_argument("--pages", default=None, help="(url, html) parquet dir")
+    ap.add_argument("--n-pages", type=int, default=2000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--num-cpus", type=int, default=8)
+    ap.add_argument("--resumable", action="store_true")
+    ap.add_argument("--shards", type=int, default=8)
+    args = ap.parse_args()
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    pages_root = args.pages
+    if pages_root is None:
+        from ..stages.fetch import write_pages_bucketed
+        from ..synth import synth_pages
+
+        pages_root = os.path.join(
+            tempfile.gettempdir(), f"borges_ingest_pages_{args.seed}_{args.n_pages}")
+        if not os.path.isdir(pages_root):
+            write_pages_bucketed(
+                synth_pages(args.seed, args.n_pages).select(["url", "html"]),
+                pages_root, 8)
+    out = args.out or tempfile.mkdtemp(prefix="borges_ingest_out_")
+    t0 = time.time()
+    if args.resumable:
+        res = bulk_ingest_resumable(pages_root, out, num_shards=args.shards,
+                                    num_cpus_hint=args.num_cpus)
+    else:
+        res = bulk_ingest(pages_root, out, num_cpus_hint=args.num_cpus)
+    wall = round(time.time() - t0, 2)
+    print(f"ingest wall={wall}s out={out} {res}")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    _main()

@@ -1,0 +1,106 @@
+"""Cross-run incremental dedup ledger — insert-if-absent ACROSS pipeline
+runs (S7 generalized: the reference's ``insert_one``-if-absent Mongo sink,
+``Borges/db_scripts/insert_jl.py``, persisted between crawl snapshots).
+
+An incremental corpus build (monthly Common-Crawl snapshots, rolling
+recrawls) must not re-admit documents already ingested by ANY earlier run.
+The ledger is a hash-sharded Parquet key store on disk:
+
+    ledger_dir/shard=<s>/run-<n>.parquet     (append-only key files)
+
+``ledger_upsert`` filters a new batch's rows to the NOVEL ones (keys absent
+from the ledger) with a distributed anti-join — the driver never reads
+ledger keys — then appends exactly those keys as a new file set per shard.
+
+Scale shape: only the KEY column is ever stored or shuffled (8-byte
+fingerprints); the anti-join build side streams off column-pruned Parquet;
+appends are new files, never rewrites, so concurrent readers stay
+consistent.  Failure contract: keys are appended only AFTER the novel rows
+are pinned to the spill checkpoint, so a crash mid-append re-admits the
+not-yet-committed remainder on rerun and never double-admits (the rerun
+anti-joins against whatever was committed); a caller that needs the novel
+PAYLOAD durable must write the returned dataset to its own sink before
+treating the batch as ingested.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import ray.data as rd
+
+
+def _key_files(ledger_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(dp, f)
+        for dp, _dn, fs in os.walk(ledger_dir)
+        for f in fs if f.endswith(".parquet"))
+
+
+def _next_run_id(ledger_dir: str) -> int:
+    runs = set()
+    for f in _key_files(ledger_dir):
+        name = os.path.basename(f)
+        if name.startswith("run-"):
+            try:
+                runs.add(int(name[4:].split(".")[0].split("-")[0]))
+            except ValueError:
+                pass
+    return max(runs, default=-1) + 1
+
+
+def ledger_upsert(ds: rd.Dataset, ledger_dir: str, key_col: str,
+                  *, num_shards: int = 16) -> rd.Dataset:
+    """Filter ``ds`` to rows whose ``key_col`` is NOT already in the
+    ledger, append those keys to the ledger, and return the novel rows.
+
+    The returned Dataset is pinned (parquet spill under /tmp) because the
+    key append below consumes the same derivation."""
+    from ..ops.relational import hash_semi_join, spill_point
+
+    os.makedirs(ledger_dir, exist_ok=True)
+    existing = _key_files(ledger_dir)
+    if existing:
+        ledger_keys = rd.read_parquet(existing, columns=[key_col])
+        novel = hash_semi_join(ds, ledger_keys, on=[key_col], anti=True)
+    else:
+        novel = ds
+    novel = spill_point(novel, "ledger_novel")
+
+    run_id = _next_run_id(ledger_dir)
+
+    def append_keys(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"shard": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        keys = df[[key_col]].drop_duplicates()
+        shard = (pd.util.hash_pandas_object(keys[key_col].astype(str), index=False)
+                 .to_numpy() % num_shards)
+        out = []
+        for s in sorted(set(shard)):
+            sdir = os.path.join(ledger_dir, f"shard={int(s)}")
+            os.makedirs(sdir, exist_ok=True)
+            part = keys[shard == s]
+            # one file per (run, writer-pid, shard): append-only, no rewrite
+            path = os.path.join(sdir, f"run-{run_id}-{os.getpid()}.parquet")
+            if os.path.exists(path):  # same worker, later batch → new file
+                path = os.path.join(
+                    sdir, f"run-{run_id}-{os.getpid()}-{len(os.listdir(sdir))}.parquet")
+            part.to_parquet(path, index=False)
+            out.append({"shard": int(s), "n": len(part)})
+        return pd.DataFrame(out)
+
+    novel.map_batches(append_keys, batch_format="pandas").materialize()
+    return novel
+
+
+def ledger_key_count(ledger_dir: str) -> int:
+    """Distinct keys currently committed (audit helper; reads only key
+    column metadata-sized files)."""
+    files = _key_files(ledger_dir)
+    if not files:
+        return 0
+    import pyarrow.dataset as pads
+
+    return pads.dataset(files, format="parquet").count_rows()

@@ -305,6 +305,29 @@ def test_bulk_ingest_resumable_skips_sealed_shards(ray_session, tmp_path):
     assert os.path.getmtime(os.path.join(out, "features", "shard=1")) == mtime_before
 
 
+def test_ledger_upsert_incremental(ray_session, tmp_path):
+    """Cross-run insert-if-absent: run 2 admits only keys unseen by run 1,
+    run 3 with nothing new admits nothing; the ledger accumulates exactly
+    the distinct keys."""
+    from borges_ray.state.ledger import ledger_key_count, ledger_upsert
+
+    ldir = str(tmp_path / "ledger")
+    b1 = pd.DataFrame({"fp": np.arange(0, 50, dtype=np.int64), "v": "a"})
+    b2 = pd.DataFrame({"fp": np.arange(30, 80, dtype=np.int64), "v": "b"})
+
+    n1 = ledger_upsert(rd.from_pandas(b1).repartition(4), ldir, "fp").to_pandas()
+    assert sorted(n1.fp) == list(range(50))
+    assert ledger_key_count(ldir) == 50
+
+    n2 = ledger_upsert(rd.from_pandas(b2).repartition(4), ldir, "fp").to_pandas()
+    assert sorted(n2.fp) == list(range(50, 80))        # overlap filtered
+    assert ledger_key_count(ldir) == 80
+
+    n3 = ledger_upsert(rd.from_pandas(b1).repartition(2), ldir, "fp").to_pandas()
+    assert len(n3) == 0
+    assert ledger_key_count(ldir) == 80
+
+
 def test_parse_robots_text():
     from borges_ray.stages.robots import parse_robots_text
 
