@@ -123,21 +123,43 @@ def paragraph_dedup(ds: rd.Dataset, id_col: str = "doc_id",
 
 def _window_rows(df: pd.DataFrame, id_col: str, text_col: str,
                  width: int) -> pd.DataFrame:
-    """One row per sliding ``width``-token window: (id, i, __wh) — the
-    window TEXT never leaves this function, only its 64-bit fingerprint."""
-    ids: list[int] = []
-    starts: list[int] = []
-    texts: list[str] = []
-    for doc_id, toks in zip(df[id_col].to_numpy(),
-                            df[text_col].fillna("").str.split()):
-        for i in range(max(len(toks) - width + 1, 0)):
-            ids.append(doc_id)
-            starts.append(i)
-            texts.append(" ".join(toks[i : i + width]))
-    out = pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64),
-                        "i": np.asarray(starts, dtype=np.int64)})
-    out["__wh"] = fingerprint_batch(pd.Series(texts, dtype="object")).astype("int64")
-    return out
+    """One row per sliding ``width``-token window: (id, i, __wh).
+
+    The window hash is a POLYNOMIAL over per-token 64-bit fingerprints
+    (``sum th[i+k]·B^(W-1-k) mod 2^64`` via one ``sliding_window_view``
+    dot product per doc) — window text is never materialized, so memory
+    is O(tokens), not O(tokens·width).  Token fingerprints are computed
+    once per DISTINCT token in the batch.  Equal windows hash equal;
+    distinct-window collisions are ~2^-64."""
+    from .textops import _pow_table
+
+    tok_lists = df[text_col].fillna("").str.split()
+    uniq = sorted({t for toks in tok_lists for t in toks})
+    th_map = dict(zip(uniq, fingerprint_batch(
+        pd.Series(uniq, dtype="object")).to_numpy())) if uniq else {}
+    pv = _pow_table(width)[:width][::-1].copy()  # B^(W-1) ... B^0
+
+    ids: list[np.ndarray] = []
+    starts: list[np.ndarray] = []
+    hashes: list[np.ndarray] = []
+    for doc_id, toks in zip(df[id_col].to_numpy(), tok_lists):
+        n_wins = len(toks) - width + 1
+        if n_wins <= 0:
+            continue
+        th = np.fromiter((th_map[t] for t in toks), dtype=np.uint64,
+                         count=len(toks))
+        win = np.lib.stride_tricks.sliding_window_view(th, width)
+        wh = np.multiply(win, pv, dtype=np.uint64).sum(axis=1, dtype=np.uint64)
+        ids.append(np.full(n_wins, doc_id, dtype=np.int64))
+        starts.append(np.arange(n_wins, dtype=np.int64))
+        hashes.append(wh)
+    if not ids:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                             "i": pd.Series(dtype="int64"),
+                             "__wh": pd.Series(dtype="int64")})
+    return pd.DataFrame({id_col: np.concatenate(ids),
+                         "i": np.concatenate(starts),
+                         "__wh": np.concatenate(hashes).view("int64")})
 
 
 def decontaminate_flags(train: rd.Dataset, eval_ds: rd.Dataset,
@@ -189,9 +211,9 @@ def dup_span_coverage(ds: rd.Dataset, id_col: str = "doc_id",
     would trim.
 
     Distributed shape: window occurrences are ``(doc_id, i, hash u64)``
-    rows — keys-only from the start (window TEXT never leaves the
-    producing task; at design scale replace the per-window string build
-    with a polynomial rolling hash over token hashes).  Duplicate
+    rows — keys-only from the start (window text is never even built:
+    hashes come from a vectorized polynomial over per-token
+    fingerprints, see :func:`_window_rows`).  Duplicate
     detection is a keys-only count combine; membership flows back through
     a distributed semi-join on the hash; interval-union coverage is one
     vectorized sweep per doc bucket.
