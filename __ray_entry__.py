@@ -967,6 +967,45 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate_flags(train, ev, width=4)
 
 
+_SRC_VALUES = [f"src{i}" for i in range(20)]
+
+
+def _q_pivot_counts(sf_dir: str):
+    """Crosstab reshape: lang × source count matrix (keys-only count
+    combiner, one tiny bucketed widen pass)."""
+    from borges_ray.ops.relational import load, pivot_counts
+
+    ds = load(sf_dir, "documents", columns=["lang", "source"])
+    return pivot_counts(ds, "lang", "source", _SRC_VALUES)
+
+
+def _q_melt_counts(sf_dir: str):
+    """Unpivot (wide → long): the pivoted crosstab melted back to
+    (lang, variable, value) rows — zeros included, proving the reshape
+    pair is lossless."""
+    from borges_ray.ops.relational import load, melt, pivot_counts
+
+    ds = load(sf_dir, "documents", columns=["lang", "source"])
+    wide = pivot_counts(ds, "lang", "source", _SRC_VALUES)
+    return melt(wide, ["lang"], [f"n_{v}" for v in _SRC_VALUES])
+
+
+def _q_hll_vocab(sf_dir: str):
+    """Per-language distinct-token estimate via the HyperLogLog sketch
+    (md5 registers, exact-integer harmonic sum — bit-identical SQL twin)."""
+    from borges_ray.ops.relational import explode, load
+    from borges_ray.ops.sketch import hll_count_by
+
+    ds = load(sf_dir, "documents", columns=["lang", "text"])
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        rows = pd.DataFrame({"lang": df["lang"],
+                             "v": df["text"].fillna("").str.split()})
+        return rows.explode("v", ignore_index=True).dropna(subset=["v"])
+
+    return hll_count_by(ds.map_batches(tok, batch_format="pandas"), "lang", "v")
+
+
 def _q_tfidf_terms(sf_dir: str):
     """Top-10 TF-IDF terms per language (keys-only count shuffles +
     distributed token join + combiner-bounded per-group top-k)."""
@@ -1201,6 +1240,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "robots_parse": _q_robots_parse,
         "decontaminate": _q_decontaminate,
+        "hll_vocab": _q_hll_vocab,
+        "pivot_counts": _q_pivot_counts,
+        "melt_counts": _q_melt_counts,
         "tfidf_terms": _q_tfidf_terms,
         "hist_quantiles": _q_hist_quantiles,
         "url_canonicalize": _q_url_canonicalize,
@@ -1744,6 +1786,51 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "pivot_counts": "SELECT lang, "
+            + ", ".join(
+                f"CAST(count(CASE WHEN source = 'src{i}' THEN 1 END) AS BIGINT) AS n_src{i}"
+                for i in range(20))
+            + " FROM documents GROUP BY lang",
+        "melt_counts": """
+            WITH langs AS (SELECT DISTINCT lang FROM documents),
+                 srcs AS (SELECT DISTINCT source FROM documents),
+                 c AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2)
+            SELECT l.lang, 'n_' || s.source AS variable,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS value
+            FROM langs l CROSS JOIN srcs s
+            LEFT JOIN c ON c.lang = l.lang AND c.source = s.source
+        """,
+        "hll_vocab": r"""
+            WITH tok AS (
+              SELECT lang,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS v
+              FROM documents
+            ), h AS (
+              SELECT lang, md5_number_lower(v) AS h FROM tok
+            ), r AS (
+              SELECT lang, CAST(h >> 58 AS BIGINT) AS bucket,
+                     CAST(CASE WHEN (h & ((CAST(1 AS UBIGINT) << 58) - 1)) = CAST(0 AS UBIGINT)
+                               THEN 59
+                               ELSE 58 - length(bin(h & ((CAST(1 AS UBIGINT) << 58) - 1))) + 1
+                          END AS BIGINT) AS rho
+              FROM h
+            ), reg AS (
+              SELECT lang, bucket, max(rho) AS m FROM r GROUP BY 1, 2
+            ), agg AS (
+              SELECT lang, count(*) AS present,
+                     sum(CAST(1 AS HUGEINT) << (59 - m)) AS s_present
+              FROM reg GROUP BY lang
+            ), est AS (
+              SELECT lang, 64 - present AS v,
+                     (CAST(0.709 AS DOUBLE) * 64 * 64 * CAST(CAST(1 AS HUGEINT) << 59 AS DOUBLE))
+                     / CAST((64 - present) * (CAST(1 AS HUGEINT) << 59) + s_present AS DOUBLE) AS e
+              FROM agg
+            )
+            SELECT lang, CAST(v AS BIGINT) AS empty_buckets,
+                   round(CASE WHEN e <= 2.5 * 64 AND v > 0
+                              THEN 64 * ln(64.0 / v) ELSE e END, 3) AS est_distinct
+            FROM est
         """,
         "decontaminate": r"""
             WITH toks AS (

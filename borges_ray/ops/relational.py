@@ -743,6 +743,46 @@ def hist_quantile(
     return groupby_buckets(counts, [key], finalize)
 
 
+def pivot_counts(ds: rd.Dataset, index: str, columns: str,
+                 col_values: list[str]) -> rd.Dataset:
+    """Crosstab reshape: one row per ``index`` value, one ``n_<v>`` count
+    column per value in ``col_values`` (the explicit closed column set
+    makes the output schema static — mandatory for a distributed pivot;
+    discover the set with ``distinct`` first if unknown).  Counts arrive
+    via the keys-only :func:`grouped_agg` combiner; the reshape itself is
+    one bucketed pass over ≤ |index| × |columns| tiny rows."""
+    counts = grouped_agg(ds.select_columns([index, columns]),
+                         [index, columns], {"n": ("count", columns)})
+
+    out_cols = [f"n_{v}" for v in col_values]
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({index: df[index],
+                                 **{c: pd.Series(dtype="int64") for c in out_cols}})
+        w = (df.pivot_table(index=index, columns=columns, values="n",
+                            aggfunc="sum", fill_value=0)
+             .reindex(columns=col_values, fill_value=0))
+        w.columns = [f"n_{v}" for v in w.columns]
+        return w.reset_index()[[index] + out_cols].astype(
+            {c: "int64" for c in out_cols})
+
+    return groupby_buckets(counts, [index], widen)
+
+
+def melt(ds: rd.Dataset, id_cols: list[str], value_cols: list[str],
+         var_name: str = "variable", value_name: str = "value") -> rd.Dataset:
+    """Unpivot (wide → long): one output row per (row, value column) —
+    the inverse reshape of :func:`pivot_counts`.  Pure per-batch
+    ``pd.melt``; no shuffle."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.melt(df, id_vars=id_cols, value_vars=value_cols,
+                       var_name=var_name, value_name=value_name)
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def hot_keys(ds: rd.Dataset, on: list[str], threshold: int) -> pd.DataFrame:
     """Keys whose total row count exceeds ``threshold`` — the skew-detection
     pass for salted joins.  Per-block ``value_counts`` combiner first, so

@@ -328,6 +328,45 @@ def test_ledger_upsert_incremental(ray_session, tmp_path):
     assert ledger_key_count(ldir) == 80
 
 
+def test_hll_accuracy_and_merge_invariance(ray_session):
+    """HLL estimate within the expected ~1.04/√m relative error band for
+    known cardinalities, identical across partitionings (max-merge)."""
+    from borges_ray.ops.sketch import hll_count_by
+
+    rows = []
+    for g, n in [("a", 100), ("b", 1000), ("c", 5000)]:
+        rows += [{"g": g, "v": f"{g}-{i}"} for i in range(n)]
+        rows += [{"g": g, "v": f"{g}-{i}"} for i in range(min(n, 50))]  # dups
+    df = pd.DataFrame(rows)
+    prev = None
+    for parts in (3, 11):
+        out = (hll_count_by(rd.from_pandas(df).repartition(parts), "g", "v")
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        for g, n in [("a", 100), ("b", 1000), ("c", 5000)]:
+            est = float(out.loc[out.g == g, "est_distinct"].iloc[0])
+            assert abs(est - n) / n < 0.45        # 3.5σ at m=64 (σ≈13%)
+        if prev is not None:
+            pd.testing.assert_frame_equal(out, prev)
+        prev = out
+
+
+def test_pivot_melt_roundtrip(ray_session):
+    from borges_ray.ops.relational import melt, pivot_counts
+
+    df = pd.DataFrame({"k": ["x", "x", "y", "y", "y"],
+                       "c": ["p", "q", "p", "p", "r"]})
+    wide = pivot_counts(rd.from_pandas(df).repartition(3), "k", "c",
+                        ["p", "q", "r"]).to_pandas().sort_values("k")
+    assert wide.set_index("k").to_dict("index") == {
+        "x": {"n_p": 1, "n_q": 1, "n_r": 0},
+        "y": {"n_p": 2, "n_q": 0, "n_r": 1},
+    }
+    long = melt(pivot_counts(rd.from_pandas(df), "k", "c", ["p", "q", "r"]),
+                ["k"], ["n_p", "n_q", "n_r"]).to_pandas()
+    back = long.pivot(index="k", columns="variable", values="value")
+    assert back.loc["y", "n_p"] == 2 and back.loc["x", "n_r"] == 0
+
+
 def test_parse_robots_text():
     from borges_ray.stages.robots import parse_robots_text
 
