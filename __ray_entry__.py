@@ -970,6 +970,26 @@ def _q_decontaminate(sf_dir: str):
 _SRC_VALUES = [f"src{i}" for i in range(20)]
 
 
+_CMS_PROBES = ["table", "hash", "scan", "spark", "window", "data", "key",
+               "no-such-token"]
+
+
+def _q_cms_counts(sf_dir: str):
+    """Count-min sketch token-frequency estimates for a fixed probe set
+    (≤ depth×width counter cells exist regardless of corpus size)."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.sketch import cms_estimate
+
+    ds = load(sf_dir, "documents", columns=["text"])
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        rows = pd.DataFrame({"v": df["text"].fillna("").str.split()})
+        return rows.explode("v", ignore_index=True).dropna(subset=["v"])
+
+    return cms_estimate(ds.map_batches(tok, batch_format="pandas"), "v",
+                        _CMS_PROBES)
+
+
 def _q_pivot_counts(sf_dir: str):
     """Crosstab reshape: lang × source count matrix (keys-only count
     combiner, one tiny bucketed widen pass)."""
@@ -1241,6 +1261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_parse": _q_robots_parse,
         "decontaminate": _q_decontaminate,
         "hll_vocab": _q_hll_vocab,
+        "cms_counts": _q_cms_counts,
         "pivot_counts": _q_pivot_counts,
         "melt_counts": _q_melt_counts,
         "tfidf_terms": _q_tfidf_terms,
@@ -1786,6 +1807,27 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "cms_counts": r"""
+            WITH tok AS (
+              SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS v
+              FROM documents
+            ), cells AS (
+              SELECT r, CAST(md5_number_lower(v || '#' || r) % 256 AS BIGINT) AS bucket,
+                     count(*) AS c
+              FROM tok CROSS JOIN (SELECT unnest(range(4)) AS r)
+              GROUP BY 1, 2
+            ), probes(probe) AS (
+              VALUES ('table'), ('hash'), ('scan'), ('spark'), ('window'),
+                     ('data'), ('key'), ('no-such-token')
+            )
+            SELECT p.probe, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est_count
+            FROM probes p
+            CROSS JOIN (SELECT unnest(range(4)) AS r2)
+            LEFT JOIN cells c
+              ON c.r = r2
+             AND c.bucket = CAST(md5_number_lower(p.probe || '#' || r2) % 256 AS BIGINT)
+            GROUP BY p.probe
         """,
         "pivot_counts": "SELECT lang, "
             + ", ".join(

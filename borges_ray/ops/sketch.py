@@ -50,6 +50,50 @@ def _rho_rows(values: pd.Series) -> pd.DataFrame:
                          "rho": np.array([r for _, r in br], dtype="int64")})
 
 
+def cms_estimate(ds: rd.Dataset, value_col: str, probes: list[str],
+                 *, depth: int = 4, width: int = 256) -> rd.Dataset:
+    """Count-min sketch frequency estimates for a fixed probe set.
+
+    The sketch is ``depth`` rows of ``width`` integer counters; row ``r``
+    hashes a value to ``md5_lower64(value + '#' + r) % width``.  Counters
+    merge by SUM (exact integers — order-free), so the whole sketch is
+    one keys-only ``grouped_agg`` over ``(row, bucket)`` pairs: ≤
+    depth × width counter cells ever exist, regardless of input size.
+    ``estimate(probe) = min over rows of counter[bucket_r(probe)]`` — an
+    upper bound on the true count, deterministic, and recomputable in SQL
+    (``md5_number_lower`` + modulo + the same min).  The classic
+    guarantee: overestimate ≤ ε·N with prob ≥ 1-δ for width = e/ε,
+    depth = ln(1/δ)."""
+    from .dedup import _md5_u64
+    from .relational import grouped_agg
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[value_col].astype(str)
+        uniq = vals.value_counts()  # per-batch combiner: one row per value
+        rows_out = {"row": [], "bucket": [], "n": []}
+        for v, n in uniq.items():
+            for r in range(depth):
+                rows_out["row"].append(r)
+                rows_out["bucket"].append(_md5_u64(f"{v}#{r}") % width)
+                rows_out["n"].append(int(n))
+        return pd.DataFrame({"row": pd.Series(rows_out["row"], dtype="int64"),
+                             "bucket": pd.Series(rows_out["bucket"], dtype="int64"),
+                             "n": pd.Series(rows_out["n"], dtype="int64")})
+
+    counters = grouped_agg(ds.map_batches(cells, batch_format="pandas"),
+                           ["row", "bucket"], {"c": ("sum", "n")}).to_pandas()
+    table = {(int(r), int(b)): int(c)
+             for r, b, c in zip(counters["row"], counters["bucket"], counters["c"])}
+
+    out = pd.DataFrame({
+        "probe": probes,
+        "est_count": [min(table.get((r, _md5_u64(f"{p}#{r}") % width), 0)
+                          for r in range(depth)) for p in probes],
+    })
+    out["est_count"] = out["est_count"].astype("int64")
+    return rd.from_pandas(out)
+
+
 def hll_count_by(ds: rd.Dataset, group_col: str, value_col: str) -> rd.Dataset:
     """Per-group approximate distinct count of ``value_col``.  Returns
     (group, empty_buckets, est_distinct) — ``est_distinct`` rounded to

@@ -350,6 +350,27 @@ def test_hll_accuracy_and_merge_invariance(ray_session):
         prev = out
 
 
+def test_cms_upper_bound_and_exactness(ray_session):
+    """CMS estimates are ≥ true counts, exact when the sketch is sparse,
+    and partition-invariant (integer sum merge)."""
+    from borges_ray.ops.sketch import cms_estimate
+
+    vals = ["a"] * 100 + ["b"] * 7 + [f"noise{i}" for i in range(50)]
+    df = pd.DataFrame({"v": vals})
+    prev = None
+    for parts in (2, 9):
+        out = (cms_estimate(rd.from_pandas(df).repartition(parts), "v",
+                            ["a", "b", "absent"], depth=4, width=1024)
+               .to_pandas().set_index("probe").est_count)
+        assert out["a"] >= 100 and out["b"] >= 7 and out["absent"] >= 0
+        # width 1024 ≫ 52 distinct values → collisions are astronomically
+        # unlikely across all 4 rows; estimates are exact here
+        assert out["a"] == 100 and out["b"] == 7 and out["absent"] == 0
+        if prev is not None:
+            assert out.equals(prev)
+        prev = out
+
+
 def test_pivot_melt_roundtrip(ray_session):
     from borges_ray.ops.relational import melt, pivot_counts
 
