@@ -990,6 +990,36 @@ def _q_cms_counts(sf_dir: str):
                         _CMS_PROBES)
 
 
+def _q_join_full_outer(sf_dir: str):
+    """Full-outer hash join with unmatched rows surviving on BOTH sides
+    (rich customers without urgent orders; urgent-order customers below
+    the balance cut)."""
+    from borges_ray.ops.relational import filter_batches, grouped_agg, hash_join, load
+
+    cust = filter_batches(
+        load(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]),
+        lambda t: pc.greater(t["c_acctbal"], pa.scalar(9000.0)))
+    urgent = filter_batches(
+        load(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]),
+        lambda t: pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT")))
+    per_cust = grouped_agg(urgent, ["o_custkey"], {"n_orders": ("count", "o_custkey")})
+
+    def align(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"c_custkey": df["o_custkey"],
+                             "n_orders": df["n_orders"].astype("float64")})
+
+    right = per_cust.map_batches(align, batch_format="pandas")
+    out = hash_join(cust, right, on=["c_custkey"], join_type="full_outer")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        o = df.copy()
+        o["c_acctbal"] = o["c_acctbal"].astype("float64")
+        o["n_orders"] = o["n_orders"].astype("float64")
+        return o[["c_custkey", "c_acctbal", "n_orders"]]
+
+    return out.map_batches(fin, batch_format="pandas")
+
+
 def _q_pivot_counts(sf_dir: str):
     """Crosstab reshape: lang × source count matrix (keys-only count
     combiner, one tiny bucketed widen pass)."""
@@ -1262,6 +1292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "hll_vocab": _q_hll_vocab,
         "cms_counts": _q_cms_counts,
+        "join_full_outer": _q_join_full_outer,
         "pivot_counts": _q_pivot_counts,
         "melt_counts": _q_melt_counts,
         "tfidf_terms": _q_tfidf_terms,
@@ -1807,6 +1838,17 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "join_full_outer": """
+            SELECT coalesce(c.c_custkey, o.o_custkey) AS c_custkey,
+                   CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+                   CAST(o.n AS DOUBLE) AS n_orders
+            FROM (SELECT c_custkey, c_acctbal FROM customer
+                  WHERE c_acctbal > 9000) c
+            FULL OUTER JOIN (SELECT o_custkey, count(*) AS n FROM orders
+                             WHERE o_orderpriority = '1-URGENT'
+                             GROUP BY 1) o
+              ON c.c_custkey = o.o_custkey
         """,
         "cms_counts": r"""
             WITH tok AS (
