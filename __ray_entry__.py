@@ -990,6 +990,48 @@ def _q_cms_counts(sf_dir: str):
                         _CMS_PROBES)
 
 
+def _q_mixture_sample(sf_dir: str):
+    """Data-mixing resample: each source gets its own deterministic
+    md5-bucket keep-rate ((k % 3 + 1)/10 for srcK) — the corpus-reweighting
+    primitive behind mixture tuning, layout-independent like
+    ``sample_md5``."""
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["source"].str.removeprefix("src").astype(int)
+        rate = ((k % 3 + 1) / 10.0).to_numpy()
+        keep = _md5_hex4(df["doc_id"]) < (rate * 65536).astype("int64")
+        return df[keep]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def _q_c4_filter(sf_dir: str):
+    """C4-style cleanup composition: language gate → length window →
+    punctuation-density cap → exact dedup — the standard pre-training
+    filter chain as ONE streaming pipeline; returns surviving doc_ids."""
+    from borges_ray.ops.dedup import exact_dedup
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        import re as _re
+
+        texts = df["text"].fillna("")
+        words = texts.str.split().str.len().fillna(0)
+        n_punct = texts.str.count(r"[^\w\s]", flags=_re.ASCII)
+        n_chars = texts.str.len().clip(lower=1)
+        keep = ((df["lang"] == "en") & (words >= 20) & (words <= 80)
+                & (n_punct / n_chars < 0.1))
+        return df[keep][["doc_id", "text"]]
+
+    gated = ds.map_batches(gate, batch_format="pandas")
+    return exact_dedup(gated, "text", "doc_id").select_columns(["doc_id"])
+
+
 def _q_join_full_outer(sf_dir: str):
     """Full-outer hash join with unmatched rows surviving on BOTH sides
     (rich customers without urgent orders; urgent-order customers below
@@ -1293,6 +1335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_vocab": _q_hll_vocab,
         "cms_counts": _q_cms_counts,
         "join_full_outer": _q_join_full_outer,
+        "mixture_sample": _q_mixture_sample,
+        "c4_filter": _q_c4_filter,
         "pivot_counts": _q_pivot_counts,
         "melt_counts": _q_melt_counts,
         "tfidf_terms": _q_tfidf_terms,
@@ -1838,6 +1882,21 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "mixture_sample": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                  < CAST(floor(((CAST(substr(source, 4) AS BIGINT) % 3 + 1) / 10.0) * 65536) AS BIGINT)
+        """,
+        "c4_filter": r"""
+            WITH gated AS (
+              SELECT doc_id, text FROM documents
+              WHERE lang = 'en'
+                AND len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) BETWEEN 20 AND 80
+                AND CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE)
+                    / greatest(length(text), 1) < 0.1
+            )
+            SELECT min(doc_id) AS doc_id FROM gated GROUP BY text
         """,
         "join_full_outer": """
             SELECT coalesce(c.c_custkey, o.o_custkey) AS c_custkey,
