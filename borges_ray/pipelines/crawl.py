@@ -461,14 +461,27 @@ def run_crawl(
         t0 = time.time()
         parsed = parse_fetched(fetched, rnd).materialize()
         _mark("fetch_parse", t0)
-        t0 = time.time()
+        # write the crawled checkpoint on a thread OVERLAPPED with the
+        # gate/split below (both consume the pinned ``parsed`` set; the
+        # only reader of the files is the metrics pass, which joins this
+        # thread first).  ``has_crawled`` comes from the pinned rows, not
+        # the not-yet-written files.
         crawled_dir = os.path.join(next_dir, "crawled")
-        _write_ds_into(crawled_dir, parsed, "fetched")
-        _mark("write_crawled", t0)
+        has_crawled = bool(parsed.count())
+        wc_err: list[BaseException] = []
+        t_wc = time.time()
+
+        def _write_crawled_job():
+            try:
+                _write_ds_into(crawled_dir, parsed, "fetched")
+                marks["write_crawled"] = round(time.time() - t_wc, 2)
+            except BaseException as e:  # surfaced before the metrics read
+                wc_err.append(e)
+
+        wc_thread = threading.Thread(target=_write_crawled_job)
+        wc_thread.start()
 
         # 5. link candidates → winner dedup → seen + robots gate
-        has_crawled = os.path.isdir(crawled_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(crawled_dir))
         new_dir = os.path.join(next_dir, "new")
         new_ds = None
         t0 = time.time()
@@ -581,6 +594,9 @@ def run_crawl(
         hs_thread.join()  # no-op if _launch_prefetch already joined it
         if hs_err:
             raise hs_err[0]
+        wc_thread.join()  # metrics below reads the crawled files
+        if wc_err:
+            raise wc_err[0]
         t0 = time.time()
 
         if has_crawled:
