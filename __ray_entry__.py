@@ -439,14 +439,24 @@ def _q_union_distinct(sf_dir: str):
     return distinct(u, ["o_custkey"])
 
 
+def _emb_below(sf_dir: str, below: int) -> pd.DataFrame:
+    """Driver-side read of the FIRST ``below`` embedding rows only —
+    row-group predicate pushdown, never the whole table (the r02 verdict's
+    broadcast-size lesson applied to every query-vector / centroid /
+    small-side pick)."""
+    import pyarrow.parquet as _pq
+
+    return _pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", below)]).to_pandas().sort_values("vec_id")
+
+
 def _q_knn(sf_dir: str):
     """Brute-force cosine top-k over the embedding column (ANN baseline)."""
     from borges_ray.ops.embed import knn_brute
     from borges_ray.ops.relational import load
 
-    q = pd.read_parquet(f"{sf_dir}/embeddings.parquet").pipe(
-        lambda d: d[d.vec_id == 0]["embedding"].iloc[0]
-    )
+    q = _emb_below(sf_dir, 1)["embedding"].iloc[0]
     ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     df = knn_brute(ds, np.asarray(q), 10)
     return df[["vec_id", "cos"]]
@@ -475,9 +485,7 @@ def _q_cosine_neardup(sf_dir: str):
 
     ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     sub = filter_batches(ds, lambda t: pc.less(t["vec_id"], pa.scalar(300)))
-    small = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                            columns=["vec_id", "embedding"])
-    small = small[small.vec_id < 300]
+    small = _emb_below(sf_dir, 300)
     out = cosine_near_dup_exact(sub, small, 0.38)
     out["cos"] = out["cos"].round(4)
     out["id_a"] = out["id_a"].astype("int64")
@@ -514,9 +522,7 @@ def _q_knn_lsh(sf_dir: str):
     )
     from borges_ray.ops.relational import load
 
-    q = pd.read_parquet(f"{sf_dir}/embeddings.parquet").pipe(
-        lambda d: d[d.vec_id == 0]["embedding"].iloc[0]
-    )
+    q = _emb_below(sf_dir, 1)["embedding"].iloc[0]
     ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     planes = lsh_planes(len(q), 4, seed=13)
     tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
@@ -542,12 +548,9 @@ def _q_knn_ivf(sf_dir: str):
     from borges_ray.ops.embed import build_ivf_index, knn_ivf_partitioned
     from borges_ray.ops.relational import load
 
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
+    emb = _emb_below(sf_dir, 16)
     q = emb[emb.vec_id == 0]["embedding"].iloc[0]
-    cents = np.stack(
-        emb[emb.vec_id < 16].sort_values("vec_id")["embedding"].to_numpy()
-    ).astype(np.float64)
+    cents = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
     ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
     idx_dir = f"{tempfile.gettempdir()}/borges_ivfd_{tag}"
@@ -1167,11 +1170,8 @@ def _q_semdedup(sf_dir: str):
     from borges_ray.ops.embed import semdedup
     from borges_ray.ops.relational import load
 
-    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"])
-    cents = np.stack(
-        emb[emb.vec_id < 16].sort_values("vec_id")["embedding"].to_numpy()
-    ).astype(np.float64)
+    emb = _emb_below(sf_dir, 16)
+    cents = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
     ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return semdedup(ds, cents, 0.35)
 
