@@ -993,6 +993,37 @@ def _q_cms_counts(sf_dir: str):
                         _CMS_PROBES)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    key = ln(u)/w with u a deterministic md5 uniform and w the token
+    count; the 50 largest keys are the sample (combiner-bounded top-k,
+    no shuffle of the corpus).  Token-weighted doc sampling is the
+    mixture primitive for length-balanced subcorpora."""
+    import hashlib
+
+    from borges_ray.ops.relational import load, topk
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        from borges_ray.ops.textops import token_count_batch
+
+        w, _ = token_count_batch(df["text"].fillna(""))
+        w = w.clip(lower=1).to_numpy(dtype=np.float64)
+        h = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                      for i in df["doc_id"]], dtype=np.float64)
+        u = (h + 1.0) / 4294967296.0
+        key = np.log(u) / w
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "w": w.astype("int64"),
+                             "key": key})
+
+    scored = ds.map_batches(keys, batch_format="pandas")
+    out = topk(scored, ["key"], 50, descending=True, tiebreak=["doc_id"])
+    out["key"] = out["key"].round(6)  # round AFTER ordering, like the oracle
+    return out
+
+
 def _q_mixture_sample(sf_dir: str):
     """Data-mixing resample: each source gets its own deterministic
     md5-bucket keep-rate ((k % 3 + 1)/10 for srcK) — the corpus-reweighting
@@ -1336,6 +1367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": _q_cms_counts,
         "join_full_outer": _q_join_full_outer,
         "mixture_sample": _q_mixture_sample,
+        "weighted_sample": _q_weighted_sample,
         "c4_filter": _q_c4_filter,
         "pivot_counts": _q_pivot_counts,
         "melt_counts": _q_melt_counts,
@@ -1882,6 +1914,18 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "weighted_sample": r"""
+            WITH k AS (
+              SELECT doc_id,
+                     greatest(CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT), 1) AS w,
+                     ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+                        / 4294967296.0)
+                     / greatest(CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT), 1) AS key
+              FROM documents
+            )
+            SELECT doc_id, w, round(key, 6) AS key
+            FROM k ORDER BY key DESC, doc_id LIMIT 50
         """,
         "mixture_sample": """
             SELECT doc_id, source, lang FROM documents
