@@ -57,6 +57,27 @@ def test_dup_chunk_metrics(chunk_docs):
     assert out.dup_para_frac.tolist() == [0.0, round(2 / 3, 6), 0.0]
 
 
+def test_paragraph_dedup_hot_chunk(ray_session):
+    """Adversarial skew: one chunk text repeated across 5000 docs.  The
+    min-combiner collapses each block's occurrences before the shuffle,
+    so the hot key never concentrates rows; exactly one copy survives,
+    in the lowest doc."""
+    from borges_ray.ops.ccnet import paragraph_dedup
+
+    n = 5000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": ["hot chunk " + f"u{i} v{i}" for i in range(n)],
+    })
+    out = (paragraph_dedup(rd.from_pandas(df).repartition(16), width=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == n                               # unique tail survives everywhere
+    assert out.loc[0, "text"] == "hot chunk u0 v0"     # doc 0 keeps the hot chunk
+    assert (out.loc[1:, "text"] == "u" + out.loc[1:, "doc_id"].astype(str)
+            + " v" + out.loc[1:, "doc_id"].astype(str)).all()
+    assert out.loc[1:, "n_paras_kept"].eq(1).all()
+
+
 def test_dup_span_coverage(ray_session):
     from borges_ray.ops.ccnet import dup_span_coverage
 
