@@ -993,6 +993,21 @@ def _q_cms_counts(sf_dir: str):
                         _CMS_PROBES)
 
 
+def _q_rank_quantities(sf_dir: str):
+    """RANK / DENSE_RANK window shapes per order over the tie-heavy
+    quantity column (integer quantities repeat within an order)."""
+    from borges_ray.ops.relational import load, running_agg
+
+    ds = load(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    out = running_agg(ds, "l_orderkey", "l_quantity",
+                      {"rnk": ("rank", "l_quantity"),
+                       "drnk": ("dense_rank", "l_quantity")},
+                      tiebreak=["l_linenumber"])
+    return out.select_columns(["l_orderkey", "l_linenumber", "l_quantity",
+                               "rnk", "drnk"])
+
+
 def _q_weighted_sample(sf_dir: str):
     """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
     key = ln(u)/w with u a deterministic md5 uniform and w the token
@@ -1368,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_full_outer": _q_join_full_outer,
         "mixture_sample": _q_mixture_sample,
         "weighted_sample": _q_weighted_sample,
+        "rank_quantities": _q_rank_quantities,
         "c4_filter": _q_c4_filter,
         "pivot_counts": _q_pivot_counts,
         "melt_counts": _q_melt_counts,
@@ -1914,6 +1930,12 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "rank_quantities": """
+            SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS l_quantity,
+                   rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) AS rnk,
+                   dense_rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity) AS drnk
+            FROM lineitem
         """,
         "weighted_sample": r"""
             WITH k AS (

@@ -884,7 +884,9 @@ def running_agg(
     """Per-key RUNNING aggregates in event order — the SQL window-function
     analogue (``... OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED
     PRECEDING)``).  ``cum`` maps out_name → (op, col) with op one of
-    ``row_number | cumsum | cummax | cummin | cumcount``.  One bucketed
+    ``row_number | cumsum | cummax | cummin | cumcount | rank |
+    dense_rank`` (the rank pair follows SQL tie semantics over the
+    ordered column).  One bucketed
     shuffle co-locates each key, then a single vectorized pandas pass per
     block (sort + groupby-cumulative).  Partitioning assumption as
     :func:`sessionize`: one key's events fit in one group block (§2.10);
@@ -899,6 +901,10 @@ def running_agg(
                 df[name] = (g.cumcount() + 1).astype("int64")
             elif op == "cumcount":
                 df[name] = g.cumcount().astype("int64")
+            elif op == "rank":          # SQL RANK(): ties share the min rank
+                df[name] = g[col].rank(method="min").astype("int64")
+            elif op == "dense_rank":    # SQL DENSE_RANK(): no rank gaps
+                df[name] = g[col].rank(method="dense").astype("int64")
             else:
                 df[name] = getattr(g[col], op)()
         return df
