@@ -2192,7 +2192,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_md5": """
             SELECT doc_id, lang FROM documents
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
-                  < CAST(0.3 * 65536 AS BIGINT)
+                  < CAST(floor(0.3 * 65536) AS BIGINT)
         """,
         "stratified_sample": """
             WITH h AS (

@@ -81,7 +81,13 @@ def paragraph_dedup(ds: rd.Dataset, id_col: str = "doc_id",
     def add_keys(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
         out["__fp"] = fingerprint_batch(df["para"]).astype("int64")
-        out["__rank"] = (df[id_col].to_numpy(np.int64) << PIDX_BITS) | df["pidx"].to_numpy(np.int64)
+        pidx_v = df["pidx"].to_numpy(np.int64)
+        if len(pidx_v) and int(pidx_v.max()) >= (1 << PIDX_BITS):
+            raise ValueError(
+                f"paragraph_dedup: document has >= 2^{PIDX_BITS} chunks "
+                f"(pidx={int(pidx_v.max())}); rank encoding would bleed into "
+                "doc_id bits — raise PIDX_BITS or chunk width")
+        out["__rank"] = (df[id_col].to_numpy(np.int64) << PIDX_BITS) | pidx_v
         return out
 
     occ = occ.map_batches(add_keys, batch_format="pandas")

@@ -24,6 +24,7 @@ import pandas as pd
 import ray.data as rd
 
 _CRLF = b"\r\n"
+_PART_SEQ = 0  # per-process part-file counter (write_warc naming)
 _HDR_RE = re.compile(
     rb"WARC/1\.0\r\nWARC-Target-URI: (?P<uri>[^\r\n]*)\r\n"
     rb"WARC-Date: (?P<date>[^\r\n]*)\r\nContent-Length: (?P<len>\d+)\r\n\r\n"
@@ -39,9 +40,16 @@ def record_bytes(url: str, ts: str, payload: bytes) -> bytes:
 def write_warc(ds: rd.Dataset, out_dir: str, *, url_col: str = "url",
                ts_col: str = "warc_ts", payload_col: str = "payload") -> None:
     """Dataset → one ``part-<block>.warc`` per block under ``out_dir``.
-    Deterministic file naming keyed by each block's first url hash, so a
-    rerun overwrites rather than duplicates (resumable sink)."""
+    File names are a digest over EVERY url in the block plus the row count
+    (a first-url-only name collides when two blocks start with the same
+    url — duplicate urls across blocks are normal in crawl corpora).  Stale
+    ``part-*.warc`` files from a previous run are removed up front, so a
+    rerun with different batching is actually idempotent rather than
+    leaving a mix of fresh and stale parts."""
     os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        if f.startswith("part-") and f.endswith(".warc"):
+            os.unlink(os.path.join(out_dir, f))
 
     def dump(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -53,8 +61,16 @@ def write_warc(ds: rd.Dataset, out_dir: str, *, url_col: str = "url",
         )
         import hashlib
 
-        name = hashlib.blake2b(df[url_col].iloc[0].encode(), digest_size=8).hexdigest()
-        path = os.path.join(out_dir, f"part-{name}.warc")
+        # uniqueness within the run: content digest + writer pid + a
+        # per-process counter (two blocks can share a first url, a url
+        # multiset, or even full byte content — none of those may collide
+        # into one file name).  Rerun idempotency comes from the up-front
+        # part-file cleanup, not from the name.
+        global _PART_SEQ
+        _PART_SEQ += 1
+        h = hashlib.blake2b(blob, digest_size=8).hexdigest()
+        path = os.path.join(
+            out_dir, f"part-{h}-{os.getpid()}-{_PART_SEQ}.warc")
         with open(path, "wb") as f:
             f.write(blob)
         return pd.DataFrame({"path": [path], "n_records": [len(df)]})

@@ -56,8 +56,11 @@ def ledger_upsert(ds: rd.Dataset, ledger_dir: str, key_col: str,
     ledger, append those keys to the ledger, and return the novel rows.
 
     The returned Dataset is pinned (parquet spill under /tmp) because the
-    key append below consumes the same derivation."""
-    from ..ops.relational import hash_semi_join, spill_point
+    key append below consumes the same derivation.  Keys are deduplicated
+    ACROSS the whole run (distributed ``distinct``), not just within each
+    batch, so a key occurring in several batches lands in the ledger once
+    and ``ledger_key_count`` counts true distinct keys."""
+    from ..ops.relational import distinct, hash_semi_join, spill_point
 
     os.makedirs(ledger_dir, exist_ok=True)
     existing = _key_files(ledger_dir)
@@ -74,7 +77,7 @@ def ledger_upsert(ds: rd.Dataset, ledger_dir: str, key_col: str,
         if df.empty:
             return pd.DataFrame({"shard": pd.Series(dtype="int64"),
                                  "n": pd.Series(dtype="int64")})
-        keys = df[[key_col]].drop_duplicates()
+        keys = df[[key_col]]
         shard = (pd.util.hash_pandas_object(keys[key_col].astype(str), index=False)
                  .to_numpy() % num_shards)
         out = []
@@ -91,7 +94,8 @@ def ledger_upsert(ds: rd.Dataset, ledger_dir: str, key_col: str,
             out.append({"shard": int(s), "n": len(part)})
         return pd.DataFrame(out)
 
-    novel.map_batches(append_keys, batch_format="pandas").materialize()
+    novel_keys = distinct(novel.select_columns([key_col]), [key_col])
+    novel_keys.map_batches(append_keys, batch_format="pandas").materialize()
     return novel
 
 

@@ -349,6 +349,45 @@ def test_ledger_upsert_incremental(ray_session, tmp_path):
     assert ledger_key_count(ldir) == 80
 
 
+def test_ledger_upsert_dup_key_across_batches(ray_session, tmp_path):
+    """A key occurring in MULTIPLE batches of one run is appended to the
+    ledger exactly once (run-wide distinct, not per-batch), so
+    ledger_key_count equals true distinct keys."""
+    from borges_ray.state.ledger import ledger_key_count, ledger_upsert
+
+    ldir = str(tmp_path / "ledger")
+    # key 7 appears in every partition
+    df = pd.DataFrame({"fp": np.array([7] * 6 + [1, 2, 3], dtype=np.int64),
+                       "v": "x"})
+    novel = ledger_upsert(rd.from_pandas(df).repartition(3), ldir, "fp")
+    assert len(novel.to_pandas()) == 9            # all input rows are novel
+    assert ledger_key_count(ldir) == 4            # {1, 2, 3, 7} — 7 once
+
+
+def test_warc_same_first_url_blocks_and_rerun(ray_session, tmp_path):
+    """Two blocks whose FIRST record shares a url must not overwrite each
+    other's part file, and a rerun with different batching leaves no stale
+    parts behind (idempotent sink)."""
+    from borges_ray.sources.warc import read_warc, write_warc
+
+    d = str(tmp_path / "w")
+    df = pd.DataFrame({
+        "url": ["http://a/hot", "http://b/1", "http://a/hot", "http://b/2"],
+        "warc_ts": ["t1", "t2", "t3", "t4"],
+        "payload": [b"p1", b"p2", b"p3", b"p4"],
+    })
+    # 4 partitions of 1 row: partitions 0 and 2 share the first url
+    write_warc(rd.from_pandas(df).repartition(4), d)
+    back = read_warc(d).to_pandas()
+    assert len(back) == 4
+    assert sorted(back.payload.tolist()) == [b"p1", b"p2", b"p3", b"p4"]
+    # rerun with a different batching: old parts must be cleared
+    write_warc(rd.from_pandas(df).repartition(1), d)
+    back2 = read_warc(d).to_pandas()
+    assert len(back2) == 4
+    assert sorted(back2.payload.tolist()) == [b"p1", b"p2", b"p3", b"p4"]
+
+
 def test_hll_accuracy_and_merge_invariance(ray_session):
     """HLL estimate within the expected ~1.04/√m relative error band for
     known cardinalities, identical across partitionings (max-merge)."""
