@@ -584,19 +584,19 @@ def _q_ngram_jaccard(sf_dir: str):
 
 
 def _q_minhash_dedup_survivors(sf_dir: str):
-    """Full near-dup dedup: MinHash-LSH pairs → DISTRIBUTED connected
-    components (log-depth spanning-forest merge) → survivors via a
+    """Full near-dup dedup, DATASET END-TO-END: MinHash-LSH pairs →
+    distributed connected components (tree forest merge) → survivors via a
     distributed anti-join against the loser set (oracle: recursive-CTE
-    components over the same exact-Jaccard pair set).  No base table is
-    ever read driver-side: the corpus id column flows through
-    ``hash_semi_join(documents, losers, anti=True)``."""
-    from borges_ray.ops.dedup import dedup_survivors_ds, minhash_near_dup_pairs
+    components over the same exact-Jaccard pair set).  Neither the base
+    table, the pair set, the spanning forest, nor the labels ever transit
+    the driver — the whole chain is one lazy Dataset plan."""
+    from borges_ray.ops.dedup import dedup_survivors_ds, minhash_near_dup_pairs_ds
     from borges_ray.ops.relational import load
 
     ds = load(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = minhash_near_dup_pairs(ds, "doc_id", threshold=0.5)
+    pairs_ds = minhash_near_dup_pairs_ds(ds, "doc_id", threshold=0.5)
     docs = load(sf_dir, "documents", columns=["doc_id"])
-    return dedup_survivors_ds(docs, pairs, "doc_id", distributed_cc=True)
+    return dedup_survivors_ds(docs, pairs_ds, "doc_id")
 
 
 def _q_simhash(sf_dir: str):
@@ -1337,9 +1337,29 @@ def _q_stratified_sample(sf_dir: str):
     return sampled.select_columns(["lang", "doc_id", "h16"])
 
 
+def _q_oversized_payloads(sf_dir: str):
+    """Oversized-payload triage (DocumentTooLarge semantics — the reference
+    drops Paper_Content and stores the record with an error note,
+    ``Borges/spiders/Elsevier/paper_xml.py:109-120``): rows whose payload
+    exceeds the byte cap keep identity + byte count, lose the payload, and
+    get error='payload_too_large'.  Returns the over-cap (missed-sink)
+    rows; the cap of 300 B trips roughly half this corpus, so both branches
+    are exercised."""
+    from borges_ray.ops.records import cap_payload_rows
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    capped = cap_payload_rows(ds, "text", max_bytes=300)
+    return capped.map_batches(
+        lambda df: df.loc[df["error"].notna(),
+                          ["doc_id", "n_payload_bytes", "error"]],
+        batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bpe_tokens": _q_bpe_tokens,
+        "oversized_payloads": _q_oversized_payloads,
         "cosine_neardup": _q_cosine_neardup,
         "cosine_neardup_lsh": _q_cosine_neardup_lsh,
         "knn_lsh": _q_knn_lsh,
@@ -2188,6 +2208,13 @@ def oracle_sql() -> dict[str, str]:
                         w -> list_contains(['the','a','an','and','or','of','to','in','on','for','with','at','by','from','as','is','are','was','were','be','been','it','this','that'], w))) AS DOUBLE)
                         / greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1), 6) AS stopword_frac
             FROM documents
+        """,
+        "oversized_payloads": """
+            SELECT doc_id,
+                   CAST(strlen(text) AS BIGINT) AS n_payload_bytes,
+                   'payload_too_large' AS error
+            FROM documents
+            WHERE strlen(text) > 300
         """,
         "sample_md5": """
             SELECT doc_id, lang FROM documents

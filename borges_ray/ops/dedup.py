@@ -231,21 +231,75 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
-def minhash_candidate_pairs(
-    ds: rd.Dataset, id_col: str, *, num_perm: int = 64, bands: int = 32,
-    shingle_k: int = 3,
+def minhash_sig_blob_table(
+    ds: rd.Dataset, id_col: str, *, num_perm: int = 64, shingle_k: int = 3,
 ) -> rd.Dataset:
-    """LSH candidate pairs as a DATASET: band rows → bucketed pair spawn per
-    (band, band_hash) → distributed distinct.  Nothing touches the driver;
-    the shuffle moves (id, band, u64) triples, never text."""
-    from .relational import distinct, groupby_buckets
+    """ONE tokenize pass over the corpus → ``(id, __sig, __blob, __nsh)``:
+    the minhash signature bytes AND the sorted-unique shingle-hash set as a
+    u64 byte blob.  Banding derives from ``__sig`` without re-reading text;
+    exact-Jaccard verification intersects ``__blob`` arrays without
+    re-tokenizing — the r03 verify stage tokenized every pair endpoint a
+    second time.  The result is parquet-pinned (spill_point) because band
+    explode and verify both consume it."""
+    from .relational import spill_point
 
-    band_rows = minhash_band_rows(ds, id_col, num_perm=num_perm, bands=bands,
-                                  shingle_k=shingle_k)
+    def featurize(df: pd.DataFrame) -> pd.DataFrame:
+        hasher = _hasher_cache_get(num_perm, shingle_k) if num_perm else None
+        sigs, blobs, nsh = [], [], []
+        for t in df["text"].fillna(""):
+            sh = np.unique(_shingle_hashes(t, shingle_k))
+            if hasher is None:
+                sigs.append(b"")
+            elif len(sh) == 0:
+                sigs.append(np.zeros(num_perm, dtype=np.uint64).tobytes())
+            else:
+                prod = hasher.a[:, None] * sh[None, :] + hasher.b[:, None]
+                sigs.append(prod.min(axis=1).tobytes())
+            blobs.append(sh.tobytes())
+            nsh.append(len(sh))
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "__sig": sigs, "__blob": blobs,
+                             "__nsh": np.asarray(nsh, dtype=np.int64)})
+
+    return spill_point(ds.map_batches(featurize, batch_format="pandas"),
+                       "mh_feat")
+
+
+def band_rows_from_sigs(
+    sig_ds: rd.Dataset, id_col: str, *, num_perm: int = 64, bands: int = 32,
+) -> rd.Dataset:
+    """(id, __sig bytes) → (id, band, band_hash) rows — the LSH explode of
+    :func:`minhash_band_rows`, but derived from stored signature bytes so
+    text is never touched (vectorized reshape + polynomial band mix)."""
+    rows_per_band = num_perm // bands
+
+    def band(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "band": pd.Series(dtype="int32"),
+                                 "band_hash": pd.Series(dtype="uint64")})
+        sigs = np.frombuffer(b"".join(df["__sig"]), dtype=np.uint64).reshape(
+            len(df), num_perm)
+        chunks = sigs.reshape(len(df), bands, rows_per_band)
+        bh = np.zeros((len(df), bands), dtype=np.uint64)
+        for j in range(rows_per_band):
+            bh = bh * _SHINGLE_MIX + chunks[:, :, j]
+        bh ^= bh >> np.uint64(29)
+        bh = bh * _SHINGLE_MIX
+        return pd.DataFrame({id_col: np.repeat(df[id_col].to_numpy(), bands),
+                             "band": np.tile(np.arange(bands, dtype=np.int32), len(df)),
+                             "band_hash": bh.reshape(-1)})
+
+    return sig_ds.map_batches(band, batch_format="pandas")
+
+
+def _make_band_pairs(id_col: str):
+    """Per-bucket-block candidate-pair spawner over (band, band_hash)
+    groups: only buckets shared by ≥2 docs spawn pairs; one Python loop over
+    *colliding buckets*, pair fan-out vectorized; block-local dedup so the
+    downstream distinct shuffle moves fewer rows."""
 
     def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # only (band, band_hash) buckets shared by ≥2 docs spawn pairs; one
-        # Python loop over *colliding buckets*, pair fan-out vectorized
         counts = df.groupby(["band", "band_hash"], sort=False)[id_col].nunique()
         hot = counts[counts >= 2].index
         if not len(hot):
@@ -259,10 +313,101 @@ def minhash_candidate_pairs(
             out_a.append(ids[ia])
             out_b.append(ids[ib])
         return pd.DataFrame({"id_a": np.concatenate(out_a),
-                             "id_b": np.concatenate(out_b)})
+                             "id_b": np.concatenate(out_b)}).drop_duplicates()
 
-    pairs = groupby_buckets(band_rows, ["band", "band_hash"], band_pairs)
+    return band_pairs
+
+
+def minhash_candidate_pairs(
+    ds: rd.Dataset, id_col: str, *, num_perm: int = 64, bands: int = 32,
+    shingle_k: int = 3,
+) -> rd.Dataset:
+    """LSH candidate pairs as a DATASET: band rows → bucketed pair spawn per
+    (band, band_hash) → distributed distinct.  Nothing touches the driver;
+    the shuffle moves (id, band, u64) triples, never text."""
+    from .relational import distinct, groupby_buckets
+
+    band_rows = minhash_band_rows(ds, id_col, num_perm=num_perm, bands=bands,
+                                  shingle_k=shingle_k)
+    pairs = groupby_buckets(band_rows, ["band", "band_hash"],
+                            _make_band_pairs(id_col))
     return distinct(pairs, ["id_a", "id_b"])
+
+
+def _blob_jaccard(blob_a, blob_b, na: int, nb: int) -> float:
+    """Exact Jaccard from two sorted-unique u64 shingle-set blobs."""
+    if na + nb == 0:
+        return 1.0  # two empty docs: same convention as jaccard()
+    a = np.frombuffer(blob_a, dtype=np.uint64)
+    b = np.frombuffer(blob_b, dtype=np.uint64)
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    return inter / (na + nb - inter)
+
+
+def verify_pairs_blob(
+    pairs: rd.Dataset, feat: rd.Dataset, id_col: str, *, threshold: float,
+) -> rd.Dataset:
+    """Exact-Jaccard verification against STORED shingle-set blobs — no
+    re-tokenization, no generic join machinery.  Two bucketed shuffles with
+    statically known schemas (so no ``.schema()`` probe ever re-executes an
+    upstream sort, the reason the r03 path needed parquet spill-points):
+
+    1. pairs keyed by id_a ∪ feat keyed by id → attach blob_a
+    2. result keyed by id_b ∪ feat keyed by id → attach blob_b + verify
+
+    The blob column moves through each shuffle once (same volume as the
+    text re-join it replaces); the verify itself is a per-pair sorted-array
+    intersection on u64s.  Returns (id_a, id_b, jaccard ≥ threshold)."""
+    from .relational import groupby_buckets
+
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__jk": df["id_a"].astype("int64"),
+                             "id_a": df["id_a"].astype("int64"),
+                             "id_b": df["id_b"].astype("int64"),
+                             "__blob": b"", "__nsh": np.int64(-1),
+                             "__side": np.int8(0)})
+
+    def tag_feat(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__jk": df[id_col].astype("int64"),
+                             "id_a": np.int64(-1), "id_b": np.int64(-1),
+                             "__blob": df["__blob"],
+                             "__nsh": df["__nsh"].astype("int64"),
+                             "__side": np.int8(1)})
+
+    both_a = pairs.map_batches(tag_pairs, batch_format="pandas").union(
+        feat.map_batches(tag_feat, batch_format="pandas"))
+
+    def attach_a(df: pd.DataFrame) -> pd.DataFrame:
+        # pair dedup is FUSED here: duplicate (id_a, id_b) candidates share
+        # id_a and therefore this bucket, so a block-local drop_duplicates
+        # is a complete global dedup — no separate distinct shuffle needed
+        l = df[df["__side"] == 0].drop_duplicates(subset=["id_a", "id_b"])
+        r = df[df["__side"] == 1]
+        m = l[["__jk", "id_a", "id_b"]].merge(
+            r[["__jk", "__blob", "__nsh"]], on="__jk")
+        return pd.DataFrame({"__jk": m["id_b"], "id_a": m["id_a"],
+                             "id_b": m["id_b"], "__blob": m["__blob"],
+                             "__nsh": m["__nsh"], "__side": np.int8(0)})
+
+    half = groupby_buckets(both_a, ["__jk"], attach_a)
+    both_b = half.union(feat.map_batches(tag_feat, batch_format="pandas"))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0]
+        r = df[df["__side"] == 1].rename(
+            columns={"__blob": "__blob_b", "__nsh": "__nsh_b"})
+        m = l.merge(r[["__jk", "__blob_b", "__nsh_b"]], on="__jk")
+        if not len(m):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "jaccard": pd.Series(dtype="float64")})
+        jac = np.array([_blob_jaccard(a, b, na, nb) for a, b, na, nb in
+                        zip(m["__blob"], m["__blob_b"], m["__nsh"], m["__nsh_b"])])
+        out = m[["id_a", "id_b"]].copy()
+        out["jaccard"] = jac
+        return out[jac >= threshold]
+
+    return groupby_buckets(both_b, ["__jk"], verify)
 
 
 def verify_pairs_jaccard(
@@ -302,6 +447,41 @@ def verify_pairs_jaccard(
     return joined.map_batches(verify, batch_format="pandas")
 
 
+def minhash_near_dup_pairs_ds(
+    ds: rd.Dataset,
+    id_col: str,
+    *,
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 32,
+    shingle_k: int = 3,
+) -> rd.Dataset:
+    """Candidate pairs from LSH buckets, verified with exact Jaccard ≥
+    threshold (unrounded compare), as a DATASET — nothing transits the
+    driver, so a 30-50 % near-duplicate web corpus (candidate graph
+    O(corpus)) flows straight into downstream connected components /
+    anti-joins without a driver pandas bottleneck.
+
+    One tokenize pass: signatures and shingle-set blobs are computed
+    together (:func:`minhash_sig_blob_table`); banding derives from stored
+    sig bytes and verification intersects stored blobs.
+
+    With bands=32 over num_perm=64 (r=2), a pair at Jaccard ≥ 0.8 is missed
+    with probability ≤ (1-0.64)^32 ≈ 6e-15 — the exact-all-pairs oracle is
+    sound for corpora whose true near-dups sit above ~0.8."""
+    from .relational import groupby_buckets
+
+    feat = minhash_sig_blob_table(ds, id_col, num_perm=num_perm,
+                                  shingle_k=shingle_k)
+    band_rows = band_rows_from_sigs(feat, id_col, num_perm=num_perm,
+                                    bands=bands)
+    # no separate distinct shuffle: verify_pairs_blob dedups candidates
+    # block-locally in its first (id_a-keyed) stage
+    pairs = groupby_buckets(band_rows, ["band", "band_hash"],
+                            _make_band_pairs(id_col))
+    return verify_pairs_blob(pairs, feat, id_col, threshold=threshold)
+
+
 def minhash_near_dup_pairs(
     ds: rd.Dataset,
     id_col: str,
@@ -311,22 +491,12 @@ def minhash_near_dup_pairs(
     bands: int = 32,
     shingle_k: int = 3,
 ) -> pd.DataFrame:
-    """Candidate pairs from LSH buckets, verified with exact Jaccard ≥
-    threshold (unrounded compare).  End-to-end distributed: band explode →
-    bucketed pair spawn → distributed distinct → per-endpoint text re-join
-    → batch verify.  Returns pandas pairs (id_a < id_b, jaccard) — the
-    RESULT is small by construction; nothing upstream materializes.
-
-    With bands=32 over num_perm=64 (r=2), a pair at Jaccard ≥ 0.8 is missed
-    with probability ≤ (1-0.64)^32 ≈ 6e-15 — the exact-all-pairs oracle is
-    sound for corpora whose true near-dups sit above ~0.8."""
-    cands = minhash_candidate_pairs(ds, id_col, num_perm=num_perm,
-                                    bands=bands, shingle_k=shingle_k)
-    texts = ds.map_batches(lambda df: df[[id_col, "text"]],
-                           batch_format="pandas")
-    verified = verify_pairs_jaccard(cands, texts, id_col,
-                                    threshold=threshold, shingle_k=shingle_k)
-    out = verified.to_pandas()
+    """Thin pandas wrapper over :func:`minhash_near_dup_pairs_ds` for
+    oracle queries and interactive use — collect ONLY when the caller wants
+    a small result table; scale paths consume the Dataset variant."""
+    out = minhash_near_dup_pairs_ds(ds, id_col, threshold=threshold,
+                                    num_perm=num_perm, bands=bands,
+                                    shingle_k=shingle_k).to_pandas()
     out["id_a"] = out["id_a"].astype("int64")
     out["id_b"] = out["id_b"].astype("int64")
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
@@ -358,14 +528,36 @@ def ngram_shingle_rows(ds: rd.Dataset, id_col: str, *, shingle_k: int = 3) -> rd
     return ds.map_batches(explode, batch_format="pandas")
 
 
-def ngram_jaccard_pairs(
+def shingle_rows_from_blobs(feat: rd.Dataset, id_col: str) -> rd.Dataset:
+    """(id, __blob) → distinct (id, shingle u64) rows, decoded from the
+    stored sorted-unique blobs — the explode of :func:`ngram_shingle_rows`
+    without re-tokenizing text."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids_out: list[np.ndarray] = []
+        sh_out: list[np.ndarray] = []
+        for i, blob in zip(df[id_col].to_numpy(), df["__blob"]):
+            sh = np.frombuffer(blob, dtype=np.uint64)
+            if len(sh):
+                ids_out.append(np.full(len(sh), i, dtype=np.int64))
+                sh_out.append(sh)
+        if not ids_out:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "shingle": pd.Series(dtype="uint64")})
+        return pd.DataFrame({id_col: np.concatenate(ids_out),
+                             "shingle": np.concatenate(sh_out)})
+
+    return feat.map_batches(explode, batch_format="pandas")
+
+
+def ngram_jaccard_pairs_ds(
     ds: rd.Dataset,
     id_col: str,
     *,
     threshold: float = 0.3,
     shingle_k: int = 3,
     max_bucket: int | None = None,
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """EXACT word-k-shingle Jaccard self-join (all pairs ≥ ``threshold``) by
     prefix filtering — the PPJoin family's public completeness lemma (Xiao,
     Wang, Lin, Yu, "Efficient Similarity Joins for Near Duplicate
@@ -400,9 +592,10 @@ def ngram_jaccard_pairs(
     ``max_bucket`` (None = unbounded = exact) caps a single prefix-shingle
     bucket's pair spawn for memory safety at adversarial skew; capping is
     logged and trades recall only (verify keeps precision exact)."""
-    from .relational import distinct, groupby_buckets, spill_point
+    from .relational import groupby_buckets
 
-    ex = ngram_shingle_rows(ds, id_col, shingle_k=shingle_k)
+    feat = minhash_sig_blob_table(ds, id_col, num_perm=0, shingle_k=shingle_k)
+    ex = shingle_rows_from_blobs(feat, id_col)
 
     # shuffle 1: co-locate by shingle, attach document frequency.  df is
     # computed and attached in ONE grouped pass — no separate count table,
@@ -456,14 +649,24 @@ def ngram_jaccard_pairs(
         return pd.DataFrame({"id_a": np.concatenate(out_a),
                              "id_b": np.concatenate(out_b)})
 
-    cands = distinct(groupby_buckets(prefix_rows, ["shingle"], shingle_pairs),
-                     ["id_a", "id_b"])
+    # candidate dedup is fused into verify_pairs_blob's id_a-keyed stage
+    cands = groupby_buckets(prefix_rows, ["shingle"], shingle_pairs)
+    return verify_pairs_blob(cands, feat, id_col, threshold=threshold)
 
-    texts = ds.map_batches(lambda df: df[[id_col, "text"]],
-                           batch_format="pandas")
-    verified = verify_pairs_jaccard(cands, texts, id_col,
-                                    threshold=threshold, shingle_k=shingle_k)
-    out = verified.to_pandas()
+
+def ngram_jaccard_pairs(
+    ds: rd.Dataset,
+    id_col: str,
+    *,
+    threshold: float = 0.3,
+    shingle_k: int = 3,
+    max_bucket: int | None = None,
+) -> pd.DataFrame:
+    """Thin pandas wrapper over :func:`ngram_jaccard_pairs_ds` (small
+    result collection for oracle queries)."""
+    out = ngram_jaccard_pairs_ds(ds, id_col, threshold=threshold,
+                                 shingle_k=shingle_k,
+                                 max_bucket=max_bucket).to_pandas()
     out["id_a"] = out["id_a"].astype("int64")
     out["id_b"] = out["id_b"].astype("int64")
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
@@ -501,8 +704,8 @@ def simhash_signatures(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(SimHasher, batch_format="pandas", concurrency=(1, 8))
 
 
-def simhash_near_dup_pairs(ds: rd.Dataset, id_col: str, *, max_hamming: int = 3,
-                           max_bucket: int = 4096, tile: int = 2048) -> pd.DataFrame:
+def simhash_near_dup_pairs_ds(ds: rd.Dataset, id_col: str, *, max_hamming: int = 3,
+                              max_bucket: int = 4096, tile: int = 2048) -> rd.Dataset:
     """Near-dup pairs by SimHash: band the 64-bit signature into 4×16-bit
     chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), bucket-join on
     (chunk_idx, chunk_value), verify Hamming distance.
@@ -571,10 +774,22 @@ def simhash_near_dup_pairs(ds: rd.Dataset, id_col: str, *, max_hamming: int = 3,
                                  "hamming": pd.Series(dtype="int64")})
         return pd.concat(outs, ignore_index=True)
 
-    from .relational import groupby_buckets
+    from .relational import distinct, groupby_buckets
 
     pairs = groupby_buckets(chunks, ["chunk", "chunk_val"], chunk_pairs)
-    return pairs.to_pandas().drop_duplicates(ignore_index=True).reset_index(drop=True)
+    # a pair matching in several chunks recurs with the SAME hamming value:
+    # distinct over all three columns is a full pair dedup, distributed
+    return distinct(pairs, ["id_a", "id_b", "hamming"])
+
+
+def simhash_near_dup_pairs(ds: rd.Dataset, id_col: str, *, max_hamming: int = 3,
+                           max_bucket: int = 4096, tile: int = 2048) -> pd.DataFrame:
+    """Thin pandas wrapper over :func:`simhash_near_dup_pairs_ds` (small
+    result collection for oracle queries)."""
+    out = simhash_near_dup_pairs_ds(ds, id_col, max_hamming=max_hamming,
+                                    max_bucket=max_bucket, tile=tile)
+    return out.to_pandas().sort_values(
+        ["id_a", "id_b"], ignore_index=True)
 
 
 # ---------------------------------------------------------------------------
@@ -641,34 +856,9 @@ def _spanning_forest_batch(df: pd.DataFrame) -> pd.DataFrame:
                          "id_b": pd.Series(keep_b, dtype="int64")})
 
 
-def near_dup_groups_ray(pairs: rd.Dataset, *, max_iters: int = 50) -> pd.DataFrame:
-    """Distributed connected components via LOGARITHMIC FOREST MERGE: each
-    round collapses every edge block to its spanning forest (union-find
-    combiner), then halves the block count with a repartition so two
-    forests merge per task — O(log blocks) rounds, each a plain
-    repartition + map_batches.  No joins, no unions, no convergence
-    aggregate (an earlier per-iteration join/union implementation tripped a
-    Ray 2.49 core ReferenceCounter bug and executor deadlocks; this shape
-    uses only the two most battle-tested primitives).
-
-    Scale bound: the final merge task holds one spanning forest of the
-    whole CANDIDATE graph — O(#ids that appear in any pair), which LSH
-    keeps far below corpus size.  Labels (id → component-min) come from one
-    union-find pass over that forest.  Same output as
-    :func:`near_dup_groups`."""
-    from .relational import _spill_point_n
-
-    ds, nb = _spill_point_n(pairs.map_batches(
-        lambda df: df[["id_a", "id_b"]].astype("int64"),
-        batch_format="pandas"), "cc_edges")
-    for _ in range(max_iters):
-        ds = ds.map_batches(_spanning_forest_batch, batch_size=None,
-                            batch_format="pandas")
-        if nb <= 1:
-            break
-        ds, nb = _spill_point_n(ds.repartition(max(1, nb // 2)), "cc_round")
-
-    forest = ds.to_pandas()  # ≤ one spanning forest of the candidate graph
+def _forest_labels_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Final CC step: one spanning forest (single block) → (id, group)
+    labels via union-find, group = component-min id."""
     parent: dict = {}
 
     def find(x):
@@ -679,17 +869,52 @@ def near_dup_groups_ray(pairs: rd.Dataset, *, max_iters: int = 50) -> pd.DataFra
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in zip(forest["id_a"], forest["id_b"]):
+    for a, b in zip(df["id_a"], df["id_b"]):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    ids = pd.unique(pd.concat([forest["id_a"], forest["id_b"]],
-                              ignore_index=True))
-    out = pd.DataFrame({"id": sorted(int(i) for i in ids)})
-    out["group"] = [find(i) for i in out["id"]]
-    out["id"] = out["id"].astype("int64")
-    out["group"] = out["group"].astype("int64")
+    ids = pd.unique(pd.concat([df["id_a"], df["id_b"]], ignore_index=True))
+    out = pd.DataFrame({"id": np.sort(ids.astype(np.int64))})
+    out["group"] = np.asarray([find(int(i)) for i in out["id"]], dtype=np.int64)
     return out
+
+
+def near_dup_labels_ds(pairs: rd.Dataset,
+                       *, fan_in: tuple[int, ...] = (16, 1)) -> rd.Dataset:
+    """Distributed connected components via TREE FOREST MERGE, fully lazy
+    and Dataset-out: every input edge block first collapses to its spanning
+    forest (union-find combiner — ≤ distinct-nodes-1 edges survive per
+    block), then a fixed repartition schedule (``fan_in``) merges forests
+    tree-wise until one block holds a spanning forest of the whole
+    candidate graph; the final task labels it with one union-find pass and
+    emits ``(id, group)`` ROWS — the driver never sees an edge or a label.
+    No joins, no unions, no convergence aggregate (an earlier per-iteration
+    join/union implementation tripped a Ray 2.49 core ReferenceCounter bug
+    and executor deadlocks), and no per-round parquet spill (the r03
+    version spilled every halving round — at sf0.1 that was the dominant
+    cost of the survivors pipeline).
+
+    Scale bound: the last merge task holds ONE spanning forest —
+    O(#distinct ids in any pair) edges, not O(pairs); intermediate tasks
+    hold ≤ fan-in forests.  For web corpora that are 30-50 % near-dup the
+    node set is O(corpus), so this stays the one place a single task sees
+    O(corpus/constant) rows — widen ``fan_in`` (more levels) to push the
+    per-task bound down; labels themselves stream out as a Dataset."""
+    ds = pairs.map_batches(
+        lambda df: _spanning_forest_batch(df[["id_a", "id_b"]].astype("int64")),
+        batch_format="pandas")
+    for nb in fan_in:
+        ds = ds.repartition(nb).map_batches(
+            _spanning_forest_batch, batch_size=None, batch_format="pandas")
+    return ds.map_batches(_forest_labels_batch, batch_size=None,
+                          batch_format="pandas")
+
+
+def near_dup_groups_ray(pairs: rd.Dataset) -> pd.DataFrame:
+    """Thin pandas wrapper over :func:`near_dup_labels_ds` — same output as
+    :func:`near_dup_groups` (id-sorted labels)."""
+    out = near_dup_labels_ds(pairs).to_pandas()
+    return out.sort_values("id", ignore_index=True)
 
 
 
@@ -713,20 +938,31 @@ def dedup_survivors(all_ids: pd.Series, pairs: pd.DataFrame,
     return all_ids[~all_ids.isin(losers)].reset_index(drop=True)
 
 
-def dedup_survivors_ds(docs: rd.Dataset, pairs: pd.DataFrame, id_col: str,
-                       *, distributed_cc: bool = False,
+def dedup_survivors_ds(docs: rd.Dataset, pairs: rd.Dataset | pd.DataFrame,
+                       id_col: str, *, distributed_cc: bool = False,
                        distributed_threshold: int = 200_000) -> rd.Dataset:
     """Fully distributed survivor selection: the corpus flows through a
     hash-partitioned ANTI-JOIN against the loser set — the driver never
-    reads the id column of the base table (the last r02 driver-side corpus
-    touch).  Only the LOSER ids (bounded by the candidate-pair graph, which
-    LSH keeps far below corpus size) ever exist driver-side, as the output
-    of the connected-components pass.
+    reads the id column of the base table.
 
-    ``distributed_cc=True`` forces components through the log-depth
-    spanning-forest merge (:func:`near_dup_groups_ray`) even for small pair
-    sets — used by the driver query so the distributed CC path is gated by
-    the correctness oracle, not just pytest."""
+    Pass ``pairs`` as a DATASET (e.g. :func:`minhash_near_dup_pairs_ds`)
+    and the whole chain — pairs → connected-component labels → losers →
+    anti-join — stays distributed end-to-end: the driver never holds a
+    pair, a forest edge, or a label, so a 30-50 % near-duplicate web corpus
+    (candidate graph O(corpus)) cannot blow the driver heap.  A pandas
+    ``pairs`` frame is still accepted for small interactive use
+    (``distributed_cc=True`` forces even those through the distributed CC
+    so the oracle gates that path)."""
+    from .relational import hash_semi_join
+
+    if isinstance(pairs, rd.Dataset):
+        labels = near_dup_labels_ds(pairs)
+        losers_ds = labels.map_batches(
+            lambda df: df.loc[df["id"] != df["group"], ["id"]].rename(
+                columns={"id": id_col}),
+            batch_format="pandas")
+        return hash_semi_join(docs, losers_ds, on=[id_col], anti=True)
+
     if len(pairs) and (distributed_cc or len(pairs) > distributed_threshold):
         groups = near_dup_groups_ray(rd.from_pandas(pairs))
     else:
@@ -735,7 +971,5 @@ def dedup_survivors_ds(docs: rd.Dataset, pairs: pd.DataFrame, id_col: str,
         columns={"id": id_col})
     if losers.empty:
         return docs
-    from .relational import hash_semi_join
-
     return hash_semi_join(docs, rd.from_pandas(losers.reset_index(drop=True)),
                           on=[id_col], anti=True)

@@ -214,7 +214,7 @@ def knn_lsh_partitioned(
     return knn_brute(sub, query_vecs, k, id_col=id_col, vec_col=vec_col), stats
 
 
-def cosine_near_dup_pairs(
+def cosine_near_dup_pairs_ds(
     ds: rd.Dataset,
     threshold: float,
     *,
@@ -224,7 +224,7 @@ def cosine_near_dup_pairs(
     seed: int = 13,
     max_bucket: int = 4096,
     tile: int = 2048,
-) -> pd.DataFrame:
+) -> rd.Dataset:
     """Embedding near-dup pairs (cos ≥ threshold): LSH-band rows into
     hyperplane buckets, exact cosine verify within each bucket, union over a
     few plane seeds to recover pairs split by one plane.  Returns
@@ -303,8 +303,27 @@ def cosine_near_dup_pairs(
             groupby_buckets(bucketed, ["bucket"], verify_block),
             f"cospairs{rep}"))
     unioned = rep_pairs[0].union(*rep_pairs[1:])
-    out = distinct(unioned, ["id_a", "id_b", "cos"]).to_pandas()
-    out = out.drop_duplicates(subset=["id_a", "id_b"])
+    # cos is deterministic per pair (rounded from the same vectors), so the
+    # 3-column distinct IS a full pair dedup — no driver collection needed
+    return distinct(unioned, ["id_a", "id_b", "cos"])
+
+
+def cosine_near_dup_pairs(
+    ds: rd.Dataset,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    seed: int = 13,
+    max_bucket: int = 4096,
+    tile: int = 2048,
+) -> pd.DataFrame:
+    """Thin pandas wrapper over :func:`cosine_near_dup_pairs_ds` (small
+    result collection for oracle queries)."""
+    out = cosine_near_dup_pairs_ds(
+        ds, threshold, id_col=id_col, vec_col=vec_col, n_planes=n_planes,
+        seed=seed, max_bucket=max_bucket, tile=tile).to_pandas()
     return out.sort_values(["id_a", "id_b"], kind="mergesort").reset_index(drop=True)
 
 

@@ -185,3 +185,37 @@ def keyed_overwrite(base: rd.Dataset, updates: rd.Dataset, key: str) -> rd.Datas
         return df.drop_duplicates(subset=key, keep="last").drop(columns="__v")
 
     return groupby_buckets(b.union(u), [key], winner)
+
+
+def cap_payload_rows(ds: rd.Dataset, payload_col: str, *,
+                     max_bytes: int, error_col: str = "error") -> rd.Dataset:
+    """Oversized-payload triage: rows whose ``payload_col`` exceeds
+    ``max_bytes`` (UTF-8 bytes for strings, raw length for binary) KEEP
+    their identity/metadata columns but have the payload DROPPED (nulled)
+    and ``error_col`` set to ``"payload_too_large"``; in-budget rows pass
+    through with ``error_col`` null.
+
+    Reference semantics: the Mongo writer catches ``DocumentTooLarge``,
+    deletes ``Paper_Content`` from the record, and stores it with an error
+    note instead of failing the job
+    (``Borges/spiders/Elsevier/paper_xml.py:109-120``).  At web scale this
+    is what keeps one pathological multi-GB page from inflating a block: the
+    byte cap runs inside the same ``map_batches`` pass that first touches
+    the payload, so over-cap bytes never survive past their first block.
+
+    Adds ``n_payload_bytes`` (size BEFORE the drop) so metrics and the
+    missed/error sink can account for what was discarded."""
+
+    def cap(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        vals = out[payload_col]
+        sizes = [0 if v is None or (isinstance(v, float) and pd.isna(v))
+                 else len(v.encode("utf-8")) if isinstance(v, str) else len(v)
+                 for v in vals]
+        over = [s > max_bytes for s in sizes]
+        out["n_payload_bytes"] = pd.Series(sizes, index=out.index, dtype="int64")
+        out[payload_col] = [None if o else v for o, v in zip(over, vals)]
+        out[error_col] = ["payload_too_large" if o else None for o in over]
+        return out
+
+    return ds.map_batches(cap, batch_format="pandas")

@@ -40,11 +40,34 @@ TABLES = (
 ).split()
 
 
+def _auto_num_blocks(paths: list[str], *, target_bytes: int = 16 << 20,
+                     rows_per_block: int = 200, max_row_blocks: int = 64) -> int:
+    """Block count from parquet METADATA (driver-side, no data read):
+    ``max(bytes/16MB, min(64, rows/200))``.  At 100 TB the bytes term
+    dominates and scales linearly; at sandbox scale the rows term gives
+    compute-heavy per-row kernels enough parallelism WITHOUT Ray's default
+    num_cpus×2 split, which shreds a 500-row table into 64 seven-row blocks
+    and makes long operator chains pay ~1000 micro-task overheads (the
+    dominant cost of the r03 near-dup pipelines)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    total_bytes = sum(os.path.getsize(p) for p in paths)
+    total_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    return max(1, math.ceil(total_bytes / target_bytes),
+               min(max_row_blocks, math.ceil(total_rows / rows_per_block)))
+
+
 def load(sf_dir: str, table: str, columns: list[str] | None = None, **kw) -> rd.Dataset:
     """Column-pruned Parquet scan (S1/S6/S16 analogue). Always pass
     ``columns`` in pipelines — a read that loads all columns for a 2-column
-    transform ships 100 TB where it should ship 2."""
+    transform ships 100 TB where it should ship 2.  Block count defaults to
+    the metadata-driven :func:`_auto_num_blocks` (callers can still pass
+    ``override_num_blocks`` explicitly)."""
     path = os.path.join(sf_dir, f"{table}.parquet")
+    if "override_num_blocks" not in kw:
+        kw["override_num_blocks"] = _auto_num_blocks([path])
     return rd.read_parquet(path, columns=columns, **kw)
 
 
@@ -70,10 +93,13 @@ def _spill_point_n(ds: rd.Dataset, tag: str = "spill") -> tuple[rd.Dataset, int]
 
     d = tempfile.mkdtemp(prefix=f"borges_{tag}_")
     ds.write_parquet(d)
-    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
     if not files:
         return ds, 1  # empty dataset: nothing written — reuse the cheap plan
-    return rd.read_parquet(d), len(files)
+    # coalesce: a spill written from N tiny blocks must not come back as N
+    # tiny read tasks (intermediates are usually cheap key-only maps)
+    nb = _auto_num_blocks(files, target_bytes=4 << 20)
+    return rd.read_parquet(files, override_num_blocks=nb), nb
 
 
 def filter_batches(ds: rd.Dataset, pred: Callable[[pa.Table], pa.ChunkedArray | pa.Array]) -> rd.Dataset:

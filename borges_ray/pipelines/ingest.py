@@ -29,21 +29,35 @@ import ray.data as rd
 
 class PageFeaturizer:
     """Extract + featurize one batch of raw pages.  Per-actor state: the
-    MinHash permutation bank and compiled regexes (built once)."""
+    MinHash permutation bank and compiled regexes (built once).
 
-    def __init__(self, num_perm: int = 128, shingle_k: int = 3):
+    ``max_payload_bytes`` (None = no cap) applies the reference's
+    DocumentTooLarge triage (``Borges/spiders/Elsevier/paper_xml.py:109-120``)
+    at the FIRST touch of the payload: an over-cap page is never extracted —
+    its row keeps url + byte count, gets ``error="payload_too_large"``, and
+    carries empty text/features, so one pathological multi-GB page can't
+    inflate a downstream block."""
+
+    def __init__(self, num_perm: int = 128, shingle_k: int = 3,
+                 max_payload_bytes: int | None = None):
         from ..ops.dedup import MinHasher
         from ..ops.textops import QualityScorer
 
         self.minhash = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
         self.quality = QualityScorer()
+        self.max_payload_bytes = max_payload_bytes
 
     def __call__(self, t: pa.Table) -> pa.Table:
         from ..extract import extract_text, tag_lang_batch
         from ..ops.textops import fingerprint_batch, token_count_batch
 
         urls = t["url"].to_pylist()
-        texts = [extract_text(h) for h in t["html"].to_pylist()]
+        htmls = t["html"].to_pylist()
+        sizes = [0 if h is None else len(h) for h in htmls]
+        cap = self.max_payload_bytes
+        over = [cap is not None and s > cap for s in sizes]
+        texts = ["" if o else extract_text(h) for o, h in zip(over, htmls)]
+        errors = ["payload_too_large" if o else None for o in over]
         langs = tag_lang_batch(texts)
         s = pd.Series(texts)
         ws, bpe = token_count_batch(s)
@@ -62,14 +76,16 @@ class PageFeaturizer:
                 "stopword_ratio": pa.array(q["stopword_ratio"].to_numpy(), pa.float64()),
                 "mean_word_len": pa.array(q["mean_word_len"].to_numpy(), pa.float64()),
                 "minhash_sig": pa.array(sigs, pa.binary()),
+                "n_html_bytes": pa.array(sizes, pa.int64()),
+                "error": pa.array(errors, pa.string()),
             }
         )
 
 
-_WORKER_PF: PageFeaturizer | None = None
+_WORKER_PF: dict = {}
 
 
-def _featurize_batch(t: pa.Table) -> pa.Table:
+def _featurize_batch(t: pa.Table, max_payload_bytes: int | None = None) -> pa.Table:
     """Task-pool featurize with per-worker-process cached state.
 
     NOT an actor pool on purpose: a fixed actor pool with ``num_cpus=1``
@@ -80,10 +96,11 @@ def _featurize_batch(t: pa.Table) -> pa.Table:
     fully elastic task scheduling.  Reserve real actor pools for expensive
     state (models, sessions) and size them below the node's CPU count.
     """
-    global _WORKER_PF
-    if _WORKER_PF is None:
-        _WORKER_PF = PageFeaturizer()
-    return _WORKER_PF(t)
+    pf = _WORKER_PF.get(max_payload_bytes)
+    if pf is None:
+        pf = _WORKER_PF[max_payload_bytes] = PageFeaturizer(
+            max_payload_bytes=max_payload_bytes)
+    return pf(t)
 
 
 def bulk_ingest(
@@ -93,12 +110,20 @@ def bulk_ingest(
     dedup: bool = True,
     num_cpus_hint: int | None = None,
     batch_size: int = 512,
+    max_payload_bytes: int | None = None,
 ) -> dict:
     """Run the ingest pipeline end-to-end; returns counts.
 
     ``pages_path`` — parquet file/dir with (url, html).  Only those two
     columns are read (prune at the read).
+
+    With ``max_payload_bytes`` set, over-cap pages degrade to ERROR ROWS
+    (url + byte count + ``error="payload_too_large"``, payload dropped at
+    first touch — reference ``Elsevier/paper_xml.py:109-120``): they are
+    written to ``out_dir/missed`` and excluded from the dedup keys, never
+    entering the text pipeline.
     """
+    import functools
     import os
 
     # Parallelism note: Ray coalesces small Parquet files into ~128 MB
@@ -110,7 +135,7 @@ def bulk_ingest(
     ds = rd.read_parquet(pages_path, columns=["url", "html"],
                          override_num_blocks=n_blocks)
     feats = ds.map_batches(
-        _featurize_batch,
+        functools.partial(_featurize_batch, max_payload_bytes=max_payload_bytes),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
@@ -120,15 +145,30 @@ def bulk_ingest(
     import pyarrow.dataset as pads
 
     n_feat = pads.dataset(feat_dir, format="parquet").count_rows()
+    n_missed = 0
+    if max_payload_bytes is not None:
+        # missed/error sink: metadata-only re-read (3 small columns), error
+        # rows only — the payload bytes were already dropped at featurize
+        missed = rd.read_parquet(feat_dir,
+                                 columns=["url", "n_html_bytes", "error"])
+        missed = missed.map_batches(
+            lambda df: df[df["error"].notna()], batch_format="pandas")
+        missed_dir = os.path.join(out_dir, "missed")
+        missed.write_parquet(missed_dir)
+        n_missed = pads.dataset(missed_dir, format="parquet").count_rows()
+        n_feat -= n_missed
     if not dedup:
-        return {"rows_out": n_feat}
+        return {"rows_out": n_feat, "rows_missed": n_missed}
 
     # Exact dedup as a KEYS-ONLY shuffle: re-read just (url, fingerprint) —
     # 16 bytes/row off the column-pruned Parquet — winner per fingerprint
     # bucket, survivors manifest written next to the features.  The payload
     # (text, signatures) never moves through the shuffle; consumers
     # semi-join features against the manifest per partition.
-    keys = rd.read_parquet(feat_dir, columns=["url", "fingerprint"])
+    keys = rd.read_parquet(feat_dir, columns=["url", "fingerprint", "error"])
+    keys = keys.map_batches(
+        lambda df: df.loc[df["error"].isna(), ["url", "fingerprint"]],
+        batch_format="pandas")
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
@@ -147,7 +187,8 @@ def bulk_ingest(
     surv_dir = os.path.join(out_dir, "survivors")
     survivors.write_parquet(surv_dir)
     n_out = pads.dataset(surv_dir, format="parquet").count_rows()
-    return {"rows_out": n_out, "rows_featurized": n_feat}
+    return {"rows_out": n_out, "rows_featurized": n_feat,
+            "rows_missed": n_missed}
 
 
 def bulk_ingest_resumable(
@@ -158,6 +199,7 @@ def bulk_ingest_resumable(
     num_shards: int = 8,
     num_cpus_hint: int | None = None,
     batch_size: int = 512,
+    max_payload_bytes: int | None = None,
 ) -> dict:
     """Shard-resumable variant of :func:`bulk_ingest`: input files are
     deterministically grouped into ``num_shards`` shards, each featurized
@@ -197,8 +239,13 @@ def bulk_ingest_resumable(
         shard_files = files[k::num_shards]
         ds = rd.read_parquet(shard_files, columns=["url", "html"],
                              override_num_blocks=n_blocks)
-        ds.map_batches(_featurize_batch, batch_format="pyarrow",
-                       batch_size=batch_size).write_parquet(shard_dir)
+        import functools
+
+        ds.map_batches(
+            functools.partial(_featurize_batch,
+                              max_payload_bytes=max_payload_bytes),
+            batch_format="pyarrow",
+            batch_size=batch_size).write_parquet(shard_dir)
         with open(marker, "w") as fp:
             fp.write("ok")
 
@@ -214,7 +261,10 @@ def bulk_ingest_resumable(
         for d in shard_dirs
         for dp, _dn, fs in os.walk(d)
         for f in fs if f.endswith(".parquet"))
-    keys = rd.read_parquet(shard_files, columns=["url", "fingerprint"])
+    keys = rd.read_parquet(shard_files, columns=["url", "fingerprint", "error"])
+    keys = keys.map_batches(
+        lambda df: df.loc[df["error"].isna(), ["url", "fingerprint"]],
+        batch_format="pandas")
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()

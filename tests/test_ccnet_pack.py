@@ -326,6 +326,48 @@ def test_bulk_ingest_resumable_skips_sealed_shards(ray_session, tmp_path):
     assert os.path.getmtime(os.path.join(out, "features", "shard=1")) == mtime_before
 
 
+def test_bulk_ingest_oversized_payload_error_rows(ray_session, tmp_path):
+    """DocumentTooLarge semantics (reference Elsevier/paper_xml.py:109-120):
+    an over-cap page degrades to an error row — url + byte count kept,
+    payload dropped at first touch, routed to the missed sink and excluded
+    from dedup — and the oversized bytes never inflate any output block."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from borges_ray.pipelines.ingest import bulk_ingest
+
+    from borges_ray.synth import synth_pages
+
+    big = ("<html><body><div class='article'>" + "xyzzy " * 400_000 +
+           "</div></body></html>").encode()          # ~2.4 MB page
+    good = synth_pages(7, 20).to_pandas()[["url", "html"]]
+    n_good_distinct = 20 - 0  # synth pages are distinct texts by seed
+    pages = pd.concat(
+        [good, pd.DataFrame({"url": ["http://h.com/huge"], "html": [big]})],
+        ignore_index=True)
+    src = tmp_path / "pages"
+    src.mkdir()
+    pages.to_parquet(src / "p0.parquet")
+
+    out = str(tmp_path / "out")
+    res = bulk_ingest(str(src), out, max_payload_bytes=1 << 20)
+    assert res["rows_missed"] == 1
+    assert res["rows_out"] == n_good_distinct        # huge page not deduped in
+
+    missed = pads.dataset(os.path.join(out, "missed"), format="parquet").to_table().to_pandas()
+    assert missed.url.tolist() == ["http://h.com/huge"]
+    assert missed.error.tolist() == ["payload_too_large"]
+    assert int(missed.n_html_bytes.iloc[0]) == len(big)
+
+    # block-size bound: the oversized payload must NOT survive into the
+    # features parquet — total output stays far below the input page size
+    feat_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dn, fs in os.walk(os.path.join(out, "features")) for f in fs)
+    assert feat_bytes < len(big) // 4, feat_bytes
+
+
 def test_ledger_upsert_incremental(ray_session, tmp_path):
     """Cross-run insert-if-absent: run 2 admits only keys unseen by run 1,
     run 3 with nothing new admits nothing; the ledger accumulates exactly

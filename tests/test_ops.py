@@ -314,6 +314,50 @@ def test_near_dup_groups_ray_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
 
 
+def test_half_near_dup_corpus_dataset_end_to_end(ray_session):
+    """The regime where "candidates ≪ corpus" FAILS: 50 % of the corpus is
+    near-duplicate (every even doc has an odd near-twin), so the candidate
+    graph's node set is O(corpus).  The whole chain — pairs → CC labels →
+    survivors — runs as Datasets end-to-end (no pandas pair/forest transit)
+    and must keep exactly the even (min-id) twin of every pair plus nothing
+    else removed."""
+    import ray.data as rd
+
+    from borges_ray.ops.dedup import (
+        dedup_survivors_ds,
+        minhash_near_dup_pairs_ds,
+        near_dup_labels_ds,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(500)]
+    texts, ids = [], []
+    for i in range(0, 400, 2):
+        words = [vocab[j] for j in rng.integers(0, len(vocab), 40)]
+        texts.append(" ".join(words)); ids.append(i)
+        twin = list(words); twin[7] = "PERTURBED"   # ~0.75 Jaccard twin
+        texts.append(" ".join(twin)); ids.append(i + 1)
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    ds = rd.from_pandas(df).repartition(8)
+
+    pairs_ds = minhash_near_dup_pairs_ds(ds, "doc_id", threshold=0.5)
+    assert isinstance(pairs_ds, rd.Dataset)
+    labels = near_dup_labels_ds(pairs_ds).to_pandas()
+    # every even doc is its twin's group root
+    lab = dict(zip(labels["id"], labels["group"]))
+    for i in range(0, 400, 2):
+        assert lab.get(i + 1) == i, (i, lab.get(i + 1))
+
+    pairs_ds2 = minhash_near_dup_pairs_ds(ds, "doc_id", threshold=0.5)
+    surv = dedup_survivors_ds(
+        rd.from_pandas(df[["doc_id"]]).repartition(8), pairs_ds2, "doc_id"
+    ).to_pandas()
+    kept = set(surv["doc_id"])
+    # exactly the 200 even docs survive (plus any odd doc that happened to
+    # form no pair — none by construction at threshold 0.5)
+    assert kept == set(range(0, 400, 2)), len(kept)
+
+
 def test_near_dup_groups_empty():
     import pandas as pd
 
