@@ -11,6 +11,7 @@ here (nor in borges_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -837,21 +838,68 @@ def _q_recrawl_overwrite(sf_dir: str):
     return keyed_overwrite(base, upd, "doc_id")
 
 
+_CRAWL_Q_SEED, _CRAWL_Q_PAGES, _CRAWL_Q_ROUNDS = 42, 600, 4
+
+
+def _crawl_oracle_parquet() -> str:
+    """Expected crawled table of the single-process REFERENCE ORACLE
+    (``reference_crawl.crawl`` — Borges semantics: per-host FIFO with
+    politeness clocks, insert-if-absent dedup, robots gating) on the same
+    deterministic synthetic web the ``crawl_pipeline`` query runs the Ray
+    engine on.  Written once to a fixed /tmp parquet so the DuckDB oracle
+    can SQL-compare the full table (rows + schema + values) — this converts
+    the crawl from a rows-only check to the same gate every other query
+    has.  Deterministic: same seed → same bytes."""
+    import tempfile
+
+    import reference_crawl as rc
+    from borges_ray.synth import synth_pages, synth_robots, synth_seeds
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"borges_crawl_expected_{_CRAWL_Q_SEED}_{_CRAWL_Q_PAGES}_r{_CRAWL_Q_ROUNDS}.parquet")
+    if os.path.exists(path):
+        return path
+    pages = synth_pages(_CRAWL_Q_SEED, _CRAWL_Q_PAGES)
+    seeds = synth_seeds(_CRAWL_Q_SEED, _CRAWL_Q_PAGES)
+    robots = synth_robots(_CRAWL_Q_SEED, _CRAWL_Q_PAGES)
+    pages_map = dict(zip(pages["url"].to_pylist(), pages["html"].to_pylist()))
+    seed_list = list(zip(seeds["url"].to_pylist(), seeds["priority"].to_pylist()))
+    robots_map = {r["host"]: {"disallow_prefixes": r["disallow_prefixes"],
+                              "crawl_delay_ms": r["crawl_delay_ms"]}
+                  for r in robots.to_pylist()}
+    res = rc.crawl(pages_map, seed_list, robots_map,
+                   rc.CrawlConfig(max_rounds=_CRAWL_Q_ROUNDS, num_partitions=8))
+    from borges_ray import schemas
+
+    cols = [f.name for f in schemas.CRAWLED]
+    exp = pd.DataFrame(res.crawled)[cols]
+    tmp_path = path + ".tmp"
+    exp.to_parquet(tmp_path, index=False)
+    os.replace(tmp_path, path)
+    return path
+
+
 def _q_crawl_pipeline(sf_dir: str):
-    """The full crawl engine on a small synthetic web (rows-only; full
-    conformance vs the oracle is pytest-gated)."""
+    """The full crawl engine on a small synthetic web, oracle-checked
+    against the single-process reference crawl's expected table (see
+    :func:`_crawl_oracle_parquet`); the multiweb/resume/politeness corners
+    stay pytest-gated in tests/test_conformance.py."""
     import tempfile
 
     from borges_ray.pipelines.crawl import EngineConfig, collect_crawled, run_crawl
     from borges_ray.stages.fetch import write_pages_bucketed
     from borges_ray.synth import synth_pages, synth_robots, synth_seeds
 
-    n = 600
+    n = _CRAWL_Q_PAGES
+    _crawl_oracle_parquet()  # ensure the oracle side exists for the driver
     tmp = tempfile.mkdtemp(prefix="borges_q_")
-    pages = synth_pages(42, n)
+    pages = synth_pages(_CRAWL_Q_SEED, n)
     write_pages_bucketed(pages.select(["url", "html"]), f"{tmp}/pages", 4)
-    cfg = EngineConfig(max_rounds=4, num_partitions=8, num_buckets=4, num_seen_shards=2)
-    run_crawl(f"{tmp}/pages", synth_seeds(42, n), synth_robots(42, n).to_pandas(),
+    cfg = EngineConfig(max_rounds=_CRAWL_Q_ROUNDS, num_partitions=8,
+                       num_buckets=4, num_seen_shards=2)
+    run_crawl(f"{tmp}/pages", synth_seeds(_CRAWL_Q_SEED, n),
+              synth_robots(_CRAWL_Q_SEED, n).to_pandas(),
               cfg, f"{tmp}/ckpt", resume=False)
     return collect_crawled(f"{tmp}/ckpt")
 
@@ -1653,6 +1701,11 @@ def _oracle_cosine_lsh(threshold: float = 0.38) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # expected table precomputed by the single-process reference oracle
+        # (reference_crawl.py) on the same deterministic synthetic web; the
+        # SQL reads it so the driver gates rows+schema+hash like any query
+        "crawl_pipeline": (
+            f"SELECT * FROM read_parquet('{_crawl_oracle_parquet()}')"),
         "simhash_signatures": _ORACLE_SIMHASH_SIGS,
         "simhash_neardup": _ORACLE_SIMHASH_NEARDUP,
         "cosine_neardup_lsh": _oracle_cosine_lsh(),

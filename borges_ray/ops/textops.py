@@ -204,29 +204,43 @@ def tfidf_top_terms(ds: rd.Dataset, *, group_col: str = "lang",
     (token, df) partials before the two keys-only count shuffles; the
     tf×df join is a distributed hash join on token; top-k per group uses
     the combiner-bounded :func:`~borges_ray.ops.relational.topk_per_group`.
-    The driver sees only the corpus row COUNT."""
-    from .relational import grouped_agg, hash_join, topk_per_group
+    The corpus doc count N is FOLDED into the df aggregate (one sentinel
+    row per batch under the token ``" "``, which whitespace splitting can
+    never produce) — no separate corpus count pass; the driver reads N back
+    as one row off the already-spilled df table."""
+    from .relational import grouped_agg, hash_join, spill_point, topk_per_group
 
-    n_docs = ds.count()
+    _SENT = " "  # impossible token: split() never yields whitespace
 
     def tok_tf(df: pd.DataFrame) -> pd.DataFrame:
         rows = df[[group_col, id_col]].copy()
         rows["token"] = df[text_col].fillna("").str.split()
         ex = rows.explode("token", ignore_index=True).dropna(subset=["token"])
         g = ex.groupby([group_col, id_col, "token"], sort=False).size()
-        return g.rename("tf").reset_index()
+        out = g.rename("tf").reset_index()
+        out["one"] = np.int64(1)
+        sent = pd.DataFrame({group_col: [None], id_col: [-1],
+                             "token": [_SENT], "tf": [np.int64(0)],
+                             "one": [np.int64(len(df))]})
+        return pd.concat([out, sent], ignore_index=True)
 
     per_doc = ds.map_batches(tok_tf, batch_format="pandas")
 
     tf_group = grouped_agg(per_doc.select_columns([group_col, "token", "tf"]),
                            [group_col, "token"], {"tf_sum": ("sum", "tf")})
-    dfreq = grouped_agg(per_doc.select_columns(["token"]),
-                        ["token"], {"df": ("count", "token")})
+    # df per token is the number of (doc, token) rows = sum of `one`; the
+    # sentinel's sum is the corpus doc count N
+    dfreq = spill_point(
+        grouped_agg(per_doc.select_columns(["token", "one"]),
+                    ["token"], {"df": ("sum", "one")}), "tfidf_df")
+    n_docs = int(dfreq.map_batches(
+        lambda df: df[df["token"] == _SENT], batch_format="pandas"
+    ).to_pandas()["df"].sum())
 
     scored = hash_join(tf_group, dfreq, on=["token"])
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
+        out = df[df["token"] != _SENT].copy()
         out["score"] = np.round(
             out["tf_sum"].to_numpy(dtype=np.float64)
             * np.log(float(n_docs) / out["df"].to_numpy(dtype=np.float64)), 6)

@@ -108,3 +108,90 @@ def ledger_key_count(ledger_dir: str) -> int:
     import pyarrow.dataset as pads
 
     return pads.dataset(files, format="parquet").count_rows()
+
+
+def _ledger_max_period(ledger_dir: str, period_col: str):
+    """Max committed period across the ledger's key files (column-pruned
+    scan of the period column only)."""
+    files = _key_files(ledger_dir)
+    if not files:
+        return None
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    col = pads.dataset(files, format="parquet").to_table(columns=[period_col])
+    if col.num_rows == 0:
+        return None
+    return pc.max(col[period_col]).as_py()
+
+
+def ledger_upsert_periods(ds: rd.Dataset, ledger_dir: str, key_col: str,
+                          period_col: str, *, num_shards: int = 16) -> rd.Dataset:
+    """Period-aware insert-if-absent with CURRENT-PERIOD REFRESH — the
+    reference's resume policy: a finished year is skipped on re-index, but
+    the year that was IN PROGRESS when the previous run stopped is always
+    re-selected, because its data may have been incomplete at index time
+    (``Borges/spiders/Elsevier/paper_index.py:157-160`` skips only years
+    recorded as complete; ``:256-266`` re-stamps the current year's entry
+    on every pass).
+
+    Returns the rows a resumed run must (re-)process: keys absent from the
+    ledger entirely, PLUS every key of the ledger's max (in-progress)
+    period.  Ledger appends stay insert-if-absent (a refreshed key is not
+    double-recorded); merge the returned rows over the previous run's
+    output with :func:`~borges_ray.ops.records.keyed_overwrite` so
+    re-fetched current-period rows replace their stale versions.
+
+    Scale shape: both membership tests are the same keys-only distributed
+    anti/semi joins as :func:`ledger_upsert`; the driver reads only the max
+    period scalar."""
+    from ..ops.relational import distinct, hash_semi_join, spill_point
+
+    os.makedirs(ledger_dir, exist_ok=True)
+    existing = _key_files(ledger_dir)
+    if not existing:
+        novel = spill_point(ds, "ledger_novel")
+        to_process = novel
+    else:
+        cur = _ledger_max_period(ledger_dir, period_col)
+        ledger_keys = rd.read_parquet(existing, columns=[key_col, period_col])
+        # completed-period keys filter admission; the current period's keys
+        # do NOT (they are re-admitted for refresh)
+        done_keys = ledger_keys.map_batches(
+            lambda df: df.loc[df[period_col] != cur, [key_col]],
+            batch_format="pandas")
+        to_process = spill_point(
+            hash_semi_join(ds, done_keys, on=[key_col], anti=True),
+            "ledger_refresh")
+        # append only keys absent from the ledger ENTIRELY
+        all_keys = rd.read_parquet(existing, columns=[key_col])
+        novel = spill_point(
+            hash_semi_join(to_process, all_keys, on=[key_col], anti=True),
+            "ledger_novel")
+
+    run_id = _next_run_id(ledger_dir)
+
+    def append_keys(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"shard": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        keys = df[[key_col, period_col]]
+        shard = (pd.util.hash_pandas_object(keys[key_col].astype(str), index=False)
+                 .to_numpy() % num_shards)
+        out = []
+        for s in sorted(set(shard)):
+            sdir = os.path.join(ledger_dir, f"shard={int(s)}")
+            os.makedirs(sdir, exist_ok=True)
+            part = keys[shard == s]
+            path = os.path.join(sdir, f"run-{run_id}-{os.getpid()}.parquet")
+            if os.path.exists(path):
+                path = os.path.join(
+                    sdir, f"run-{run_id}-{os.getpid()}-{len(os.listdir(sdir))}.parquet")
+            part.to_parquet(path, index=False)
+            out.append({"shard": int(s), "n": len(part)})
+        return pd.DataFrame(out)
+
+    novel_keys = distinct(novel.select_columns([key_col, period_col]),
+                          [key_col, period_col])
+    novel_keys.map_batches(append_keys, batch_format="pandas").materialize()
+    return to_process

@@ -430,6 +430,56 @@ def test_warc_same_first_url_blocks_and_rerun(ray_session, tmp_path):
     assert sorted(back2.payload.tolist()) == [b"p1", b"p2", b"p3", b"p4"]
 
 
+def test_ledger_current_period_refresh_on_resume(ray_session, tmp_path):
+    """The reference re-selects the in-progress year on resume
+    (Elsevier/paper_index.py:157-160,256-266): run 1 is interrupted midway
+    through period 2002 (and its early-2002 rows carried STALE payloads);
+    run 2 must re-process ALL of 2002 (not just the unseen keys), skip the
+    completed 2001, and after keyed_overwrite the final table equals the
+    uninterrupted run."""
+    from borges_ray.ops.records import keyed_overwrite
+    from borges_ray.state.ledger import ledger_upsert_periods
+
+    def rows(keys, period, payload_tag):
+        return pd.DataFrame({
+            "doi": [f"10.1/{period}.{k}" for k in keys],
+            "year": np.int64(period),
+            "content": [f"{payload_tag}-{period}-{k}" for k in keys]})
+
+    # ground truth: what an uninterrupted run over the final corpus yields
+    full = pd.concat([rows(range(10), 2001, "final"),
+                      rows(range(8), 2002, "final"),
+                      rows(range(5), 2003, "final")], ignore_index=True)
+
+    ldir = str(tmp_path / "ledger")
+    # run 1: all of 2001 + first 4 keys of 2002, whose payloads were stale
+    run1_in = pd.concat([rows(range(10), 2001, "final"),
+                         rows(range(4), 2002, "stale")], ignore_index=True)
+    out1 = ledger_upsert_periods(rd.from_pandas(run1_in).repartition(3),
+                                 ldir, "doi", "year").to_pandas()
+    assert len(out1) == 14
+
+    # run 2 (resume): the full final corpus arrives
+    out2 = ledger_upsert_periods(rd.from_pandas(full).repartition(4),
+                                 ldir, "doi", "year")
+    got2 = out2.to_pandas()
+    # 2001 is complete → skipped; ALL 8 of 2002 re-selected; 2003 new
+    assert set(got2.year) == {2002, 2003}
+    assert len(got2[got2.year == 2002]) == 8
+    assert len(got2[got2.year == 2003]) == 5
+
+    merged = keyed_overwrite(
+        rd.from_pandas(out1), rd.from_pandas(got2), "doi").to_pandas()
+    want = full.sort_values("doi", ignore_index=True)
+    got = merged.sort_values("doi", ignore_index=True)[want.columns.tolist()]
+    pd.testing.assert_frame_equal(got, want)
+
+    # run 3 with nothing new beyond 2003 (now current): only 2003 refreshes
+    out3 = ledger_upsert_periods(rd.from_pandas(full).repartition(2),
+                                 ldir, "doi", "year").to_pandas()
+    assert set(out3.year) == {2003} and len(out3) == 5
+
+
 def test_hll_accuracy_and_merge_invariance(ray_session):
     """HLL estimate within the expected ~1.04/√m relative error band for
     known cardinalities, identical across partitionings (max-merge)."""
