@@ -117,6 +117,65 @@ def _write_ds_into(final_dir: str, ds_or_table, tag: str) -> None:
     shutil.rmtree(tmp)
 
 
+def _atomic_write_table(dir_: str, name: str, table: pa.Table) -> None:
+    """Task-side atomic parquet write: tmp file + rename (same dir)."""
+    tmp = os.path.join(dir_, f".__tmp.{name}.{os.getpid()}")
+    pq.write_table(table, tmp)
+    os.replace(tmp, os.path.join(dir_, name))
+
+
+def _make_split_emit(rnd: int, frontier_dir: str, seen_dir: str,
+                     crawled_dir: str):
+    """Per-block split emitter for the gated new-link rows: writes the
+    block's frontier rows (non-blocked), seen-delta rows (all), and
+    robots-blocked status-999 crawled rows as parquet files named by a
+    content digest (a retried task rewrites the same bytes under the same
+    name — idempotent), and returns only the tiny (partition, blocked, n)
+    tally.  The driver never sees a new-link row."""
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"partition": pd.Series(dtype="int64"),
+                              "blocked": pd.Series(dtype=bool),
+                              "n": pd.Series(dtype="int64")})
+        if df.empty:
+            return empty
+        import hashlib
+
+        from ..stages.parse import PARSED_SCHEMA
+
+        h = hashlib.blake2b(digest_size=8)
+        for u in df["url"]:
+            h.update(u.encode("utf-8"))
+            h.update(b"\x00")
+        digest = h.hexdigest()
+
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        nb = t.filter(pc.invert(t["blocked"]))
+        if nb.num_rows:
+            ft = nb.select([f.name for f in schemas.FRONTIER]).cast(schemas.FRONTIER)
+            _atomic_write_table(frontier_dir, f"new-{digest}.parquet", ft)
+        st = t.append_column(
+            "seen_round", pa.array([rnd + 1] * t.num_rows, pa.int32()))
+        st = st.select(["url", "partition", "seen_round"]).cast(schemas.SEEN)
+        _atomic_write_table(seen_dir, f"links-{digest}.parquet", st)
+        b = df[df["blocked"]]
+        if len(b):
+            b = b.assign(fetch_round=rnd + 1, host_seq=-1, status=999,
+                         attempts=0, extracted_text="", lang="", n_links=0)
+            b = b.copy()
+            b["links"] = [[] for _ in range(len(b))]
+            bt = pa.Table.from_pandas(
+                b[PARSED_SCHEMA.names], preserve_index=False).cast(PARSED_SCHEMA)
+            _atomic_write_table(crawled_dir, f"blocked-{digest}.parquet", bt)
+        tally = (df.groupby(["partition", "blocked"], sort=False)
+                 .size().rename("n").reset_index())
+        tally["partition"] = tally["partition"].astype("int64")
+        tally["n"] = tally["n"].astype("int64")
+        return tally
+
+    return emit
+
+
 def bootstrap(seeds: pa.Table, robots_df: pd.DataFrame, cfg: EngineConfig,
               ckpt_dir: str) -> None:
     """Round-0 checkpoint from the seed table (driver-side; seeds are tiny —
@@ -300,6 +359,29 @@ def run_crawl(
     )
 
     timing = bool(os.environ.get("BORGES_CRAWL_TIMING"))
+
+    def _fetch_parse(sel: rd.Dataset, rnd_tag: int) -> rd.Dataset:
+        """Fetch-join + parse for one round's selection, pinned.  With a
+        key pool configured, fetch runs on session actors (T2/S13); with
+        ``render``, on browser-handle actors (S12) — identical rows,
+        bookkeeping columns dropped before parse."""
+        if cfg.render:
+            from ..stages.fetch import fetch_selected_render
+
+            fetched = fetch_selected_render(
+                sel, pages_root, cfg.num_buckets,
+                flaky=cfg.flaky).drop_columns(["render_ms", "handle_gen"])
+        elif cfg.api_keys:
+            from ..stages.fetch import fetch_selected_sessions
+
+            fetched = fetch_selected_sessions(
+                sel, pages_root, cfg.num_buckets, tuple(cfg.api_keys),
+                flaky=cfg.flaky).drop_columns(["key_idx"])
+        else:
+            fetched = fetch_selected(sel, pages_root, cfg.num_buckets,
+                                     flaky=cfg.flaky)
+        return parse_fetched(fetched, rnd_tag).materialize()
+
     prefetch: dict | None = None  # round-pipelined selection (see below)
     rnd = last
     while rnd < cfg.max_rounds:
@@ -334,11 +416,13 @@ def run_crawl(
         # split, metrics, commit), reuse it; inputs are identical (the
         # committed frontier + host-state files), so the result is too.
         t0 = time.time()
+        pre_parsed = None
         if prefetch is not None and prefetch["rnd"] == rnd:
             prefetch["thread"].join()
             if "err" in prefetch["state"]:
                 raise prefetch["state"]["err"]
             selected = prefetch["state"]["selected"]
+            pre_parsed = prefetch["state"].get("parsed")
             prefetch = None
         else:
             selected = select_frontier(frontier, delays_ref, host_state_dir,
@@ -347,34 +431,29 @@ def run_crawl(
                                        round_ms=cfg.round_ms).materialize()
         _mark("select", t0)
         sel_dir = os.path.join(next_dir, "selected")
-        # hive-partitioned by the url-hash partition: the deferral scan
-        # reads per-partition membership slices instead of a broadcast set.
-        # Coalesce blocks first — the hive write fans out blocks×partitions
-        # files otherwise (537 tiny files/round measured at 32×32)
-        t0 = time.time()
-        selected.repartition(2).write_parquet(sel_dir, partition_cols=["partition"])
-        _mark("write_sel", t0)
 
         # 6 (early). host_state: fold this round's per-host selections into
-        # the partitioned counter/clock table — depends ONLY on the written
-        # selection, so it runs on a thread overlapped with fetch+parse.
-        # The counts come from the selection checkpoint's host column —
-        # politeness-BOUNDED, never O(all hosts)
+        # the partitioned counter/clock table — depends ONLY on the pinned
+        # selection, so it launches IMMEDIATELY after select on a thread
+        # overlapped with everything else (it gates next round's prefetched
+        # selection).  The counts are politeness-BOUNDED, never O(all hosts)
         hs_err: list[BaseException] = []
 
-        def _host_state_job(rnd=rnd, sel_dir=sel_dir,
+        def _host_state_job(rnd=rnd, selected=selected,
                             host_state_dir=host_state_dir, next_dir=next_dir):
             try:
                 t0h = time.time()
-                sel_host_parts = []
-                for dp, _dn, fs in os.walk(sel_dir):
-                    for f in fs:
-                        if f.endswith(".parquet"):
-                            t = pq.read_table(os.path.join(dp, f), columns=["host"])
-                            sel_host_parts.append(t["host"].to_pandas().value_counts())
-                if sel_host_parts:
-                    host_counts = (pd.concat(sel_host_parts).groupby(level=0).sum()
-                                   .rename("n").rename_axis("host").reset_index())
+                # per-host counts straight off the PINNED selection (one
+                # small Ray combiner pass) — the old driver-side os.walk +
+                # per-file parquet read of the hive layout was the long
+                # pole of the prefetch critical path on a throttled host
+                parts = selected.map_batches(
+                    lambda df: df["host"].value_counts().rename("n")
+                                 .rename_axis("host").reset_index(),
+                    batch_format="pandas").to_pandas()
+                if len(parts):
+                    host_counts = (parts.groupby("host", sort=False)["n"]
+                                   .sum().reset_index())
                 else:
                     host_counts = pd.DataFrame({"host": pd.Series(dtype=object),
                                                 "n": pd.Series(dtype="int64")})
@@ -387,6 +466,14 @@ def run_crawl(
 
         hs_thread = threading.Thread(target=_host_state_job)
         hs_thread.start()
+
+        # hive-partitioned by the url-hash partition: the deferral scan
+        # reads per-partition membership slices instead of a broadcast set.
+        # Coalesce blocks first — the hive write fans out blocks×partitions
+        # files otherwise (537 tiny files/round measured at 32×32)
+        t0 = time.time()
+        selected.repartition(2).write_parquet(sel_dir, partition_cols=["partition"])
+        _mark("write_sel", t0)
 
         def _launch_prefetch(rnd=rnd, next_dir=next_dir):
             """Round pipelining: once round r+1's frontier AND host-state
@@ -414,6 +501,13 @@ def run_crawl(
                         night_shift=cfg.night_shift,
                         round_ms=cfg.round_ms).materialize()
                     marks["prefetch_select"] = round(time.time() - t0p, 2)
+                    # software pipeline the EXPENSIVE stage too: round r+1's
+                    # fetch-join + parse runs here, overlapped with round
+                    # r's gate/metrics/commit tail.  Nothing is persisted
+                    # (the pinned parse output is written by round r+1
+                    # itself), so crash/resume semantics are unchanged.
+                    state["parsed"] = _fetch_parse(state["selected"], rnd + 1)
+                    marks["prefetch_fetch"] = round(time.time() - t0p, 2)
                 except BaseException as e:
                     state["err"] = e
 
@@ -440,26 +534,11 @@ def run_crawl(
         defer_thread.start()
 
         # 3-4. fetch-join + parse (bounded like the selection → materialize;
-        # html is dropped by parse, only text+links are pinned).  With a
-        # key pool configured, fetch runs on session actors (T2/S13) —
-        # identical rows, key_idx dropped before parse.
-        if cfg.render:
-            from ..stages.fetch import fetch_selected_render
-
-            fetched = fetch_selected_render(
-                selected, pages_root, cfg.num_buckets,
-                flaky=cfg.flaky).drop_columns(["render_ms", "handle_gen"])
-        elif cfg.api_keys:
-            from ..stages.fetch import fetch_selected_sessions
-
-            fetched = fetch_selected_sessions(
-                selected, pages_root, cfg.num_buckets, tuple(cfg.api_keys),
-                flaky=cfg.flaky).drop_columns(["key_idx"])
-        else:
-            fetched = fetch_selected(selected, pages_root, cfg.num_buckets,
-                                     flaky=cfg.flaky)
+        # html is dropped by parse, only text+links are pinned).  When the
+        # previous round's prefetch thread already ran this round's
+        # fetch+parse (software pipelining), the pinned result is reused.
         t0 = time.time()
-        parsed = parse_fetched(fetched, rnd).materialize()
+        parsed = pre_parsed if pre_parsed is not None else _fetch_parse(selected, rnd)
         _mark("fetch_parse", t0)
         # write the crawled checkpoint on a thread OVERLAPPED with the
         # gate/split below (both consume the pinned ``parsed`` set; the
@@ -481,115 +560,44 @@ def run_crawl(
         wc_thread = threading.Thread(target=_write_crawled_job)
         wc_thread.start()
 
-        # 5. link candidates → winner dedup → seen + robots gate
-        new_dir = os.path.join(next_dir, "new")
-        new_ds = None
+        # 5. link candidates → winner dedup → seen + robots gate → FUSED
+        # split: ONE execution over the gated rows in which each task writes
+        # its own block's frontier/seen/blocked parquet files directly
+        # (task-side writes, content-digest names → idempotent under task
+        # retry) and returns only (partition, blocked, n) tally rows.  This
+        # replaces the r03 shape — materialize + a `new` checkpoint write +
+        # four separate derivation executions — with a single pass: the
+        # gated rows are touched once and never pinned, and the per-round
+        # fixed cost drops by ~3 execution round-trips + 2 dataset writes.
+        seen_delta_dir = os.path.join(next_dir, "seen_delta")
+        new_counts = pd.DataFrame({"partition": pd.Series(dtype="int64"),
+                                   "blocked": pd.Series(dtype=bool),
+                                   "n": pd.Series(dtype="int64")})
         t0 = time.time()
         if has_crawled:
             parsed_back = parsed.select_columns(["url", "status", "priority", "depth", "links"])
             cands = link_candidates(parsed_back, rnd, cfg.num_partitions, cfg.max_depth)
-            # materialize ONCE (idempotent per round: the seen shards key
-            # membership by round), write the checkpoint from memory, and
-            # reuse the pinned rows for every derivation below — no
-            # write→read round trip
-            new_ds = gate_candidates(cands, shards, robots_ref, rnd + 1).materialize()
-            _write_ds_into(new_dir, new_ds, "new")
-        _mark("gate", t0)
+            gated = gate_candidates(cands, shards, robots_ref, rnd + 1)
+            for d in (frontier_next_dir, seen_delta_dir, crawled_dir):
+                os.makedirs(d, exist_ok=True)
+            emit = _make_split_emit(rnd, frontier_next_dir, seen_delta_dir,
+                                    crawled_dir)
+            tallies = gated.map_batches(emit, batch_format="pandas").to_pandas()
+            if len(tallies):
+                new_counts = (tallies.groupby(["partition", "blocked"], sort=False)
+                              ["n"].sum().reset_index())
+        if not len(new_counts):
+            _write_ds_into(seen_delta_dir, schemas.SEEN.empty_table(), "links")
+        _mark("gate_split", t0)
 
         t0 = time.time()
         defer_thread.join()
         _mark("defer_join", t0)
         if defer_err:
             raise defer_err[0]
-
-        # 5b. split the gated rows DISTRIBUTED: the driver never reads the
-        # new-links table (it can be frontier-growth-sized)
-        has_new = new_ds is not None and bool(new_ds.count())
-        new_counts = pd.DataFrame({"partition": pd.Series(dtype="int64"),
-                                   "blocked": pd.Series(dtype=bool),
-                                   "n": pd.Series(dtype="int64")})
-        if has_new:
-            from ..stages.parse import PARSED_SCHEMA
-
-            def to_frontier(t: pa.Table) -> pa.Table:
-                t = t.filter(pc.invert(t["blocked"]))
-                return t.select([f.name for f in schemas.FRONTIER]).cast(schemas.FRONTIER)
-
-            def to_blocked(df: pd.DataFrame) -> pd.DataFrame:
-                b = df[df["blocked"]].copy()
-                b = b.assign(fetch_round=rnd + 1, host_seq=-1, status=999,
-                             attempts=0, extracted_text="", lang="", n_links=0)
-                b["links"] = [[] for _ in range(len(b))]
-                return b[PARSED_SCHEMA.names]
-
-            def to_seen(t: pa.Table) -> pa.Table:
-                t = t.append_column(
-                    "seen_round", pa.array([rnd + 1] * t.num_rows, pa.int32()))
-                return t.select(["url", "partition", "seen_round"]).cast(schemas.SEEN)
-
-            # the four derivations are independent jobs over the pinned
-            # new_ds — run them on driver threads so their (fixed, small)
-            # execution overheads overlap instead of adding up
-            derived: dict = {}
-            errs: list[BaseException] = []
-
-            def _job(fn):
-                def run():
-                    try:
-                        fn()
-                    except BaseException as e:  # surfaced after join
-                        errs.append(e)
-                return threading.Thread(target=run)
-
-            def _frontier_job():
-                _write_ds_into(frontier_next_dir,
-                               new_ds.map_batches(to_frontier,
-                                                  batch_format="pyarrow"), "new")
-
-            def _seen_job():
-                _write_ds_into(os.path.join(next_dir, "seen_delta"),
-                               new_ds.map_batches(to_seen,
-                                                  batch_format="pyarrow"), "links")
-
-            def _blocked_job():
-                derived["blocked_pd"] = new_ds.map_batches(
-                    to_blocked, batch_format="pandas").to_pandas()
-
-            def _tally_job():
-                derived["tallies"] = new_ds.map_batches(
-                    lambda df: df.groupby(["partition", "blocked"], sort=False)
-                                 .size().rename("n").reset_index(),
-                    batch_format="pandas").to_pandas()
-
-            t0 = time.time()
-            jf = _job(_frontier_job)
-            others = [_job(f) for f in (_seen_job, _blocked_job, _tally_job)]
-            jf.start()
-            for j in others:
-                j.start()
-            # the frontier derivation completes round r+1's frontier —
-            # kick off its prefetched selection while the small
-            # seen/blocked/tally jobs (and metrics below) still run
-            jf.join()
-            if not errs:
-                prefetch = _launch_prefetch()
-            for j in others:
-                j.join()
-            _mark("split", t0)
-            if errs:
-                raise errs[0]
-            blocked_pd = derived["blocked_pd"]  # robots-denied: tiny
-            if len(blocked_pd):
-                bt_t = pa.Table.from_pandas(
-                    blocked_pd, preserve_index=False).cast(PARSED_SCHEMA)
-                _write_ds_into(crawled_dir, bt_t, "blocked")
-            tallies = derived["tallies"]
-            new_counts = (tallies.groupby(["partition", "blocked"], sort=False)
-                          ["n"].sum().reset_index()) if len(tallies) else new_counts
-        else:
-            _write_ds_into(os.path.join(next_dir, "seen_delta"),
-                           schemas.SEEN.empty_table(), "links")
-            prefetch = _launch_prefetch()
+        # round r+1's frontier (deferred + new) and, inside the launch,
+        # its host state are now complete → prefetch its selection
+        prefetch = _launch_prefetch()
 
         hs_thread.join()  # no-op if _launch_prefetch already joined it
         if hs_err:

@@ -17,14 +17,19 @@ from reference_crawl import CrawlConfig, crawl
 
 
 @pytest.mark.parametrize(
-    "seed,n_pages,flaky,night",
+    "seed,n_pages,flaky,night,render",
     [
-        (7, 200, False, False),
-        (123, 350, True, False),
-        (999, 150, True, True),
+        (7, 200, False, False, False),
+        (123, 350, True, False, False),
+        (999, 150, True, True, False),
+        # S12 load-bearing: the browser-render actor path drives a full
+        # engine crawl and must stay byte-identical to the plain oracle
+        # (reference default wait=10s / timeout=90s never trips the 504)
+        (123, 350, True, False, True),
     ],
 )
-def test_multiweb_conformance(seed, n_pages, flaky, night, ray_session, tmp_path):
+def test_multiweb_conformance(seed, n_pages, flaky, night, render,
+                              ray_session, tmp_path):
     pages = synth_pages(seed, n_pages)
     seeds = synth_seeds(seed, n_pages)
     robots = synth_robots(seed, n_pages)
@@ -42,7 +47,8 @@ def test_multiweb_conformance(seed, n_pages, flaky, night, ray_session, tmp_path
     pages_root = str(tmp_path / "pages")
     write_pages_bucketed(pages.select(["url", "html"]), pages_root, num_buckets=4)
     cfg = EngineConfig(max_rounds=4, num_partitions=8, num_buckets=4,
-                       num_seen_shards=2, flaky=flaky, night_shift=night)
+                       num_seen_shards=2, flaky=flaky, night_shift=night,
+                       render=render)
     ck = str(tmp_path / "ck")
     run_crawl(pages_root, seeds, robots.to_pandas(), cfg, ck, resume=False)
 
