@@ -190,39 +190,6 @@ class MinHasher:
         return out
 
 
-def minhash_band_rows(
-    ds: rd.Dataset, id_col: str, *, num_perm: int = 64, bands: int = 32, shingle_k: int = 3
-) -> rd.Dataset:
-    """documents → (id, band, band_hash) rows: the LSH explode.  rows/band =
-    num_perm // bands; a pair agreeing on any band becomes a candidate.
-
-    Banding is fully vectorized: the batch's signature matrix (n, P) is
-    reshaped to (n, bands, r) and each band collapses to one u64 via a
-    splitmix-style polynomial over the r rows — no per-row Python loop, no
-    per-band blake2b (the r01 hot-spot)."""
-    rows_per_band = num_perm // bands
-
-    def band(df: pd.DataFrame) -> pd.DataFrame:
-        # task fn + module-global cached hasher (cheap init; a fixed actor
-        # pool here risks starving the upstream read — see README skew notes)
-        hasher = _hasher_cache_get(num_perm, shingle_k)
-        texts = df["text"].fillna("")
-        sigs = np.stack([hasher.signature(t) for t in texts]) if len(df) else \
-            np.zeros((0, num_perm), np.uint64)
-        chunks = sigs.reshape(len(df), bands, rows_per_band)
-        bh = np.zeros((len(df), bands), dtype=np.uint64)
-        for j in range(rows_per_band):  # r iterations, each vectorized
-            bh = bh * _SHINGLE_MIX + chunks[:, :, j]
-        bh ^= bh >> np.uint64(29)  # finalize mix: decorrelate low bits
-        bh = bh * _SHINGLE_MIX
-        ids = np.repeat(df[id_col].to_numpy(), bands)
-        band_ids = np.tile(np.arange(bands, dtype=np.int32), len(df))
-        return pd.DataFrame({id_col: ids, "band": band_ids,
-                             "band_hash": bh.reshape(-1)})
-
-    return ds.map_batches(band, batch_format="pandas")
-
-
 def jaccard(a: str, b: str, k: int = 3) -> float:
     sa = set(_shingle_hashes(a, k).tolist())
     sb = set(_shingle_hashes(b, k).tolist())
@@ -240,7 +207,8 @@ def minhash_sig_blob_table(
     exact-Jaccard verification intersects ``__blob`` arrays without
     re-tokenizing — the r03 verify stage tokenized every pair endpoint a
     second time.  The result is parquet-pinned (spill_point) because band
-    explode and verify both consume it."""
+    explode and verify both consume it.  ``num_perm=0`` skips the signature
+    (blobs-only mode for the exact n-gram path)."""
     from .relational import spill_point
 
     def featurize(df: pd.DataFrame) -> pd.DataFrame:
@@ -316,22 +284,6 @@ def _make_band_pairs(id_col: str):
                              "id_b": np.concatenate(out_b)}).drop_duplicates()
 
     return band_pairs
-
-
-def minhash_candidate_pairs(
-    ds: rd.Dataset, id_col: str, *, num_perm: int = 64, bands: int = 32,
-    shingle_k: int = 3,
-) -> rd.Dataset:
-    """LSH candidate pairs as a DATASET: band rows → bucketed pair spawn per
-    (band, band_hash) → distributed distinct.  Nothing touches the driver;
-    the shuffle moves (id, band, u64) triples, never text."""
-    from .relational import distinct, groupby_buckets
-
-    band_rows = minhash_band_rows(ds, id_col, num_perm=num_perm, bands=bands,
-                                  shingle_k=shingle_k)
-    pairs = groupby_buckets(band_rows, ["band", "band_hash"],
-                            _make_band_pairs(id_col))
-    return distinct(pairs, ["id_a", "id_b"])
 
 
 def _blob_jaccard(blob_a, blob_b, na: int, nb: int) -> float:
@@ -410,43 +362,6 @@ def verify_pairs_blob(
     return groupby_buckets(both_b, ["__jk"], verify)
 
 
-def verify_pairs_jaccard(
-    pairs: rd.Dataset, texts: rd.Dataset, id_col: str, *,
-    threshold: float, shingle_k: int = 3,
-) -> rd.Dataset:
-    """Exact-Jaccard verification with texts RE-JOINED BY ID — the r01
-    driver-side whole-corpus broadcast is gone: candidate pairs hash-join
-    the (id, text) table once per endpoint (keys + bounded pair rows move;
-    the text column ships only for ids that are actually in a pair), then a
-    per-batch shingle-set Jaccard filters on the UNROUNDED value."""
-    from .relational import hash_join, with_columns
-
-    t_a = texts.map_batches(
-        lambda df: df.rename(columns={id_col: "id_a", "text": "text_a"}),
-        batch_format="pandas")
-    t_b = texts.map_batches(
-        lambda df: df.rename(columns={id_col: "id_b", "text": "text_b"}),
-        batch_format="pandas")
-    # pin the LSH-bounded pair sets: hash_join probes .schema() on both
-    # sides, which would otherwise re-execute the whole candidate pipeline
-    # once per probe (pairs are ≤ candidates — small by construction).
-    # Parquet spill-points, not materialize(): see relational.spill_point.
-    from .relational import spill_point
-
-    pairs = spill_point(pairs, "mh_pairs")
-    half = spill_point(hash_join(pairs, t_a, on=["id_a"]), "mh_half")
-    joined = hash_join(half, t_b, on=["id_b"])
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        jac = np.array([jaccard(a or "", b or "", shingle_k)
-                        for a, b in zip(df["text_a"], df["text_b"])])
-        out = df[["id_a", "id_b"]].copy()
-        out["jaccard"] = jac
-        return out[jac >= threshold]
-
-    return joined.map_batches(verify, batch_format="pandas")
-
-
 def minhash_near_dup_pairs_ds(
     ds: rd.Dataset,
     id_col: str,
@@ -506,28 +421,6 @@ def minhash_near_dup_pairs(
 # Exact n-gram Jaccard (prefix-filtered set-similarity self-join)
 # ---------------------------------------------------------------------------
 
-def ngram_shingle_rows(ds: rd.Dataset, id_col: str, *, shingle_k: int = 3) -> rd.Dataset:
-    """Distinct ``(id, shingle_u64)`` rows — the set representation every
-    exact-Jaccard stage works over.  Per-batch vectorized explode; per-doc
-    ``np.unique`` so the shuffle only carries the set elements."""
-
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        ids_out: list[np.ndarray] = []
-        sh_out: list[np.ndarray] = []
-        for i, t in zip(df[id_col].to_numpy(), df["text"].fillna("")):
-            sh = np.unique(_shingle_hashes(t, shingle_k))
-            if len(sh):
-                ids_out.append(np.full(len(sh), i, dtype=np.int64))
-                sh_out.append(sh)
-        if not ids_out:
-            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
-                                 "shingle": pd.Series(dtype="uint64")})
-        return pd.DataFrame({id_col: np.concatenate(ids_out),
-                             "shingle": np.concatenate(sh_out)})
-
-    return ds.map_batches(explode, batch_format="pandas")
-
-
 def shingle_rows_from_blobs(feat: rd.Dataset, id_col: str) -> rd.Dataset:
     """(id, __blob) → distinct (id, shingle u64) rows, decoded from the
     stored sorted-unique blobs — the explode of :func:`ngram_shingle_rows`
@@ -577,17 +470,18 @@ def ngram_jaccard_pairs_ds(
     (``Borges/db_scripts/insert_jl.py:28-41``), which has no similarity
     notion at all.
 
-    Distributed shape — four u64-only shuffles, text never moves until the
-    final bounded verify join:
+    Distributed shape — ONE tokenize pass (the shared sig/blob table),
+    then u64-only shuffles; raw text never moves at all:
 
-    1. explode → distinct ``(id, shingle)`` rows          (map only)
+    1. blobs → distinct ``(id, shingle)`` rows            (map only)
     2. groupby(shingle): attach per-shingle df            (shuffle 1)
     3. groupby(id): sort by (df, shingle), keep prefix    (shuffle 2)
     4. groupby(shingle) over PREFIX rows: pair spawn      (shuffle 3)
-       → distributed distinct                             (shuffle 4)
-    5. exact verify: re-join texts by endpoint id, recompute true Jaccard
-       (reuses :func:`verify_pairs_jaccard` — also re-checks pairs whose
-       candidate shingle was df-capped, so precision is always exact).
+    5. exact verify against the stored shingle-set blobs
+       (:func:`verify_pairs_blob` — its id_a-keyed first stage also dedups
+       the candidates, so no separate distinct shuffle; re-checks pairs
+       whose candidate shingle was df-capped, so precision is always
+       exact).
 
     ``max_bucket`` (None = unbounded = exact) caps a single prefix-shingle
     bucket's pair spawn for memory safety at adversarial skew; capping is
