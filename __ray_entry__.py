@@ -1404,10 +1404,49 @@ def _q_oversized_payloads(sf_dir: str):
         batch_format="pandas")
 
 
+def _q_sequence_pack(sf_dir: str):
+    """Fixed-context sequence packing (GPT-style pre-training layout): docs
+    concatenated in doc_id order with one EOS each, cut into 256-token
+    sequences; per doc the (tok_start, seq_first, seq_last, n_seqs) map a
+    loader needs.  Distributed prefix sum — oracle is the SQL window
+    ``sum(n+1) OVER (ORDER BY doc_id)``."""
+    from borges_ray.ops.pack import sequence_pack
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.textops import token_count_batch
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_n(df: pd.DataFrame) -> pd.DataFrame:
+        ws, _ = token_count_batch(df["text"].fillna(""))
+        out = df[["doc_id"]].copy()
+        out["n_tokens"] = ws
+        return out
+
+    toks = ds.map_batches(add_n, batch_format="pandas")
+    out = sequence_pack(toks, "doc_id", "n_tokens", 256, eos=1)
+    return out.select_columns(["doc_id", "n_tokens", "tok_start",
+                               "seq_first", "seq_last", "n_seqs"])
+
+
+def _q_model_score(sf_dir: str):
+    """fasttext-style hashed-linear quality-model scoring (compile-once
+    actor class; md5 feature hashing + integer weight table, one float
+    division → bit-identical SQL twin)."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.textops import HashedLinearScorer
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = ds.map_batches(HashedLinearScorer, batch_format="pandas",
+                            concurrency=(1, 4))
+    return scored.select_columns(["doc_id", "model_score"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bpe_tokens": _q_bpe_tokens,
         "oversized_payloads": _q_oversized_payloads,
+        "sequence_pack": _q_sequence_pack,
+        "model_score": _q_model_score,
         "cosine_neardup": _q_cosine_neardup,
         "cosine_neardup_lsh": _q_cosine_neardup_lsh,
         "knn_lsh": _q_knn_lsh,
@@ -2261,6 +2300,45 @@ def oracle_sql() -> dict[str, str]:
                         w -> list_contains(['the','a','an','and','or','of','to','in','on','for','with','at','by','from','as','is','are','was','were','be','been','it','this','that'], w))) AS DOUBLE)
                         / greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1), 6) AS stopword_frac
             FROM documents
+        """,
+        "sequence_pack": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(coalesce(len(list_filter(string_split_regex(text, '\s+'),
+                                                   x -> x <> '')), 0) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     sum(n_tokens + 1) OVER (ORDER BY doc_id) AS cum
+              FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(cum - (n_tokens + 1) AS BIGINT) AS tok_start,
+                   CAST((cum - (n_tokens + 1)) // 256 AS BIGINT) AS seq_first,
+                   CAST((cum - 1) // 256 AS BIGINT) AS seq_last,
+                   CAST((cum - 1) // 256 - (cum - (n_tokens + 1)) // 256 + 1
+                        AS BIGINT) AS n_seqs
+            FROM c
+        """,
+        "model_score": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     sum((CAST(md5_number_lower(tok) % 4096 AS BIGINT)
+                          * 2654435761 + 97) % 1000003) AS sw,
+                     count(*) AS n
+              FROM toks GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(round(CAST(s.sw AS DOUBLE) / (s.n * 1000003.0)
+                                  - 0.5, 6), 0.0) AS model_score
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         """,
         "oversized_payloads": """
             SELECT doc_id,

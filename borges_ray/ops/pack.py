@@ -69,3 +69,44 @@ def shard_pack(ds: rd.Dataset, order_col: str, weight_col: str,
         return out
 
     return with_cum.map_batches(assign, batch_format="pandas")
+
+
+def sequence_pack(ds: rd.Dataset, order_col: str, tokens_col: str,
+                  ctx_len: int, *, eos: int = 1,
+                  range_size: int = 1 << 20) -> rd.Dataset:
+    """Fixed-context SEQUENCE packing (GPT-style pre-training layout):
+    documents are concatenated in ``order_col`` order, each followed by
+    ``eos`` sentinel tokens, and the token stream is cut into training
+    sequences of exactly ``ctx_len`` tokens.  Emits, per document, the
+    doc→sequence map a data loader needs to locate it:
+
+    - ``tok_start``  — the document's first token's global offset
+    - ``seq_first`` / ``seq_last`` — the first/last sequence index the
+      document's tokens land in
+    - ``n_seqs``     — how many sequences the document spans
+
+    Pure arithmetic over the distributed prefix sum (:func:`prefix_sum`):
+    no sort, no driver contact with row-level data; equals the SQL window
+    ``sum(w) OVER (ORDER BY k)`` twin exactly (integer arithmetic only).
+    Contrast :func:`shard_pack`, which cuts at document boundaries
+    (~budget-sized shards); sequence packing cuts mid-document at exact
+    ``ctx_len`` multiples, which is what context-window training consumes."""
+
+    def add_w(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__w"] = (df[tokens_col].astype("int64") + eos)
+        return out
+
+    with_cum = prefix_sum(ds.map_batches(add_w, batch_format="pandas"),
+                          order_col, "__w", "cum", range_size=range_size)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        start = (df["cum"] - df["__w"]).astype("int64")
+        out["tok_start"] = start
+        out["seq_first"] = (start // ctx_len).astype("int64")
+        out["seq_last"] = ((df["cum"] - 1) // ctx_len).astype("int64")
+        out["n_seqs"] = (out["seq_last"] - out["seq_first"] + 1).astype("int64")
+        return out.drop(columns=["__w", "cum"])
+
+    return with_cum.map_batches(assign, batch_format="pandas")

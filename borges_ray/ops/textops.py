@@ -263,3 +263,43 @@ def add_text_stats(ds: rd.Dataset) -> rd.Dataset:
         return out
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+class HashedLinearScorer:
+    """fasttext-style linear quality classifier over HASHED token features —
+    the model-scoring filter stage of LLM data pipelines (CCNet/LLaMA-style
+    quality models), expressed as a compile-once stateful class for
+    ``map_batches(HashedLinearScorer, concurrency=N)``.
+
+    Features are md5-lower-64 token hashes mod ``dim`` (bit-identical to
+    DuckDB ``md5_number_lower``), mean-pooled under a deterministic integer
+    weight table ``w[b] = (b·A + B) mod M`` — a stand-in for trained weights
+    with the same memory/compute shape (the real model would load its
+    weight vector in ``__init__`` exactly like this).  The score is
+    ``sum(w[h(tok)]) / (n·M) - 0.5`` with ONE float division, so the SQL
+    oracle reproduces it to the last bit (integer sums are exact in both
+    engines).  Empty documents score 0.0."""
+
+    A = 2654435761
+    B = 97
+    M = 1000003
+
+    def __init__(self, dim: int = 4096):
+        b = np.arange(dim, dtype=np.int64)
+        self.w = (b * self.A + self.B) % self.M          # exact ints
+        self.dim = dim
+
+    def score(self, text: str) -> float:
+        from .dedup import _md5_token_hashes
+
+        toks = text.split()
+        if not toks:
+            return 0.0
+        h = (_md5_token_hashes(toks) % np.uint64(self.dim)).astype(np.int64)
+        s = int(self.w[h].sum())
+        return round(s / (len(toks) * float(self.M)) - 0.5, 6)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["model_score"] = [self.score(t) for t in df["text"].fillna("")]
+        return out

@@ -574,3 +574,42 @@ def test_warc_roundtrip_adversarial_payload(ray_session, tmp_path):
     assert back.url.tolist() == df.url.tolist()
     assert back.payload.tolist() == df.payload.tolist()
     assert back.warc_ts.tolist() == df.warc_ts.tolist()
+
+
+def test_sequence_pack_spans_and_offsets(ray_session):
+    """A doc longer than the context window spans multiple sequences; exact
+    offsets match a pandas cumsum; empty docs still consume their EOS."""
+    from borges_ray.ops.pack import sequence_pack
+
+    n_tokens = [5, 0, 700, 3, 255]           # doc 2 spans 3 sequences at L=256
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                       "n_tokens": np.asarray(n_tokens, dtype=np.int64)})
+    out = (sequence_pack(rd.from_pandas(df).repartition(3), "doc_id",
+                         "n_tokens", 256, eos=1)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    w = df["n_tokens"] + 1
+    cum = w.cumsum()
+    start = cum - w
+    assert out["tok_start"].tolist() == start.tolist()
+    assert out["seq_first"].tolist() == (start // 256).tolist()
+    assert out["seq_last"].tolist() == ((cum - 1) // 256).tolist()
+    assert out.loc[2, "n_seqs"] == 3          # 700+1 tokens from offset 7
+    assert out.loc[1, "n_seqs"] == 1          # empty doc: one EOS token
+
+
+def test_hashed_linear_scorer_deterministic(ray_session):
+    """Model scoring: same text → same score across batchings; empty text
+    scores 0; scores live in (-0.5, 0.5)."""
+    from borges_ray.ops.textops import HashedLinearScorer
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                       "text": ["alpha beta gamma", "", "alpha beta gamma",
+                                "zeta " * 50]})
+    a = HashedLinearScorer()(df)
+    assert a.loc[0, "model_score"] == a.loc[2, "model_score"]
+    assert a.loc[1, "model_score"] == 0.0
+    assert ((a["model_score"] > -0.5) & (a["model_score"] < 0.5)).all()
+    b = (rd.from_pandas(df).repartition(4)
+         .map_batches(HashedLinearScorer, batch_format="pandas", concurrency=2)
+         .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert b["model_score"].tolist() == a["model_score"].tolist()
