@@ -164,8 +164,16 @@ def bulk_ingest(
     # 16 bytes/row off the column-pruned Parquet — winner per fingerprint
     # bucket, survivors manifest written next to the features.  The payload
     # (text, signatures) never moves through the shuffle; consumers
-    # semi-join features against the manifest per partition.
-    keys = rd.read_parquet(feat_dir, columns=["url", "fingerprint", "error"])
+    # semi-join features against the manifest per partition.  Coalesce the
+    # read (the features dir has one file per featurize block — without the
+    # block heuristic this keys pass inherits 128 micro-blocks).
+    from ..ops.relational import _auto_num_blocks
+
+    feat_files = sorted(
+        os.path.join(dp, f) for dp, _dn, fs in os.walk(feat_dir)
+        for f in fs if f.endswith(".parquet"))
+    keys = rd.read_parquet(feat_files, columns=["url", "fingerprint", "error"],
+                           override_num_blocks=_auto_num_blocks(feat_files))
     keys = keys.map_batches(
         lambda df: df.loc[df["error"].isna(), ["url", "fingerprint"]],
         batch_format="pandas")
@@ -261,7 +269,10 @@ def bulk_ingest_resumable(
         for d in shard_dirs
         for dp, _dn, fs in os.walk(d)
         for f in fs if f.endswith(".parquet"))
-    keys = rd.read_parquet(shard_files, columns=["url", "fingerprint", "error"])
+    from ..ops.relational import _auto_num_blocks
+
+    keys = rd.read_parquet(shard_files, columns=["url", "fingerprint", "error"],
+                           override_num_blocks=_auto_num_blocks(shard_files))
     keys = keys.map_batches(
         lambda df: df.loc[df["error"].isna(), ["url", "fingerprint"]],
         batch_format="pandas")
