@@ -1441,12 +1441,37 @@ def _q_model_score(sf_dir: str):
     return scored.select_columns(["doc_id", "model_score"])
 
 
+_SEARCH_TERMS = ["merge", "window", "stream"]
+
+
+def _q_token_search(sf_dir: str):
+    """Conjunctive full-text search over a hive-partitioned inverted token
+    index (physical partition pruning — the IR sibling of the IVF/LSH ANN
+    layouts): build once, read only the query terms' ``tp=`` dirs, AND via
+    a distributed per-doc term count.  Oracle: ``list_contains`` on the
+    whitespace split per term."""
+    import hashlib
+    import tempfile
+
+    from borges_ray.ops.index import build_token_index, search_all_terms
+    from borges_ray.ops.relational import load
+
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    idx_dir = f"{tempfile.gettempdir()}/borges_tokidx_{tag}"
+    if not os.path.isdir(idx_dir):
+        ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+        build_token_index(ds, idx_dir)
+    out, _stats = search_all_terms(idx_dir, _SEARCH_TERMS)
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bpe_tokens": _q_bpe_tokens,
         "oversized_payloads": _q_oversized_payloads,
         "sequence_pack": _q_sequence_pack,
         "model_score": _q_model_score,
+        "token_search": _q_token_search,
         "cosine_neardup": _q_cosine_neardup,
         "cosine_neardup_lsh": _q_cosine_neardup_lsh,
         "knn_lsh": _q_knn_lsh,
@@ -2300,6 +2325,15 @@ def oracle_sql() -> dict[str, str]:
                         w -> list_contains(['the','a','an','and','or','of','to','in','on','for','with','at','by','from','as','is','are','was','were','be','been','it','this','that'], w))) AS DOUBLE)
                         / greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1), 6) AS stopword_frac
             FROM documents
+        """,
+        "token_search": r"""
+            SELECT doc_id FROM documents
+            WHERE list_contains(list_filter(string_split_regex(text, '\s+'),
+                                            x -> x <> ''), 'merge')
+              AND list_contains(list_filter(string_split_regex(text, '\s+'),
+                                            x -> x <> ''), 'window')
+              AND list_contains(list_filter(string_split_regex(text, '\s+'),
+                                            x -> x <> ''), 'stream')
         """,
         "sequence_pack": r"""
             WITH t AS (

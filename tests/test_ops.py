@@ -661,3 +661,35 @@ def test_asof_topk_quantile_ops(ray_session):
     with pytest.raises(ValueError):
         asof_join(lds, rd.from_pandas(right.rename(columns={"rv": "lid"})),
                   "k", "lts", "rts")
+
+
+def test_token_index_search_prunes_partitions(ray_session, tmp_path):
+    """Conjunctive search over the hive-partitioned inverted index reads
+    only the query terms' tp= dirs (bytes_read < bytes_total), matches a
+    brute-force AND, and an absent term yields zero rows."""
+    import ray.data as rd
+
+    from borges_ray.ops.index import build_token_index, search_all_terms
+
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i}" for i in range(40)]
+    texts = [" ".join(vocab[j] for j in rng.integers(0, 40, 25))
+             for _ in range(300)]
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64), "text": texts})
+    idx = str(tmp_path / "idx")
+    build_token_index(rd.from_pandas(df).repartition(4), idx, num_parts=16)
+
+    terms = ["t1", "t7"]
+    out, stats = search_all_terms(idx, terms, num_parts=16)
+    got = sorted(out.to_pandas()["doc_id"])
+    want = sorted(int(i) for i, t in zip(df.doc_id, df.text)
+                  if all(w in t.split() for w in terms))
+    assert got == want and len(want) > 0
+    assert stats["partitions_read"] <= 2 < stats["partitions_total"]
+    assert 0 < stats["bytes_read"] < stats["bytes_total"]
+
+    # duplicate terms in the query collapse; an absent term empties the AND
+    out2, _ = search_all_terms(idx, ["t1", "t1", "t7"], num_parts=16)
+    assert sorted(out2.to_pandas()["doc_id"]) == want
+    out3, _ = search_all_terms(idx, ["t1", "zzz-absent"], num_parts=16)
+    assert len(out3.to_pandas()) == 0
