@@ -261,11 +261,22 @@ def band_rows_from_sigs(
     return sig_ds.map_batches(band, batch_format="pandas")
 
 
-def _make_band_pairs(id_col: str):
+def _make_band_pairs(id_col: str, max_bucket: int = 4096):
     """Per-bucket-block candidate-pair spawner over (band, band_hash)
     groups: only buckets shared by ≥2 docs spawn pairs; one Python loop over
     *colliding buckets*, pair fan-out vectorized; block-local dedup so the
-    downstream distinct shuffle moves fewer rows."""
+    downstream distinct shuffle moves fewer rows.
+
+    Hot-bucket bound: a cluster of m near-identical documents (boilerplate
+    pages, mirrored sites — routine in web corpora) shares every band
+    hash, so an uncapped spawn is O(m²) pairs in ONE task.  Past
+    ``max_bucket`` members the bucket emits all-pairs for the smallest
+    ``max_bucket`` ids PLUS a consecutive-id CHAIN over the whole bucket —
+    O(max_bucket² + m) pairs — so pair recall degrades (logged) but
+    cluster CONNECTIVITY never does: the chain keeps a giant duplicate
+    cluster one connected component through verify + CC, which is what the
+    dedup-survivors path needs (contrast the SimHash cap, which drops
+    members outright)."""
 
     def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
         counts = df.groupby(["band", "band_hash"], sort=False)[id_col].nunique()
@@ -277,9 +288,21 @@ def _make_band_pairs(id_col: str):
         out_a, out_b = [], []
         for key in hot:
             ids = np.unique(sub.loc[key, id_col].to_numpy())
-            ia, ib = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ia])
-            out_b.append(ids[ib])
+            if len(ids) > max_bucket:
+                logger.warning(
+                    "minhash band bucket %s has %d members (> %d): emitting "
+                    "capped all-pairs + connectivity chain; pair recall no "
+                    "longer exact for this bucket", key, len(ids), max_bucket)
+                head = ids[:max_bucket]
+                ia, ib = np.triu_indices(len(head), k=1)
+                out_a.append(head[ia])
+                out_b.append(head[ib])
+                out_a.append(ids[:-1])       # chain: (i, i+1) over ALL ids
+                out_b.append(ids[1:])
+            else:
+                ia, ib = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
         return pd.DataFrame({"id_a": np.concatenate(out_a),
                              "id_b": np.concatenate(out_b)}).drop_duplicates()
 
@@ -370,6 +393,7 @@ def minhash_near_dup_pairs_ds(
     num_perm: int = 64,
     bands: int = 32,
     shingle_k: int = 3,
+    max_bucket: int = 4096,
 ) -> rd.Dataset:
     """Candidate pairs from LSH buckets, verified with exact Jaccard ≥
     threshold (unrounded compare), as a DATASET — nothing transits the
@@ -393,7 +417,7 @@ def minhash_near_dup_pairs_ds(
     # no separate distinct shuffle: verify_pairs_blob dedups candidates
     # block-locally in its first (id_a-keyed) stage
     pairs = groupby_buckets(band_rows, ["band", "band_hash"],
-                            _make_band_pairs(id_col))
+                            _make_band_pairs(id_col, max_bucket))
     return verify_pairs_blob(pairs, feat, id_col, threshold=threshold)
 
 

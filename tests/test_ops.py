@@ -693,3 +693,33 @@ def test_token_index_search_prunes_partitions(ray_session, tmp_path):
     assert sorted(out2.to_pandas()["doc_id"]) == want
     out3, _ = search_all_terms(idx, ["t1", "zzz-absent"], num_parts=16)
     assert len(out3.to_pandas()) == 0
+
+
+def test_minhash_hot_bucket_cap_keeps_cluster_connected(ray_session):
+    """Adversarial boilerplate: 2000 IDENTICAL docs share every band hash.
+    Uncapped that is ~2M pairs from one bucket; with a small cap the spawn
+    emits capped all-pairs + a connectivity chain, so the survivors path
+    still collapses the whole cluster to its min id."""
+    from borges_ray.ops.dedup import (
+        dedup_survivors_ds,
+        minhash_near_dup_pairs_ds,
+    )
+
+    n = 2000
+    same = "the same boilerplate page text repeated verbatim everywhere"
+    df = pd.DataFrame({
+        "doc_id": np.arange(n + 3, dtype=np.int64),
+        "text": [same] * n + ["unique alpha beta", "unique gamma delta",
+                              "unique epsilon zeta"],
+    })
+    ds = rd.from_pandas(df).repartition(8)
+    pairs = minhash_near_dup_pairs_ds(ds, "doc_id", threshold=0.9,
+                                      max_bucket=16)
+    n_pairs = pairs.count()
+    # far below the ~2M uncapped spawn; at least the chain survived verify
+    assert (n - 1) <= n_pairs < 20_000, n_pairs
+    surv = dedup_survivors_ds(
+        rd.from_pandas(df[["doc_id"]]).repartition(4), pairs, "doc_id"
+    ).to_pandas()
+    # exactly: min id of the identical cluster + the three unique docs
+    assert sorted(surv["doc_id"]) == [0, n, n + 1, n + 2]
