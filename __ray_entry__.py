@@ -1450,19 +1450,48 @@ def _q_token_search(sf_dir: str):
     layouts): build once, read only the query terms' ``tp=`` dirs, AND via
     a distributed per-doc term count.  Oracle: ``list_contains`` on the
     whitespace split per term."""
+    from borges_ray.ops.index import search_all_terms
+
+    idx_dir = _token_index_dir(sf_dir)
+    out, _stats = search_all_terms(idx_dir, _SEARCH_TERMS)
+    return out
+
+
+def _token_index_dir(sf_dir: str) -> str:
+    """Build (once per sf dir) and return the hive-partitioned token index."""
     import hashlib
     import tempfile
 
-    from borges_ray.ops.index import build_token_index, search_all_terms
+    from borges_ray.ops.index import build_token_index
     from borges_ray.ops.relational import load
 
     tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
-    idx_dir = f"{tempfile.gettempdir()}/borges_tokidx_{tag}"
+    idx_dir = f"{tempfile.gettempdir()}/borges_tokidx2_{tag}"
     if not os.path.isdir(idx_dir):
         ds = load(sf_dir, "documents", columns=["doc_id", "text"])
         build_token_index(ds, idx_dir)
-    out, _stats = search_all_terms(idx_dir, _SEARCH_TERMS)
-    return out
+    return idx_dir
+
+
+def _q_bm25_search(sf_dir: str):
+    """Okapi BM25 ranked retrieval over the pruned inverted index: every
+    doc matching ≥1 query term scored with term-order-fixed IEEE-exact
+    arithmetic (integer tf/dl/df/N aggregates, one division per factor) —
+    the SQL oracle recomputes the identical expression."""
+    from borges_ray.ops.index import bm25_scores
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.textops import token_count_batch
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_dl(df: pd.DataFrame) -> pd.DataFrame:
+        ws, _ = token_count_batch(df["text"].fillna(""))
+        out = df[["doc_id"]].copy()
+        out["dl"] = ws
+        return out
+
+    doclens = ds.map_batches(add_dl, batch_format="pandas")
+    return bm25_scores(_token_index_dir(sf_dir), _SEARCH_TERMS, doclens)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1472,6 +1501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _q_sequence_pack,
         "model_score": _q_model_score,
         "token_search": _q_token_search,
+        "bm25_search": _q_bm25_search,
         "cosine_neardup": _q_cosine_neardup,
         "cosine_neardup_lsh": _q_cosine_neardup_lsh,
         "knn_lsh": _q_knn_lsh,
@@ -2325,6 +2355,44 @@ def oracle_sql() -> dict[str, str]:
                         w -> list_contains(['the','a','an','and','or','of','to','in','on','for','with','at','by','from','as','is','are','was','were','be','been','it','this','that'], w))) AS DOUBLE)
                         / greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1), 6) AS stopword_frac
             FROM documents
+        """,
+        "bm25_search": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ),
+            t AS (
+              SELECT doc_id,
+                     CAST(len(w) AS BIGINT) AS dl,
+                     CAST(len(list_filter(w, x -> x = 'merge')) AS BIGINT) AS tf1,
+                     CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf2,
+                     CAST(len(list_filter(w, x -> x = 'stream')) AS BIGINT) AS tf3
+              FROM toks
+            ),
+            g AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS sdl,
+                     CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                     CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+                     CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+              FROM t
+            )
+            SELECT doc_id,
+                   round((
+                     CASE WHEN tf1 = 0 THEN 0.0 ELSE
+                       ln((g.n - g.df1 + 0.5) / (g.df1 + 0.5)) * (tf1 * 2.2)
+                       / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (CAST(g.sdl AS DOUBLE) / g.n)))) END
+                     + CASE WHEN tf2 = 0 THEN 0.0 ELSE
+                       ln((g.n - g.df2 + 0.5) / (g.df2 + 0.5)) * (tf2 * 2.2)
+                       / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (CAST(g.sdl AS DOUBLE) / g.n)))) END
+                   ) + CASE WHEN tf3 = 0 THEN 0.0 ELSE
+                       ln((g.n - g.df3 + 0.5) / (g.df3 + 0.5)) * (tf3 * 2.2)
+                       / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (CAST(g.sdl AS DOUBLE) / g.n)))) END,
+                   6) AS bm25
+            FROM t, g
+            WHERE tf1 + tf2 + tf3 > 0
         """,
         "token_search": r"""
             SELECT doc_id FROM documents

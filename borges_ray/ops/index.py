@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
 
@@ -41,15 +42,20 @@ def build_token_index(ds: rd.Dataset, index_dir: str, *,
                       id_col: str = "doc_id", text_col: str = "text",
                       num_parts: int = 16) -> None:
     """(id, text) → hive-partitioned postings ``tp=<p>/`` of
-    (term, id) rows, one row per DISTINCT (doc, token)."""
+    (id, term, tf) rows, one row per DISTINCT (doc, token) carrying the
+    within-doc term frequency (ranked retrieval needs tf; membership
+    queries ignore it)."""
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         rows = df[[id_col]].copy()
         rows["term"] = df[text_col].fillna("").str.split()
         ex = (rows.explode("term", ignore_index=True)
-              .dropna(subset=["term"]).drop_duplicates())
-        ex["tp"] = [_token_part(t, num_parts) for t in ex["term"]]
-        return ex[[id_col, "term", "tp"]]
+              .dropna(subset=["term"]))
+        g = (ex.groupby([id_col, "term"], sort=False).size()
+             .rename("tf").reset_index())
+        g["tf"] = g["tf"].astype("int64")
+        g["tp"] = [_token_part(t, num_parts) for t in g["term"]]
+        return g[[id_col, "term", "tf", "tp"]]
 
     ds.map_batches(explode, batch_format="pandas").write_parquet(
         index_dir, partition_cols=["tp"])
@@ -96,3 +102,88 @@ def search_all_terms(index_dir: str, terms: list[str], *,
         lambda df: df.loc[df["n_terms"] == len(want), [id_col]],
         batch_format="pandas")
     return out, stats
+
+
+def bm25_scores(index_dir: str, terms: list[str], doclens: rd.Dataset, *,
+                id_col: str = "doc_id", num_parts: int = 16,
+                k1: float = 1.2, b: float = 0.75) -> rd.Dataset:
+    """BM25 ranked retrieval over the pruned inverted index (Robertson &
+    Walker's Okapi BM25 — the public standard relevance function): for
+    every document matching ≥1 query term,
+
+        score = Σ_t idf(t) · (tf·(k1+1)) / (tf + k1·(1−b+b·dl/avgdl)),
+        idf(t) = ln((N − df_t + 0.5) / (df_t + 0.5))
+
+    with the terms summed in their given (fixed) order so the arithmetic
+    is IEEE-reproducible by the SQL oracle.  ``doclens`` is the corpus
+    (id, dl) table; N / Σdl / per-term df are keys-only distributed
+    aggregates of which the driver sees only scalars.
+
+    Scale shape: the pruned postings read touches only the query terms'
+    ``tp=`` partitions; the per-doc tf pivot is one bucketed shuffle over
+    the MATCHING docs; doc lengths attach via a keys-only hash join with
+    the match set on the small side."""
+    from .relational import grouped_agg, groupby_buckets, hash_join, spill_point
+
+    import math
+
+    want = list(dict.fromkeys(terms))  # fixed order, deduped
+    parts = sorted({_token_part(t, num_parts) for t in want})
+    dirs = [os.path.join(index_dir, f"tp={p}") for p in parts
+            if os.path.isdir(os.path.join(index_dir, f"tp={p}"))]
+    corpus = grouped_agg(
+        doclens.map_batches(lambda df: df.assign(__one=1), batch_format="pandas"),
+        ["__one"], {"n": ("count", id_col), "sdl": ("sum", "dl")}).to_pandas()
+    n_docs, sum_dl = int(corpus["n"].iloc[0]), int(corpus["sdl"].iloc[0])
+    avgdl = sum_dl / float(n_docs)  # exact ints → one division (== SQL)
+
+    import pyarrow as pa
+
+    if not dirs:
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "bm25": pa.array([], pa.float64())}))
+    import pyarrow.compute as pc
+
+    files = sorted(os.path.join(d, f) for d in dirs for f in os.listdir(d)
+                   if f.endswith(".parquet"))
+    postings = rd.read_parquet(files, columns=[id_col, "term", "tf"],
+                               filter=pc.field("term").isin(want))
+
+    # per-term document frequency: keys-only aggregate, driver sees |terms| rows
+    dfreq = grouped_agg(postings, ["term"],
+                        {"df": ("count", id_col)}).to_pandas()
+    df_of = dict(zip(dfreq["term"], dfreq["df"].astype(int)))
+    idf = {t: math.log((n_docs - df_of.get(t, 0) + 0.5)
+                       / (df_of.get(t, 0) + 0.5)) for t in want}
+
+    # pivot tf per doc into fixed term order (one bucketed shuffle over
+    # matching docs only)
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.pivot_table(index=id_col, columns="term", values="tf",
+                           aggfunc="first", fill_value=0)
+        out = pd.DataFrame({id_col: w.index.to_numpy()})
+        for i, t in enumerate(want):
+            out[f"__tf{i}"] = (w[t].to_numpy() if t in w.columns
+                               else np.zeros(len(w), dtype=np.int64)).astype("int64")
+        return out
+
+    matches = spill_point(groupby_buckets(postings, [id_col], pivot),
+                          "bm25_pivot")
+    joined = hash_join(doclens, matches, on=[id_col])
+
+    idf_list = [idf[t] for t in want]
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dl = df["dl"].to_numpy(dtype=np.float64)
+        norm = k1 * (1.0 - b + b * (dl / avgdl))
+        total = np.zeros(len(df))
+        for i, t in enumerate(want):
+            tf = df[f"__tf{i}"].to_numpy(dtype=np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                s = (idf_list[i] * (tf * (k1 + 1.0))) / (tf + norm)
+            total = total + np.where(tf == 0.0, 0.0, s)
+        out = df[[id_col]].copy()
+        out["bm25"] = np.round(total, 6)
+        return out
+
+    return joined.map_batches(score, batch_format="pandas")
