@@ -111,18 +111,26 @@ def ledger_key_count(ledger_dir: str) -> int:
 
 
 def _ledger_max_period(ledger_dir: str, period_col: str):
-    """Max committed period across the ledger's key files (column-pruned
-    scan of the period column only)."""
-    files = _key_files(ledger_dir)
-    if not files:
-        return None
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pads
+    """Max committed period across the ledger's key files, from parquet
+    ROW-GROUP STATISTICS only — the driver never reads period data (at
+    10^10 ledger keys a column scan would be O(keys) driver time); cost is
+    one metadata footer per file."""
+    import pyarrow.parquet as pq
 
-    col = pads.dataset(files, format="parquet").to_table(columns=[period_col])
-    if col.num_rows == 0:
-        return None
-    return pc.max(col[period_col]).as_py()
+    best = None
+    for f in _key_files(ledger_dir):
+        md = pq.ParquetFile(f).metadata
+        try:
+            ci = md.schema.to_arrow_schema().get_field_index(period_col)
+        except Exception:
+            continue
+        if ci < 0:
+            continue
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is not None and st.has_min_max:
+                best = st.max if best is None else max(best, st.max)
+    return best
 
 
 def ledger_upsert_periods(ds: rd.Dataset, ledger_dir: str, key_col: str,
