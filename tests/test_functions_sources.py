@@ -114,3 +114,22 @@ def test_pipeline_step_protocol_and_compose(ray_session):
     assert isinstance(step, PipelineStep)
     out = step(rd.from_pandas(pd.DataFrame({"x": [1, 2]}))).to_pandas()
     assert out["x"].tolist() == [4, 6]            # left-to-right order
+
+
+def test_auto_num_blocks_metadata_heuristic(tmp_path):
+    """Block sizing from parquet METADATA: small tables get the rows/200
+    term (not Ray's num_cpus*2 shred), big files get the bytes/16MB term."""
+    import pandas as pd
+
+    from borges_ray.ops.relational import _auto_num_blocks
+
+    p = str(tmp_path / "small.parquet")
+    pd.DataFrame({"x": range(500)}).to_parquet(p)
+    assert _auto_num_blocks([p]) == 3            # ceil(500/200), tiny bytes
+
+    p2 = str(tmp_path / "wide.parquet")
+    pd.DataFrame({"x": range(100_000)}).to_parquet(p2)
+    nb = _auto_num_blocks([p2])
+    assert nb == 64                              # rows term capped at 64
+    # bytes term dominates once files are big: simulate via tiny target
+    assert _auto_num_blocks([p2], target_bytes=1 << 12) > 64

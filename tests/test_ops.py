@@ -723,3 +723,25 @@ def test_minhash_hot_bucket_cap_keeps_cluster_connected(ray_session):
     ).to_pandas()
     # exactly: min id of the identical cluster + the three unique docs
     assert sorted(surv["doc_id"]) == [0, n, n + 1, n + 2]
+
+
+def test_near_dup_zero_pairs_corpus(ray_session):
+    """A corpus with NO near-dups flows through the whole Dataset chain —
+    empty pair blocks, empty CC labels — and survivors == the full corpus."""
+    from borges_ray.ops.dedup import (
+        dedup_survivors_ds,
+        minhash_near_dup_pairs_ds,
+        near_dup_labels_ds,
+    )
+
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                       "text": [" ".join(f"w{i}x{j}" for j in range(30))
+                                for i in range(40)]})
+    ds = rd.from_pandas(df).repartition(6)
+    assert minhash_near_dup_pairs_ds(ds, "doc_id", threshold=0.5).count() == 0
+    assert near_dup_labels_ds(
+        minhash_near_dup_pairs_ds(ds, "doc_id", threshold=0.5)).count() == 0
+    surv = dedup_survivors_ds(
+        rd.from_pandas(df[["doc_id"]]).repartition(3),
+        minhash_near_dup_pairs_ds(ds, "doc_id", threshold=0.5), "doc_id")
+    assert sorted(surv.to_pandas()["doc_id"]) == list(range(40))
