@@ -99,6 +99,26 @@ def _count_rows(path: str) -> int:
     return pads.dataset(path, format="parquet").count_rows()
 
 
+def _scan_blocks(path_or_files, num_partitions: int) -> int:
+    """Metadata-driven block count for frontier/seen scans: bytes-scaled
+    (grows with the table — at a 10^10-row frontier this is what sets real
+    parallelism) with a rows floor, capped at ``num_partitions`` so a small
+    round never shreds a ~1 MB frontier into 32 micro-blocks whose per-task
+    overhead dominates the round (the same pathology
+    ``relational._auto_num_blocks`` fixes for queries)."""
+    from ..ops.relational import _auto_num_blocks
+
+    if isinstance(path_or_files, str):
+        files = [os.path.join(dp, f) for dp, _dn, fs in os.walk(path_or_files)
+                 for f in fs if f.endswith(".parquet")]
+    else:
+        files = list(path_or_files)
+    if not files:
+        return 1
+    return _auto_num_blocks(files, target_bytes=4 << 20, rows_per_block=5000,
+                            max_row_blocks=num_partitions)
+
+
 def _write_ds_into(final_dir: str, ds_or_table, tag: str) -> None:
     """Write a Dataset (or small Arrow table) as parquet files inside
     ``final_dir`` under a unique ``tag`` prefix (atomic: tmp + rename)."""
@@ -346,7 +366,8 @@ def run_crawl(
 
         loaded = (
             rd.read_parquet(seen_files, columns=["url"],
-                            override_num_blocks=cfg.num_partitions)
+                            override_num_blocks=_scan_blocks(
+                                seen_files, cfg.num_partitions))
             .map_batches(_load_seen, batch_format="pandas")
             .sum("n")
         )
@@ -403,8 +424,9 @@ def run_crawl(
 
         # force ≥ num_partitions read blocks: a small frontier otherwise
         # coalesces into one ~128 MB block and the combiner pass serializes
-        frontier = rd.read_parquet(frontier_path,
-                                   override_num_blocks=cfg.num_partitions)
+        frontier = rd.read_parquet(
+            frontier_path,
+            override_num_blocks=_scan_blocks(frontier_path, cfg.num_partitions))
 
         # 1. politeness selection (host_seq assigned).  The selection is
         # politeness-BOUNDED (≤ budget × hosts rows), so pinning it in the
@@ -489,7 +511,9 @@ def run_crawl(
             nf_path = os.path.join(next_dir, "frontier")
             if _count_rows(nf_path) == 0:
                 return None
-            nf = rd.read_parquet(nf_path, override_num_blocks=cfg.num_partitions)
+            nf = rd.read_parquet(
+                nf_path,
+                override_num_blocks=_scan_blocks(nf_path, cfg.num_partitions))
             state: dict = {}
             t0p = time.time()
 
@@ -518,8 +542,9 @@ def run_crawl(
         # 2. deferral (frontier scan minus selected urls) — runs CONCURRENTLY
         # with fetch+parse on a driver thread: the two pipelines share no
         # data dependency, so their Ray executions overlap
-        frontier2 = rd.read_parquet(frontier_path,
-                                    override_num_blocks=cfg.num_partitions)
+        frontier2 = rd.read_parquet(
+            frontier_path,
+            override_num_blocks=_scan_blocks(frontier_path, cfg.num_partitions))
         deferred = defer_frontier(frontier2, sel_dir)
         frontier_next_dir = os.path.join(next_dir, "frontier")
         defer_err: list[BaseException] = []
