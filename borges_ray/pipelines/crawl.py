@@ -422,8 +422,8 @@ def run_crawl(
 
         host_state_dir = os.path.join(this_dir, "host_state")
 
-        # force ≥ num_partitions read blocks: a small frontier otherwise
-        # coalesces into one ~128 MB block and the combiner pass serializes
+        # metadata-driven scan blocks: bytes-scaled at design scale, small
+        # for a ~1 MB sandbox frontier (see _scan_blocks)
         frontier = rd.read_parquet(
             frontier_path,
             override_num_blocks=_scan_blocks(frontier_path, cfg.num_partitions))
