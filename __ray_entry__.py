@@ -850,14 +850,25 @@ def _crawl_oracle_parquet() -> str:
     can SQL-compare the full table (rows + schema + values) — this converts
     the crawl from a rows-only check to the same gate every other query
     has.  Deterministic: same seed → same bytes."""
+    import hashlib
     import tempfile
 
     import reference_crawl as rc
+    from borges_ray import schemas as _schemas
+    from borges_ray import synth as _synth
     from borges_ray.synth import synth_pages, synth_robots, synth_seeds
 
+    # cache key covers the GENERATING CODE, not just the config: an edit to
+    # the oracle, the synth web, or the CRAWLED schema must invalidate the
+    # cached expected table rather than silently serve stale expectations
+    h = hashlib.blake2b(digest_size=6)
+    for mod in (rc, _synth, _schemas):
+        with open(mod.__file__, "rb") as fp:
+            h.update(fp.read())
     path = os.path.join(
         tempfile.gettempdir(),
-        f"borges_crawl_expected_{_CRAWL_Q_SEED}_{_CRAWL_Q_PAGES}_r{_CRAWL_Q_ROUNDS}.parquet")
+        f"borges_crawl_expected_{_CRAWL_Q_SEED}_{_CRAWL_Q_PAGES}"
+        f"_r{_CRAWL_Q_ROUNDS}_{h.hexdigest()}.parquet")
     if os.path.exists(path):
         return path
     pages = synth_pages(_CRAWL_Q_SEED, _CRAWL_Q_PAGES)
@@ -1465,8 +1476,12 @@ def _token_index_dir(sf_dir: str) -> str:
     from borges_ray.ops.index import build_token_index
     from borges_ray.ops.relational import load
 
-    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
-    idx_dir = f"{tempfile.gettempdir()}/borges_tokidx2_{tag}"
+    from borges_ray.ops import index as _index_mod
+
+    h = hashlib.blake2b(sf_dir.encode(), digest_size=6)
+    with open(_index_mod.__file__, "rb") as fp:
+        h.update(fp.read())  # code change invalidates the cached index
+    idx_dir = f"{tempfile.gettempdir()}/borges_tokidx2_{h.hexdigest()}"
     if not os.path.isdir(idx_dir):
         ds = load(sf_dir, "documents", columns=["doc_id", "text"])
         build_token_index(ds, idx_dir)

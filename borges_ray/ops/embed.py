@@ -241,7 +241,7 @@ def cosine_near_dup_pairs_ds(
     plane-seed repetitions stay DISTRIBUTED — per-rep pair sets are unioned
     and de-duplicated with a distributed distinct; only the final
     candidate-sized result is collected."""
-    from .relational import distinct, groupby_buckets, spill_point
+    from .relational import groupby_buckets, spill_point
 
     sample = ds.take(1)
     dim = len(sample[0][vec_col])
@@ -303,9 +303,15 @@ def cosine_near_dup_pairs_ds(
             groupby_buckets(bucketed, ["bucket"], verify_block),
             f"cospairs{rep}"))
     unioned = rep_pairs[0].union(*rep_pairs[1:])
-    # cos is deterministic per pair (rounded from the same vectors), so the
-    # 3-column distinct IS a full pair dedup — no driver collection needed
-    return distinct(unioned, ["id_a", "id_b", "cos"])
+    # dedup by the PAIR KEY, not by (pair, cos): the same dot product is
+    # computed in different GEMM tile shapes per rep, which can round one
+    # ulp apart at a 0.5e-6 boundary — keying on cos would then let both
+    # copies of a pair survive.  Deterministic winner: min cos.
+    return groupby_buckets(
+        unioned,
+        ["id_a", "id_b"],
+        lambda df: (df.sort_values(["id_a", "id_b", "cos"], kind="mergesort")
+                    .drop_duplicates(subset=["id_a", "id_b"], keep="first")))
 
 
 def cosine_near_dup_pairs(

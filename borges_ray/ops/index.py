@@ -127,6 +127,9 @@ def bm25_scores(index_dir: str, terms: list[str], doclens: rd.Dataset, *,
 
     import math
 
+    # pin doclens: it is consumed twice (corpus aggregate + the dl join) —
+    # without the spill the caller's tokenize pass would execute twice
+    doclens = spill_point(doclens, "bm25_dl")
     want = list(dict.fromkeys(terms))  # fixed order, deduped
     parts = sorted({_token_part(t, num_parts) for t in want})
     dirs = [os.path.join(index_dir, f"tp={p}") for p in parts

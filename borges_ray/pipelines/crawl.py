@@ -408,9 +408,12 @@ def run_crawl(
     while rnd < cfg.max_rounds:
         t_round = time.time()
         marks: dict[str, float] = {}
+        marks_lock = threading.Lock()  # prefetch/host-state threads write
+        # into this round's marks while the timing print may iterate it
 
         def _mark(name: str, t0: float) -> None:
-            marks[name] = round(time.time() - t0, 2)
+            with marks_lock:
+                marks[name] = round(time.time() - t0, 2)
 
         this_dir = ckpt.round_dir(ckpt_dir, rnd)
         next_dir = ckpt.round_dir(ckpt_dir, rnd + 1)
@@ -482,7 +485,7 @@ def run_crawl(
                 _update_host_state(host_state_dir, host_counts,
                                    os.path.join(next_dir, "host_state"),
                                    cfg.num_partitions, delays, rnd, cfg.round_ms)
-                marks["host_state"] = round(time.time() - t0h, 2)
+                _mark("host_state", t0h)
             except BaseException as e:  # surfaced before prefetch/commit
                 hs_err.append(e)
 
@@ -524,14 +527,14 @@ def run_crawl(
                         num_partitions=cfg.num_partitions, rnd=rnd + 1,
                         night_shift=cfg.night_shift,
                         round_ms=cfg.round_ms).materialize()
-                    marks["prefetch_select"] = round(time.time() - t0p, 2)
+                    _mark("prefetch_select", t0p)
                     # software pipeline the EXPENSIVE stage too: round r+1's
                     # fetch-join + parse runs here, overlapped with round
                     # r's gate/metrics/commit tail.  Nothing is persisted
                     # (the pinned parse output is written by round r+1
                     # itself), so crash/resume semantics are unchanged.
                     state["parsed"] = _fetch_parse(state["selected"], rnd + 1)
-                    marks["prefetch_fetch"] = round(time.time() - t0p, 2)
+                    _mark("prefetch_fetch", t0p)
                 except BaseException as e:
                     state["err"] = e
 
@@ -578,7 +581,7 @@ def run_crawl(
         def _write_crawled_job():
             try:
                 _write_ds_into(crawled_dir, parsed, "fetched")
-                marks["write_crawled"] = round(time.time() - t_wc, 2)
+                _mark("write_crawled", t_wc)
             except BaseException as e:  # surfaced before the metrics read
                 wc_err.append(e)
 
@@ -696,8 +699,10 @@ def run_crawl(
 
         ckpt.commit_round(ckpt_dir, rnd + 1)
         if timing:
+            with marks_lock:
+                snapshot = dict(marks)
             print(f"[crawl-timing] round={rnd} total={time.time() - t_round:.2f} "
-                  f"{marks}", file=sys.stderr)
+                  f"{snapshot}", file=sys.stderr)
         rnd += 1
 
     return {

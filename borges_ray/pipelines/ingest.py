@@ -53,7 +53,12 @@ class PageFeaturizer:
 
         urls = t["url"].to_pylist()
         htmls = t["html"].to_pylist()
-        sizes = [0 if h is None else len(h) for h in htmls]
+        # size in BYTES regardless of column type (a string html column
+        # measured by len() would under-count multi-byte pages and let an
+        # over-cap payload slip the DocumentTooLarge triage)
+        sizes = [0 if h is None
+                 else len(h) if isinstance(h, (bytes, bytearray))
+                 else len(h.encode("utf-8")) for h in htmls]
         cap = self.max_payload_bytes
         over = [cap is not None and s > cap for s in sizes]
         texts = ["" if o else extract_text(h) for o, h in zip(over, htmls)]
@@ -271,11 +276,18 @@ def bulk_ingest_resumable(
         for f in fs if f.endswith(".parquet"))
     from ..ops.relational import _auto_num_blocks
 
-    keys = rd.read_parquet(shard_files, columns=["url", "fingerprint", "error"],
+    # backward-compat: shards sealed by a pre-error-column build lack the
+    # column — a resume must not crash at the keys read on their account
+    import pyarrow.parquet as _pq
+
+    has_error_col = "error" in _pq.ParquetFile(shard_files[0]).schema_arrow.names
+    key_cols = ["url", "fingerprint"] + (["error"] if has_error_col else [])
+    keys = rd.read_parquet(shard_files, columns=key_cols,
                            override_num_blocks=_auto_num_blocks(shard_files))
-    keys = keys.map_batches(
-        lambda df: df.loc[df["error"].isna(), ["url", "fingerprint"]],
-        batch_format="pandas")
+    if has_error_col:
+        keys = keys.map_batches(
+            lambda df: df.loc[df["error"].isna(), ["url", "fingerprint"]],
+            batch_format="pandas")
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()

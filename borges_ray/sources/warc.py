@@ -24,7 +24,6 @@ import pandas as pd
 import ray.data as rd
 
 _CRLF = b"\r\n"
-_PART_SEQ = 0  # per-process part-file counter (write_warc naming)
 _HDR_RE = re.compile(
     rb"WARC/1\.0\r\nWARC-Target-URI: (?P<uri>[^\r\n]*)\r\n"
     rb"WARC-Date: (?P<date>[^\r\n]*)\r\nContent-Length: (?P<len>\d+)\r\n\r\n"
@@ -61,18 +60,19 @@ def write_warc(ds: rd.Dataset, out_dir: str, *, url_col: str = "url",
         )
         import hashlib
 
-        # uniqueness within the run: content digest + writer pid + a
-        # per-process counter (two blocks can share a first url, a url
-        # multiset, or even full byte content — none of those may collide
-        # into one file name).  Rerun idempotency comes from the up-front
-        # part-file cleanup, not from the name.
-        global _PART_SEQ
-        _PART_SEQ += 1
-        h = hashlib.blake2b(blob, digest_size=8).hexdigest()
-        path = os.path.join(
-            out_dir, f"part-{h}-{os.getpid()}-{_PART_SEQ}.warc")
-        with open(path, "wb") as f:
+        # name = digest of the FULL record bytes: a retried/re-executed
+        # dump task rewrites the same bytes under the same name (atomic
+        # replace below) instead of duplicating records; rerun idempotency
+        # across calls comes from the up-front part-file cleanup.  Known
+        # limit: two blocks whose entire byte content is identical (i.e.
+        # fully duplicated records) merge into one file — record-level
+        # duplicates across such blocks should be deduped upstream.
+        h = hashlib.blake2b(blob, digest_size=12).hexdigest()
+        path = os.path.join(out_dir, f"part-{h}.warc")
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
             f.write(blob)
+        os.replace(tmp, path)  # atomic: a dying writer never leaves a stub
         return pd.DataFrame({"path": [path], "n_records": [len(df)]})
 
     # consume: the writer-side map emits one manifest row per file

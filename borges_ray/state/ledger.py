@@ -162,6 +162,14 @@ def ledger_upsert_periods(ds: rd.Dataset, ledger_dir: str, key_col: str,
         to_process = novel
     else:
         cur = _ledger_max_period(ledger_dir, period_col)
+        if cur is None:
+            # silent fallback would skip the refresh contract entirely
+            # (df[period_col] != None is elementwise True → every key
+            # "done"); a period-less ledger is a different store
+            raise ValueError(
+                f"ledger at {ledger_dir} has no '{period_col}' statistics — "
+                "was it written by the period-less ledger_upsert?  "
+                "ledger_upsert_periods requires a period-keyed ledger.")
         ledger_keys = rd.read_parquet(existing, columns=[key_col, period_col])
         # completed-period keys filter admission; the current period's keys
         # do NOT (they are re-admitted for refresh)
