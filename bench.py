@@ -169,6 +169,9 @@ QUERY_SUBSET = [
     # dedup-family additions (r03): full MinHash→CC→survivors pipeline,
     # corpus-global paragraph dedup, semantic dedup
     "minhash_dedup_survivors", "paragraph_dedup", "semdedup",
+    # r04 additions: retrieval over the pruned inverted index, fixed-context
+    # sequence packing, hashed-linear model scoring
+    "bm25_search", "sequence_pack", "model_score",
 ]
 
 
