@@ -1509,10 +1509,33 @@ def _q_bm25_search(sf_dir: str):
     return bm25_scores(_token_index_dir(sf_dir), _SEARCH_TERMS, doclens)
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Rolling-recrawl snapshot diff: two deterministic snapshots derived
+    from the documents table (old drops doc_id%11==3, new drops
+    doc_id%13==5 and rewrites text for doc_id%9==0) classified as
+    added/removed/changed/unchanged via one full-outer hash join."""
+    from borges_ray.ops.records import snapshot_diff
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    old = ds.map_batches(lambda df: df[df["doc_id"] % 11 != 3],
+                         batch_format="pandas")
+
+    def mk_new(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["doc_id"] % 13 != 5].copy()
+        mod = out["doc_id"] % 9 == 0
+        out.loc[mod, "text"] = out.loc[mod, "text"].fillna("") + " v2"
+        return out
+
+    new = ds.map_batches(mk_new, batch_format="pandas")
+    return snapshot_diff(old, new, "doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bpe_tokens": _q_bpe_tokens,
         "oversized_payloads": _q_oversized_payloads,
+        "snapshot_diff": _q_snapshot_diff,
         "sequence_pack": _q_sequence_pack,
         "model_score": _q_model_score,
         "token_search": _q_token_search,
@@ -2456,6 +2479,25 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(round(CAST(s.sw AS DOUBLE) / (s.n * 1000003.0)
                                   - 0.5, 6), 0.0) AS model_score
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3
+            ),
+            new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 9 = 0
+                          THEN coalesce(text, '') || ' v2' ELSE text END AS text
+              FROM documents WHERE doc_id % 13 <> 5
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text = n.text
+                             OR (o.text IS NULL AND n.text IS NULL)
+                             THEN 'unchanged'
+                        ELSE 'changed' END AS change
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
         """,
         "oversized_payloads": """
             SELECT doc_id,

@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import xml.etree.ElementTree as ET
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
 
@@ -219,3 +220,47 @@ def cap_payload_rows(ds: rd.Dataset, payload_col: str, *,
         return out
 
     return ds.map_batches(cap, batch_format="pandas")
+
+
+def snapshot_diff(old: rd.Dataset, new: rd.Dataset, key: str,
+                  payload: str) -> rd.Dataset:
+    """Incremental-corpus snapshot diff: classify every key across two
+    snapshots as ``added`` (new only), ``removed`` (old only), ``changed``
+    (both, payload differs) or ``unchanged`` — the audit/planning step of a
+    rolling recrawl (which keys must re-enter the pipeline, which outputs
+    can be carried forward).  Complements the admission-side
+    :func:`~borges_ray.state.ledger.ledger_upsert` /
+    :func:`ledger_upsert_periods` (what to ADMIT) with the content-side
+    question (what actually CHANGED).
+
+    One bucketed full-outer hash join on the key; payload comparison is
+    per-row equality inside the join block — payloads move through the
+    shuffle once each, nothing is collected."""
+    from .relational import hash_join
+
+    # explicit presence markers: a NULL payload must not read as an absent
+    # row (both-null payloads compare as unchanged)
+    o = old.map_batches(
+        lambda df: df[[key, payload]].rename(columns={payload: "__old"})
+                     .assign(__ho=np.int8(1)),
+        batch_format="pandas")
+    n = new.map_batches(
+        lambda df: df[[key, payload]].rename(columns={payload: "__new"})
+                     .assign(__hn=np.int8(1)),
+        batch_format="pandas")
+    joined = hash_join(o, n, on=[key], join_type="full_outer")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        has_old = df["__ho"].notna()
+        has_new = df["__hn"].notna()
+        same = (df["__old"] == df["__new"]) | (
+            df["__old"].isna() & df["__new"].isna())
+        change = np.where(
+            ~has_old, "added",
+            np.where(~has_new, "removed",
+                     np.where(same, "unchanged", "changed")))
+        out = df[[key]].copy()
+        out["change"] = change
+        return out
+
+    return joined.map_batches(classify, batch_format="pandas")

@@ -64,3 +64,25 @@ def test_keyed_overwrite_untouched_rows_identical(ray_session):
     want = pd.DataFrame({"k": [1, 2, 3, 4, 5],
                          "v": ["a", "B2", "c", "d", "E2"]})
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_snapshot_diff_classification(ray_session):
+    """added/removed/changed/unchanged across two snapshots, including the
+    NULL-payload corners (present-with-null != absent; both-null payloads
+    are unchanged)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from borges_ray.ops.records import snapshot_diff
+
+    old = pd.DataFrame({"k": np.array([1, 2, 3, 4], dtype=np.int64),
+                        "v": ["a", "b", None, None]})
+    new = pd.DataFrame({"k": np.array([2, 3, 4, 5], dtype=np.int64),
+                        "v": ["B", None, "now-set", "fresh"]})
+    out = (snapshot_diff(rd.from_pandas(old).repartition(2),
+                         rd.from_pandas(new).repartition(3), "k", "v")
+           .to_pandas().sort_values("k", ignore_index=True))
+    got = dict(zip(out["k"], out["change"]))
+    assert got == {1: "removed", 2: "changed", 3: "unchanged",
+                   4: "changed", 5: "added"}
