@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 
@@ -157,10 +158,15 @@ def bulk_ingest(
         missed = rd.read_parquet(feat_dir,
                                  columns=["url", "n_html_bytes", "error"])
         missed = missed.map_batches(
-            lambda df: df[df["error"].notna()], batch_format="pandas")
+            lambda t: t.filter(pc.is_valid(t["error"])),
+            batch_format="pyarrow")
         missed_dir = os.path.join(out_dir, "missed")
-        missed.write_parquet(missed_dir)
-        n_missed = pads.dataset(missed_dir, format="parquet").count_rows()
+        n_missed = missed.count()
+        if n_missed:
+            missed.write_parquet(missed_dir)
+        else:
+            # an empty Dataset writes no files; keep the sink dir present
+            os.makedirs(missed_dir, exist_ok=True)
         n_feat -= n_missed
     if not dedup:
         return {"rows_out": n_feat, "rows_missed": n_missed}

@@ -368,6 +368,26 @@ def test_bulk_ingest_oversized_payload_error_rows(ray_session, tmp_path):
     assert feat_bytes < len(big) // 4, feat_bytes
 
 
+def test_bulk_ingest_payload_cap_nothing_over(ray_session, tmp_path):
+    """Cap set but zero over-cap rows: an empty missed Dataset writes no
+    parquet files — the sink must still come out empty-but-present and the
+    pipeline must not crash re-reading it (regression: 1M-page run)."""
+    import os
+
+    from borges_ray.pipelines.ingest import bulk_ingest
+    from borges_ray.synth import synth_pages
+
+    src = tmp_path / "pages"
+    src.mkdir()
+    synth_pages(11, 30).to_pandas()[["url", "html"]].to_parquet(
+        src / "p0.parquet")
+    out = str(tmp_path / "out")
+    res = bulk_ingest(str(src), out, max_payload_bytes=1 << 30)
+    assert res["rows_missed"] == 0
+    assert res["rows_out"] == 30
+    assert os.path.isdir(os.path.join(out, "missed"))
+
+
 def test_ledger_upsert_incremental(ray_session, tmp_path):
     """Cross-run insert-if-absent: run 2 admits only keys unseen by run 1,
     run 3 with nothing new admits nothing; the ledger accumulates exactly
