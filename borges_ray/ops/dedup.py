@@ -315,20 +315,36 @@ def _make_band_pairs(id_col: str, max_bucket: int = 4096):
     members outright)."""
 
     def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        counts = df.groupby(["band", "band_hash"], sort=False)[id_col].nunique()
-        hot = counts[counts >= 2].index
-        if not len(hot):
+        if not len(df):
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64")})
-        sub = df.set_index(["band", "band_hash"])
+        # ONE sort + run-length bucket boundaries: the former per-hot-key
+        # ``MultiIndex.loc`` lookup scanned the whole block per bucket —
+        # O(buckets × rows), the dominant cost of the spawn stage on
+        # collision-dense corpora
+        order = np.lexsort((df[id_col].to_numpy(),
+                            df["band_hash"].to_numpy(),
+                            df["band"].to_numpy()))
+        bd = df["band"].to_numpy()[order]
+        bh = df["band_hash"].to_numpy()[order]
+        ids_all = df[id_col].to_numpy()[order]
+        cut = np.flatnonzero((bd[1:] != bd[:-1]) | (bh[1:] != bh[:-1])) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(bd)]))
         out_a, out_b = [], []
-        for key in hot:
-            ids = np.unique(sub.loc[key, id_col].to_numpy())
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ids = ids_all[s:e]
+            ids = ids[np.concatenate(([True], ids[1:] != ids[:-1]))]  # pre-sorted unique
+            if len(ids) < 2:
+                continue
             if len(ids) > max_bucket:
                 logger.warning(
-                    "minhash band bucket %s has %d members (> %d): emitting "
-                    "capped all-pairs + connectivity chain; pair recall no "
-                    "longer exact for this bucket", key, len(ids), max_bucket)
+                    "minhash band bucket (%d,%d) has %d members (> %d): "
+                    "emitting capped all-pairs + connectivity chain; pair "
+                    "recall no longer exact for this bucket",
+                    bd[s], bh[s], len(ids), max_bucket)
                 head = ids[:max_bucket]
                 ia, ib = np.triu_indices(len(head), k=1)
                 out_a.append(head[ia])
@@ -339,6 +355,9 @@ def _make_band_pairs(id_col: str, max_bucket: int = 4096):
                 ia, ib = np.triu_indices(len(ids), k=1)
                 out_a.append(ids[ia])
                 out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
         return pd.DataFrame({"id_a": np.concatenate(out_a),
                              "id_b": np.concatenate(out_b)}).drop_duplicates()
 
