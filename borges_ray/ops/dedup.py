@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import os
 
 import numpy as np
 import pandas as pd
@@ -198,19 +199,7 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
-def minhash_sig_blob_table(
-    ds: rd.Dataset, id_col: str, *, num_perm: int = 64, shingle_k: int = 3,
-) -> rd.Dataset:
-    """ONE tokenize pass over the corpus → ``(id, __sig, __blob, __nsh)``:
-    the minhash signature bytes AND the sorted-unique shingle-hash set as a
-    u64 byte blob.  Banding derives from ``__sig`` without re-reading text;
-    exact-Jaccard verification intersects ``__blob`` arrays without
-    re-tokenizing — the r03 verify stage tokenized every pair endpoint a
-    second time.  The result is parquet-pinned (spill_point) because band
-    explode and verify both consume it.  ``num_perm=0`` skips the signature
-    (blobs-only mode for the exact n-gram path)."""
-    from .relational import spill_point
-
+def _make_featurize(id_col: str, num_perm: int, shingle_k: int):
     def featurize(df: pd.DataFrame) -> pd.DataFrame:
         hasher = _hasher_cache_get(num_perm, shingle_k) if num_perm else None
         sigs, blobs, nsh = [], [], []
@@ -229,8 +218,79 @@ def minhash_sig_blob_table(
                              "__sig": sigs, "__blob": blobs,
                              "__nsh": np.asarray(nsh, dtype=np.int64)})
 
-    return spill_point(ds.map_batches(featurize, batch_format="pandas"),
-                       "mh_feat")
+    return featurize
+
+
+def minhash_feat_spill(
+    ds: rd.Dataset, id_col: str, *, num_perm: int = 64, shingle_k: int = 3,
+) -> tuple[list[str], rd.Dataset | None]:
+    """ONE tokenize pass over the corpus, parquet-pinned as
+    ``(id, __sig, __blob, __nsh)``: the minhash signature bytes AND the
+    sorted-unique shingle-hash set as a u64 byte blob.  Banding derives
+    from ``__sig`` without re-reading text; exact-Jaccard verification
+    intersects ``__blob`` arrays without re-tokenizing — the r03 verify
+    stage tokenized every pair endpoint a second time.  ``num_perm=0``
+    skips the signature (blobs-only mode for the exact n-gram path).
+
+    Returns ``(files, fallback)``: the spill's parquet files, which each
+    consumer re-reads COLUMN-PRUNED via :func:`_pruned_spill_read` — the
+    blob column is the corpus-scale payload (~shingle-count × 8 B per doc,
+    5.6 GB at 1M synthetic pages) and dragging it through the banding map,
+    which needs only the 8·num_perm B signature, dominated that stage's
+    wall time in the 1M-doc measurement.  ``fallback`` is the unexecuted
+    featurize plan, non-None only when the corpus is empty (nothing was
+    written)."""
+    import tempfile
+
+    mapped = ds.map_batches(_make_featurize(id_col, num_perm, shingle_k),
+                            batch_format="pandas")
+    d = tempfile.mkdtemp(prefix="borges_mh_feat_")
+    mapped.write_parquet(d)
+    files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")]
+    if not files:
+        return [], mapped
+    return sorted(files), None
+
+
+def _pruned_spill_read(
+    files: list[str], cols: list[str], fallback: rd.Dataset | None,
+    *, target_bytes: int = 4 << 20,
+) -> rd.Dataset:
+    """Column-pruned re-read of a featurize spill.  Block count derives
+    from the compressed bytes of ONLY the selected columns (parquet
+    column-chunk metadata, driver-side) — sizing the sig-only read by
+    whole-file bytes would shred it into blob-sized block counts."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    if not files:
+        return fallback.select_columns(cols)
+    total = rows = 0
+    for p in files:
+        md = pq.ParquetFile(p).metadata
+        rows += md.num_rows
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema.split(".")[0] in cols:
+                    total += c.total_compressed_size
+    nb = max(1, math.ceil(total / target_bytes),
+             min(64, math.ceil(rows / 200)))
+    return rd.read_parquet(files, columns=list(cols), override_num_blocks=nb)
+
+
+def minhash_sig_blob_table(
+    ds: rd.Dataset, id_col: str, *, num_perm: int = 64, shingle_k: int = 3,
+) -> rd.Dataset:
+    """All four feature columns as one Dataset (see
+    :func:`minhash_feat_spill`; kept for callers that genuinely need sig
+    and blob together — the near-dup pipelines use the pruned reads)."""
+    files, fallback = minhash_feat_spill(ds, id_col, num_perm=num_perm,
+                                         shingle_k=shingle_k)
+    return _pruned_spill_read(files, [id_col, "__sig", "__blob", "__nsh"],
+                              fallback)
 
 
 def optimal_bands(num_perm: int, threshold: float, *,
@@ -471,15 +531,19 @@ def minhash_near_dup_pairs_ds(
 
     if bands is None:
         bands = optimal_bands(num_perm, threshold)
-    feat = minhash_sig_blob_table(ds, id_col, num_perm=num_perm,
-                                  shingle_k=shingle_k)
-    band_rows = band_rows_from_sigs(feat, id_col, num_perm=num_perm,
+    files, fallback = minhash_feat_spill(ds, id_col, num_perm=num_perm,
+                                         shingle_k=shingle_k)
+    # column-pruned re-reads: banding touches only the 8·num_perm B sig,
+    # verification only the blob — neither drags the other's payload
+    sig_ds = _pruned_spill_read(files, [id_col, "__sig"], fallback)
+    blob_ds = _pruned_spill_read(files, [id_col, "__blob", "__nsh"], fallback)
+    band_rows = band_rows_from_sigs(sig_ds, id_col, num_perm=num_perm,
                                     bands=bands)
     # no separate distinct shuffle: verify_pairs_blob dedups candidates
     # block-locally in its first (id_a-keyed) stage
     pairs = groupby_buckets(band_rows, ["band", "band_hash"],
                             _make_band_pairs(id_col, max_bucket))
-    return verify_pairs_blob(pairs, feat, id_col, threshold=threshold)
+    return verify_pairs_blob(pairs, blob_ds, id_col, threshold=threshold)
 
 
 def minhash_near_dup_pairs(
@@ -573,7 +637,9 @@ def ngram_jaccard_pairs_ds(
     logged and trades recall only (verify keeps precision exact)."""
     from .relational import groupby_buckets
 
-    feat = minhash_sig_blob_table(ds, id_col, num_perm=0, shingle_k=shingle_k)
+    files, fallback = minhash_feat_spill(ds, id_col, num_perm=0,
+                                         shingle_k=shingle_k)
+    feat = _pruned_spill_read(files, [id_col, "__blob", "__nsh"], fallback)
     ex = shingle_rows_from_blobs(feat, id_col)
 
     # shuffle 1: co-locate by shingle, attach document frequency.  df is
