@@ -254,12 +254,18 @@ def minhash_feat_spill(
 
 def _pruned_spill_read(
     files: list[str], cols: list[str], fallback: rd.Dataset | None,
-    *, target_bytes: int = 4 << 20,
+    *, target_bytes: int = 32 << 20,
 ) -> rd.Dataset:
     """Column-pruned re-read of a featurize spill.  Block count derives
     from the compressed bytes of ONLY the selected columns (parquet
     column-chunk metadata, driver-side) — sizing the sig-only read by
-    whole-file bytes would shred it into blob-sized block counts."""
+    whole-file bytes would shred it into blob-sized block counts.
+
+    ``target_bytes`` is 32 MB, not the 4 MB used for cheap key-only
+    intermediates: the blob column is a corpus-scale payload (5.6 GB at 1M
+    synthetic pages) and a 4 MB target turned it into 1408 micro-blocks —
+    the verify stage's two sorts then spent more driver scheduling time
+    than worker compute (measured: executor churn with all workers idle)."""
     import math
 
     import pyarrow.parquet as pq
@@ -447,8 +453,15 @@ def verify_pairs_blob(
 
     The blob column moves through each shuffle once (same volume as the
     text re-join it replaces); the verify itself is a per-pair sorted-array
-    intersection on u64s.  Returns (id_a, id_b, jaccard ≥ threshold)."""
-    from .relational import groupby_buckets
+    intersection on u64s.  Returns (id_a, id_b, jaccard ≥ threshold).
+
+    The two shuffles run as SEPARATE executions (parquet spill between
+    them): fused into one streaming plan, stage 2's tag_feat tasks occupy
+    every CPU slot while output-backpressured behind its union (whose
+    other input is stage 1's not-yet-started output) and stage 1 starves —
+    a circular wait that wedged the 1M-doc run with all workers idle.
+    The spill also checkpoints the attach_a intermediate for resume."""
+    from .relational import groupby_buckets, spill_point
 
     def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"__jk": df["id_a"].astype("int64"),
@@ -479,7 +492,8 @@ def verify_pairs_blob(
                              "id_b": m["id_b"], "__blob": m["__blob"],
                              "__nsh": m["__nsh"], "__side": np.int8(0)})
 
-    half = groupby_buckets(both_a, ["__jk"], attach_a)
+    half = spill_point(groupby_buckets(both_a, ["__jk"], attach_a),
+                       "mh_half", target_bytes=32 << 20)
     both_b = half.union(feat.map_batches(tag_feat, batch_format="pandas"))
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -673,24 +687,38 @@ def ngram_jaccard_pairs_ds(
 
     # shuffle 3: candidate pairs from shared PREFIX shingles only.
     def shingle_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        counts = df.groupby("shingle", sort=False)[id_col].nunique()
-        hot = counts[counts >= 2].index
-        if not len(hot):
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64")})
-        sub = df.set_index("shingle")
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64")})
+        if not len(df):
+            return empty
+        # ONE sort + run-length bucket boundaries (same shape as
+        # _make_band_pairs): per-key MultiIndex ``.loc`` re-scanned the
+        # whole block per bucket — O(buckets × rows)
+        order = np.lexsort((df[id_col].to_numpy(), df["shingle"].to_numpy()))
+        sh = df["shingle"].to_numpy()[order]
+        ids_all = df[id_col].to_numpy()[order]
+        cut = np.flatnonzero(sh[1:] != sh[:-1]) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(sh)]))
         out_a, out_b = [], []
-        for key in hot:
-            ids = np.unique(np.atleast_1d(sub.loc[key, id_col]))
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ids = ids_all[s:e]
+            ids = ids[np.concatenate(([True], ids[1:] != ids[:-1]))]
+            if len(ids) < 2:
+                continue
             if max_bucket is not None and len(ids) > max_bucket:
                 logger.warning(
                     "ngram_jaccard prefix bucket (shingle=%s) capped at %d "
-                    "of %d members; recall no longer exact", key, max_bucket,
-                    len(ids))
+                    "of %d members; recall no longer exact", sh[s],
+                    max_bucket, len(ids))
                 ids = ids[:max_bucket]
             ia, ib = np.triu_indices(len(ids), k=1)
             out_a.append(ids[ia])
             out_b.append(ids[ib])
+        if not out_a:
+            return empty
         return pd.DataFrame({"id_a": np.concatenate(out_a),
                              "id_b": np.concatenate(out_b)})
 

@@ -71,7 +71,8 @@ def load(sf_dir: str, table: str, columns: list[str] | None = None, **kw) -> rd.
     return rd.read_parquet(path, columns=columns, **kw)
 
 
-def spill_point(ds: rd.Dataset, tag: str = "spill") -> rd.Dataset:
+def spill_point(ds: rd.Dataset, tag: str = "spill", *,
+                target_bytes: int = 4 << 20) -> rd.Dataset:
     """Pin a bounded intermediate via a parquet round-trip under /tmp.
 
     Used where a pipeline is consumed more than once (schema probe + two
@@ -83,10 +84,11 @@ def spill_point(ds: rd.Dataset, tag: str = "spill") -> rd.Dataset:
     resumable checkpoints of the (bounded) intermediate."""
     import tempfile
 
-    return _spill_point_n(ds, tag)[0]
+    return _spill_point_n(ds, tag, target_bytes=target_bytes)[0]
 
 
-def _spill_point_n(ds: rd.Dataset, tag: str = "spill") -> tuple[rd.Dataset, int]:
+def _spill_point_n(ds: rd.Dataset, tag: str = "spill", *,
+                   target_bytes: int = 4 << 20) -> tuple[rd.Dataset, int]:
     """:func:`spill_point` + the number of parquet files written (a stable
     stand-in for block count, which lazy reads can't report)."""
     import tempfile
@@ -98,7 +100,7 @@ def _spill_point_n(ds: rd.Dataset, tag: str = "spill") -> tuple[rd.Dataset, int]
         return ds, 1  # empty dataset: nothing written — reuse the cheap plan
     # coalesce: a spill written from N tiny blocks must not come back as N
     # tiny read tasks (intermediates are usually cheap key-only maps)
-    nb = _auto_num_blocks(files, target_bytes=4 << 20)
+    nb = _auto_num_blocks(files, target_bytes=target_bytes)
     return rd.read_parquet(files, override_num_blocks=nb), nb
 
 

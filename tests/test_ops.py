@@ -764,3 +764,29 @@ def test_near_dup_zero_pairs_corpus(ray_session):
         rd.from_pandas(df[["doc_id"]]).repartition(3),
         minhash_near_dup_pairs_ds(ds, "doc_id", threshold=0.5), "doc_id")
     assert sorted(surv.to_pandas()["doc_id"]) == list(range(40))
+
+
+def test_feat_spill_pruned_reads(docs):
+    """The featurize spill re-reads are COLUMN-PRUNED: the banding read
+    carries only (id, __sig), the verify read only (id, __blob, __nsh) —
+    the blob payload never transits the banding stage (the 1M-doc
+    measurement where dragging it cost ~200 s of the spawn stage)."""
+    from borges_ray.ops.dedup import _pruned_spill_read, minhash_feat_spill
+
+    df, ds = docs
+    files, fb = minhash_feat_spill(ds, "doc_id")
+    assert files and fb is None
+    sig = _pruned_spill_read(files, ["doc_id", "__sig"], fb)
+    blob = _pruned_spill_read(files, ["doc_id", "__blob", "__nsh"], fb)
+    assert set(sig.schema().names) == {"doc_id", "__sig"}
+    assert set(blob.schema().names) == {"doc_id", "__blob", "__nsh"}
+    assert sig.count() == len(df) and blob.count() == len(df)
+    # empty corpus: nothing written -> fallback plan, still pruned
+    empty = rd.from_pandas(pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                         "text": pd.Series(dtype="object")}))
+    f2, fb2 = minhash_feat_spill(empty, "doc_id")
+    assert f2 == [] and fb2 is not None
+    out = _pruned_spill_read(f2, ["doc_id", "__sig"], fb2)
+    assert out.count() == 0
+    sch = out.schema()
+    assert sch is None or set(sch.names) == {"doc_id", "__sig"}
