@@ -440,78 +440,77 @@ def _blob_jaccard(blob_a, blob_b, na: int, nb: int) -> float:
     return inter / (na + nb - inter)
 
 
+def _verify_buckets(files: list[str]) -> int:
+    """``n_buckets`` for :func:`verify_pairs_blob`, from the featurize
+    spill's on-disk bytes: ~64 MB of blob payload per cogroup bucket,
+    floor 8 (sandbox corpora), cap 4096."""
+    total = sum(os.path.getsize(p) for p in files)
+    return int(min(4096, max(8, total // (64 << 20) + 1)))
+
+
 def verify_pairs_blob(
     pairs: rd.Dataset, feat: rd.Dataset, id_col: str, *, threshold: float,
+    n_buckets: int = 32,
 ) -> rd.Dataset:
     """Exact-Jaccard verification against STORED shingle-set blobs — no
-    re-tokenization, no generic join machinery.  Two bucketed shuffles with
-    statically known schemas (so no ``.schema()`` probe ever re-executes an
-    upstream sort, the reason the r03 path needed parquet spill-points):
+    re-tokenization, no generic join machinery.  Two disk-bucketed
+    cogroups (:func:`~borges_ray.ops.relational.cogroup_spill`):
 
-    1. pairs keyed by id_a ∪ feat keyed by id → attach blob_a
-    2. result keyed by id_b ∪ feat keyed by id → attach blob_b + verify
+    1. pairs keyed by id_a × feat keyed by id → attach blob_a
+    2. result keyed by id_b × feat keyed by id → attach blob_b + verify
 
-    The blob column moves through each shuffle once (same volume as the
+    The blob column moves through each exchange once (same volume as the
     text re-join it replaces); the verify itself is a per-pair sorted-array
     intersection on u64s.  Returns (id_a, id_b, jaccard ≥ threshold).
 
-    The two shuffles run as SEPARATE executions (parquet spill between
-    them): fused into one streaming plan, stage 2's tag_feat tasks occupy
-    every CPU slot while output-backpressured behind its union (whose
-    other input is stage 1's not-yet-started output) and stage 1 starves —
-    a circular wait that wedged the 1M-doc run with all workers idle.
-    The spill also checkpoints the attach_a intermediate for resume."""
-    from .relational import groupby_buckets, spill_point
+    NOT union→sort shuffles: a Sort anywhere in a plan forces Ray's
+    ``preserve_order=True``, under which UnionOperator buffers its ENTIRE
+    input before emitting one block — at 1M docs the 11 GB blob union
+    exhausted the executor memory budget and livelocked (0/431 blocks out,
+    all workers idle).  The cogroup writes each side hive-partitioned by
+    key hash (linear plans that stream at any size) and merges per bucket;
+    the spills double as resume checkpoints.  Size ``n_buckets`` ≈ blob
+    bytes / 64 MB (callers with the featurize spill on disk know this)."""
+    from .relational import cogroup_spill
 
-    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"__jk": df["id_a"].astype("int64"),
-                             "id_a": df["id_a"].astype("int64"),
-                             "id_b": df["id_b"].astype("int64"),
-                             "__blob": b"", "__nsh": np.int64(-1),
-                             "__side": np.int8(0)})
+    half_empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                               "id_b": pd.Series(dtype="int64"),
+                               "__blob": pd.Series(dtype="object"),
+                               "__nsh": pd.Series(dtype="int64")})
+    out_empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "jaccard": pd.Series(dtype="float64")})
 
-    def tag_feat(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"__jk": df[id_col].astype("int64"),
-                             "id_a": np.int64(-1), "id_b": np.int64(-1),
-                             "__blob": df["__blob"],
-                             "__nsh": df["__nsh"].astype("int64"),
-                             "__side": np.int8(1)})
-
-    both_a = pairs.map_batches(tag_pairs, batch_format="pandas").union(
-        feat.map_batches(tag_feat, batch_format="pandas"))
-
-    def attach_a(df: pd.DataFrame) -> pd.DataFrame:
+    def attach_a(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if not len(l) or not len(r):
+            return half_empty
         # pair dedup is FUSED here: duplicate (id_a, id_b) candidates share
-        # id_a and therefore this bucket, so a block-local drop_duplicates
+        # id_a and therefore this bucket, so a bucket-local drop_duplicates
         # is a complete global dedup — no separate distinct shuffle needed
-        l = df[df["__side"] == 0].drop_duplicates(subset=["id_a", "id_b"])
-        r = df[df["__side"] == 1]
-        m = l[["__jk", "id_a", "id_b"]].merge(
-            r[["__jk", "__blob", "__nsh"]], on="__jk")
-        return pd.DataFrame({"__jk": m["id_b"], "id_a": m["id_a"],
-                             "id_b": m["id_b"], "__blob": m["__blob"],
-                             "__nsh": m["__nsh"], "__side": np.int8(0)})
+        l = l.drop_duplicates(subset=["id_a", "id_b"])
+        m = l.merge(r[[id_col, "__blob", "__nsh"]],
+                    left_on="id_a", right_on=id_col)
+        return m[["id_a", "id_b", "__blob", "__nsh"]]
 
-    half = spill_point(groupby_buckets(both_a, ["__jk"], attach_a),
-                       "mh_half", target_bytes=32 << 20)
-    both_b = half.union(feat.map_batches(tag_feat, batch_format="pandas"))
+    half = cogroup_spill(pairs, feat, "id_a", id_col, attach_a,
+                         empty=half_empty, tag="mh_a", n_buckets=n_buckets)
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["__side"] == 0]
-        r = df[df["__side"] == 1].rename(
-            columns={"__blob": "__blob_b", "__nsh": "__nsh_b"})
-        m = l.merge(r[["__jk", "__blob_b", "__nsh_b"]], on="__jk")
+    def verify(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if not len(l) or not len(r):
+            return out_empty
+        r = r.rename(columns={"__blob": "__blob_b", "__nsh": "__nsh_b"})
+        m = l.merge(r[[id_col, "__blob_b", "__nsh_b"]],
+                    left_on="id_b", right_on=id_col)
         if not len(m):
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "jaccard": pd.Series(dtype="float64")})
+            return out_empty
         jac = np.array([_blob_jaccard(a, b, na, nb) for a, b, na, nb in
                         zip(m["__blob"], m["__blob_b"], m["__nsh"], m["__nsh_b"])])
         out = m[["id_a", "id_b"]].copy()
         out["jaccard"] = jac
         return out[jac >= threshold]
 
-    return groupby_buckets(both_b, ["__jk"], verify)
+    return cogroup_spill(half, feat, "id_b", id_col, verify,
+                         empty=out_empty, tag="mh_b", n_buckets=n_buckets)
 
 
 def minhash_near_dup_pairs_ds(
@@ -557,7 +556,8 @@ def minhash_near_dup_pairs_ds(
     # block-locally in its first (id_a-keyed) stage
     pairs = groupby_buckets(band_rows, ["band", "band_hash"],
                             _make_band_pairs(id_col, max_bucket))
-    return verify_pairs_blob(pairs, blob_ds, id_col, threshold=threshold)
+    return verify_pairs_blob(pairs, blob_ds, id_col, threshold=threshold,
+                             n_buckets=_verify_buckets(files))
 
 
 def minhash_near_dup_pairs(
@@ -724,7 +724,8 @@ def ngram_jaccard_pairs_ds(
 
     # candidate dedup is fused into verify_pairs_blob's id_a-keyed stage
     cands = groupby_buckets(prefix_rows, ["shingle"], shingle_pairs)
-    return verify_pairs_blob(cands, feat, id_col, threshold=threshold)
+    return verify_pairs_blob(cands, feat, id_col, threshold=threshold,
+                             n_buckets=_verify_buckets(files))
 
 
 def ngram_jaccard_pairs(

@@ -104,6 +104,110 @@ def _spill_point_n(ds: rd.Dataset, tag: str = "spill", *,
     return rd.read_parquet(files, override_num_blocks=nb), nb
 
 
+def cogroup_spill(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    fn: Callable[[pd.DataFrame, pd.DataFrame], pd.DataFrame],
+    *,
+    empty: pd.DataFrame,
+    tag: str = "cg",
+    n_buckets: int = 32,
+    require_both: bool = True,
+) -> rd.Dataset:
+    """Two-sided hash-bucketed grouped map via a DISK shuffle (external
+    hash exchange) — the streaming-safe way to co-locate two payload-
+    bearing datasets on a key.
+
+    Why not ``left.union(right)`` + the sort shuffle: Ray forces
+    ``preserve_order=True`` on any plan whose logical dag contains a Sort
+    (``plan.require_preserve_order``), and a preserve-order UnionOperator
+    buffers its ENTIRE input in an internal queue before emitting a single
+    block (``union_operator.all_inputs_done``).  Once the buffered bytes
+    exceed the streaming executor's memory budget, upstream operators are
+    backpressured forever — measured at 1M synthetic pages: an 11 GB blob
+    union sat at 0/431 blocks emitted for 15+ minutes with every worker
+    idle.  Any union of corpus-scale payloads that later meets a sort in
+    the same plan livelocks this way.
+
+    Shape instead:
+
+    1. each side is written hive-partitioned by ``__bkt = hash64(key) %
+       n_buckets`` — two LINEAR map→write plans that stream at any size
+       (the write IS the all-to-all exchange, M×B part files like any
+       external shuffle, and doubles as a resume checkpoint);
+    2. one task per bucket reads both sides' bucket directory and applies
+       ``fn(left_df, right_df)`` (no ``__bkt`` column; hive prunes it).
+
+    ``fn`` must be vectorized (pandas merge/groupby inside) and must
+    return ``empty``-shaped output for empty inputs.  ``empty`` types the
+    zero-bucket result.  ``require_both`` skips buckets present on only
+    one side (correct whenever ``fn`` is inner-join-like).  Size
+    ``n_buckets`` so bytes/bucket ≈ a worker-heap-friendly chunk (64 MB);
+    equal keys → equal bucket, so skew is bounded by the hottest key, as
+    with any hash exchange.  Spill dirs must be on shared storage for a
+    multi-node cluster — the same assumption every spill_point makes."""
+    import tempfile
+
+    empty_l: pd.DataFrame | None = None
+    empty_r: pd.DataFrame | None = None
+
+    def _bucketed(ds: rd.Dataset, key: str) -> str:
+        def add_bkt(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            h = pd.util.hash_pandas_object(df[key].astype(str), index=False)
+            out["__bkt"] = (h.to_numpy() % np.uint64(n_buckets)).astype("int64")
+            return out
+
+        d = tempfile.mkdtemp(prefix=f"borges_{tag}_")
+        ds.map_batches(add_bkt, batch_format="pandas").write_parquet(
+            d, partition_cols=["__bkt"])
+        return d
+
+    ldir = _bucketed(left, left_on)
+    rdir = _bucketed(right, right_on)
+
+    def _bkts(d: str) -> dict[int, str]:
+        return {int(e.split("=", 1)[1]): os.path.join(d, e)
+                for e in os.listdir(d) if e.startswith("__bkt=")}
+
+    lb, rb = _bkts(ldir), _bkts(rdir)
+    bkts = sorted(set(lb) & set(rb) if require_both else set(lb) | set(rb))
+    if not bkts:
+        return rd.from_pandas(empty)
+
+    # typed empties for one-sided buckets, from each side's written schema
+    def _empty_of(by_bucket: dict[int, str]) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        d = next(iter(by_bucket.values()))
+        f = next(p for p in sorted(os.listdir(d)) if p.endswith(".parquet"))
+        return pq.ParquetFile(os.path.join(d, f)).schema_arrow.empty_table().to_pandas()
+
+    if not require_both:
+        empty_l = _empty_of(lb) if lb else None
+        empty_r = _empty_of(rb) if rb else None
+
+    def apply_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for b in df["__bucket"]:
+            # a side that wrote NOTHING has no recoverable schema: fn gets a
+            # column-less frame (only reachable with require_both=False)
+            ldf = (pq.read_table(lb[b]).to_pandas() if b in lb else
+                   empty_l if empty_l is not None else pd.DataFrame())
+            rdf = (pq.read_table(rb[b]).to_pandas() if b in rb else
+                   empty_r if empty_r is not None else pd.DataFrame())
+            outs.append(fn(ldf, rdf))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    tasks = rd.from_pandas(pd.DataFrame({"__bucket": bkts}))
+    return tasks.repartition(len(bkts)).map_batches(
+        apply_bucket, batch_format="pandas", batch_size=None)
+
+
 def filter_batches(ds: rd.Dataset, pred: Callable[[pa.Table], pa.ChunkedArray | pa.Array]) -> rd.Dataset:
     """Vectorized filter: ``pred`` computes a boolean mask per Arrow batch.
     (F1-F8 semantics; never per-row ``ds.filter(fn)`` in a hot path.)"""
