@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from .relational import groupby_buckets, grouped_agg
+from .relational import cogroup_spill, groupby_buckets, grouped_agg
 from .textops import fingerprint_batch
 
 #: max paragraphs per document — rank = doc_id << PIDX_BITS | pidx must fit
@@ -63,7 +63,8 @@ def chunk_paragraphs(ds: rd.Dataset, id_col: str = "doc_id",
 
 
 def paragraph_dedup(ds: rd.Dataset, id_col: str = "doc_id",
-                    text_col: str = "text", width: int = 10) -> rd.Dataset:
+                    text_col: str = "text", width: int = 10,
+                    n_buckets: int = 32) -> rd.Dataset:
     """Corpus-global paragraph dedup, first occurrence wins.
 
     An occurrence's global order is ``rank = doc_id << PIDX_BITS | pidx``;
@@ -73,8 +74,9 @@ def paragraph_dedup(ds: rd.Dataset, id_col: str = "doc_id",
     documents whose every paragraph already appeared earlier vanish.
 
     Two exchanges: a keys-only ``(fp, rank)`` min-combine, then ONE
-    bucketed shuffle of the chunk text on ``doc_id`` (winner ranks are
-    routed to their doc's bucket by decoding ``rank >> PIDX_BITS``).
+    disk-bucketed cogroup of the chunk text on ``doc_id`` (winner ranks
+    are routed to their doc's bucket by decoding ``rank >> PIDX_BITS``).
+    Size ``n_buckets`` ≈ corpus text bytes / 64 MB.
     """
     occ = chunk_paragraphs(ds, id_col, text_col, width)
 
@@ -97,34 +99,33 @@ def paragraph_dedup(ds: rd.Dataset, id_col: str = "doc_id",
     winners = grouped_agg(occ.select_columns(["__fp", "__rank"]),
                           ["__fp"], {"__rank": ("min", "__rank")})
 
-    def tag_occ(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({id_col: df[id_col], "pidx": df["pidx"],
-                             "para": df["para"], "__rank": df["__rank"],
-                             "__side": np.int8(0)})
-
-    def tag_win(df: pd.DataFrame) -> pd.DataFrame:
+    def win_docs(df: pd.DataFrame) -> pd.DataFrame:
         # route each winner rank to its document's bucket
         return pd.DataFrame({id_col: (df["__rank"].to_numpy(np.int64) >> PIDX_BITS),
-                             "pidx": np.int64(0), "para": "",
-                             "__rank": df["__rank"], "__side": np.int8(1)})
+                             "__rank": df["__rank"].astype("int64")})
 
-    both = occ.map_batches(tag_occ, batch_format="pandas").union(
-        winners.map_batches(tag_win, batch_format="pandas"))
+    empty_out = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              "n_paras_kept": pd.Series(dtype="int64"),
+                              text_col: pd.Series(dtype="object")})
 
-    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
-        keep_ranks = df.loc[df["__side"] == 1, "__rank"]
-        rows = df[df["__side"] == 0]
-        rows = rows[rows["__rank"].isin(set(keep_ranks.to_numpy()))]
+    def reassemble(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        rows = l[l["__rank"].isin(set(r["__rank"].to_numpy()))]
         if rows.empty:
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
-                                 "n_paras_kept": pd.Series([], dtype="int64"),
-                                 text_col: pd.Series([], dtype="object")})
+            return empty_out
         rows = rows.sort_values([id_col, "pidx"], kind="mergesort")
         g = rows.groupby(id_col, sort=False)
         out = g.agg(n_paras_kept=("pidx", "count"), __text=("para", " ".join)).reset_index()
         return out.rename(columns={"__text": text_col})
 
-    return groupby_buckets(both, [id_col], reassemble)
+    # the text exchange is a disk-bucketed cogroup, NOT union→sort: a
+    # preserve-order union (forced by any Sort in the plan) buffers its
+    # whole input before emitting, which livelocks at corpus-scale text
+    # volumes (see relational.cogroup_spill for the measured failure)
+    return cogroup_spill(
+        occ.select_columns([id_col, "pidx", "para", "__rank"]),
+        winners.map_batches(win_docs, batch_format="pandas"),
+        id_col, id_col, reassemble, empty=empty_out, tag="pdedup",
+        n_buckets=n_buckets)
 
 
 def _window_rows(df: pd.DataFrame, id_col: str, text_col: str,
