@@ -167,25 +167,54 @@ def merge_abstract_stage(pairs: rd.Dataset) -> rd.Dataset:
 # S8: keyed last-writer-wins overwrite
 # ---------------------------------------------------------------------------
 
-def keyed_overwrite(base: rd.Dataset, updates: rd.Dataset, key: str) -> rd.Dataset:
+def keyed_overwrite(base: rd.Dataset, updates: rd.Dataset, key: str,
+                    n_buckets: int = 32) -> rd.Dataset:
     """Re-crawl refresh: rows in ``updates`` REPLACE same-key rows in
     ``base``; all other base rows pass through unchanged
     (upload_to_mongodb.py:238-244 ``replace_one(upsert=True)``).
 
-    Shape: tag a version column (base=0, updates=1), union, one bucketed
-    shuffle on the key, winner = max version — order-free and
-    parallelism-invariant, no driver-side state.  At 100 TB the shuffle
-    moves each key's ≤2 candidate rows, never a full table rewrite."""
-    from .relational import groupby_buckets
+    Shape: a disk-bucketed cogroup on the key (one linear hive write per
+    side, winner = updates-over-base per bucket) — order-free,
+    parallelism-invariant, no driver-side state.  NOT the tag/union/sort
+    shape: both sides here carry full page payloads, and a preserve-order
+    union (forced by any Sort in the plan) buffers its entire input before
+    emitting — the livelock measured in
+    :func:`~borges_ray.ops.relational.cogroup_spill`.  Size ``n_buckets``
+    ≈ table bytes / 64 MB."""
+    import pyarrow as pa
 
-    b = base.map_batches(lambda df: df.assign(__v=0), batch_format="pandas")
-    u = updates.map_batches(lambda df: df.assign(__v=1), batch_format="pandas")
+    from .relational import cogroup_spill
 
-    def winner(df: pd.DataFrame) -> pd.DataFrame:
+    def _dtype_of(t) -> np.dtype:
+        # Ray Schema.types mixes arrow DataTypes (arrow blocks) with plain
+        # Python/numpy types (pandas blocks)
+        if isinstance(t, pa.DataType):
+            try:
+                return np.dtype(t.to_pandas_dtype())
+            except TypeError:
+                return np.dtype("object")
+        if t in (str, bytes, object):
+            return np.dtype("object")
+        try:
+            return np.dtype(t)
+        except TypeError:
+            return np.dtype("object")
+
+    sch = base.schema()
+    empty = pd.DataFrame({n: pd.Series(dtype=_dtype_of(t))
+                          for n, t in zip(sch.names, sch.types)})
+
+    def winner(bdf: pd.DataFrame, udf: pd.DataFrame) -> pd.DataFrame:
+        if not len(bdf) and not len(udf):
+            return empty
+        df = pd.concat([bdf.assign(__v=0), udf.assign(__v=1)],
+                       ignore_index=True)
         df = df.sort_values([key, "__v"], kind="mergesort")
-        return df.drop_duplicates(subset=key, keep="last").drop(columns="__v")
+        out = df.drop_duplicates(subset=key, keep="last").drop(columns="__v")
+        return out[list(empty.columns)]  # one column order across buckets
 
-    return groupby_buckets(b.union(u), [key], winner)
+    return cogroup_spill(base, updates, key, key, winner, empty=empty,
+                         tag="kow", n_buckets=n_buckets, require_both=False)
 
 
 def cap_payload_rows(ds: rd.Dataset, payload_col: str, *,

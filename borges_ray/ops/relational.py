@@ -515,7 +515,15 @@ def hash_semi_join(
     side (J2 at 100 TB: keys-only exchange).
 
     For a SMALL build side prefer :func:`broadcast_semi_join` (no shuffle at
-    all)."""
+    all).
+
+    Scale note: the tagged two-side union below meets the bucketed sort in
+    one plan, so Ray runs it preserve-order and the UnionOperator buffers
+    its whole input before emitting (see :func:`cogroup_spill` for the
+    measured livelock).  Safe here because both union legs are KEYS-ONLY
+    or key-plus-left-row streams whose bytes stay far under the cluster's
+    aggregate execution budget; never route corpus-payload columns
+    (text/html/blob) through this — use :func:`cogroup_spill`."""
     keys = right.map_batches(lambda df: df[on].drop_duplicates(),
                              batch_format="pandas")
     lschema = left.schema()
@@ -590,7 +598,14 @@ def hash_join(
     replicated right rows can never surface unmatched).  ``right_outer`` /
     ``full_outer`` with salting raise — replicated right rows would emit one
     null-padded duplicate per salt.
-    """
+
+    Scale note: the two-side tagged union meets the cogroup sort in one
+    plan, so Ray runs it preserve-order and the UnionOperator buffers its
+    whole input before emitting (see :func:`cogroup_spill` for the
+    measured livelock).  Fine for the relational tables this joins; for
+    corpus-payload inputs (text/html/blob columns) at the 100 TB design
+    point, project the payload out, join keys, and re-attach via
+    :func:`cogroup_spill` — or cogroup directly."""
     if native:
         return left.join(right, join_type=join_type, num_partitions=num_partitions,
                          on=tuple(on))
