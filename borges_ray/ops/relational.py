@@ -175,7 +175,8 @@ def cogroup_spill(
     lb, rb = _bkts(ldir), _bkts(rdir)
     bkts = sorted(set(lb) & set(rb) if require_both else set(lb) | set(rb))
     if not bkts:
-        return rd.from_pandas(empty)
+        # via Arrow: from_pandas drops the schema of a 0-row frame
+        return rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
 
     # typed empties for one-sided buckets, from each side's written schema
     def _empty_of(by_bucket: dict[int, str]) -> pd.DataFrame:

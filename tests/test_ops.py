@@ -790,3 +790,49 @@ def test_feat_spill_pruned_reads(docs):
     assert out.count() == 0
     sch = out.schema()
     assert sch is None or set(sch.names) == {"doc_id", "__sig"}
+
+
+def test_cogroup_spill_inner_and_outer(ray_session):
+    """Direct cogroup_spill contract: inner (require_both) drops buckets
+    missing a side; require_both=False feeds typed empties for one-sided
+    buckets; bucket fan-out is a complete partition (every key pair meets
+    exactly once); empty inputs return the typed ``empty`` template."""
+    from borges_ray.ops.relational import cogroup_spill
+
+    l = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                      "x": np.arange(50, dtype=np.int64) * 2})
+    # right covers only even keys; adds an extra key 999 unseen on the left
+    r = pd.DataFrame({"k": np.concatenate([np.arange(0, 50, 2), [999]]).astype(np.int64),
+                      "y": np.concatenate([np.arange(0, 50, 2), [999]]).astype(np.int64) + 7})
+    empty = pd.DataFrame({"k": pd.Series(dtype="int64"),
+                          "x": pd.Series(dtype="float64"),
+                          "y": pd.Series(dtype="float64")})
+
+    def join(ldf, rdf):
+        m = ldf.merge(rdf, on="k", how="outer")
+        return m[["k", "x", "y"]]
+
+    out = cogroup_spill(rd.from_pandas(l).repartition(4),
+                        rd.from_pandas(r).repartition(3),
+                        "k", "k", join, empty=empty, tag="t_cg",
+                        n_buckets=7).to_pandas().sort_values("k")
+    # inner buckets: only keys whose bucket exists on BOTH sides appear, and
+    # every shared key appears exactly once with both payloads
+    both = out[out["x"].notna() & out["y"].notna()]
+    assert sorted(both["k"]) == list(range(0, 50, 2))
+    assert (both["y"].to_numpy() == both["k"].to_numpy() + 7).all()
+    assert not out["k"].duplicated().any()
+
+    outer = cogroup_spill(rd.from_pandas(l).repartition(4),
+                          rd.from_pandas(r).repartition(3),
+                          "k", "k", join, empty=empty, tag="t_cg2",
+                          n_buckets=7, require_both=False
+                          ).to_pandas().sort_values("k")
+    assert sorted(outer["k"]) == sorted(list(range(50)) + [999])
+    assert outer.loc[outer["k"] == 999, "x"].isna().all()
+
+    # both sides empty -> the typed template comes back (schema asserted on
+    # the Dataset: Ray's to_pandas drops columns of a 0-row result)
+    e = cogroup_spill(rd.from_pandas(l.iloc[:0]), rd.from_pandas(r.iloc[:0]),
+                      "k", "k", join, empty=empty, tag="t_cg3")
+    assert e.count() == 0 and list(e.schema().names) == ["k", "x", "y"]
