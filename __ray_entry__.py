@@ -1216,6 +1216,17 @@ def _q_tfidf_terms(sf_dir: str):
     return tfidf_top_terms(ds, k=10)
 
 
+def _q_lm_perplexity(sf_dir: str):
+    """CCNet-style bigram-LM self-perplexity per document (add-one
+    smoothing): batch combiners → keys-only count shuffles → distributed
+    token joins; only the scalar vocab size V touches the driver."""
+    from borges_ray.ops.lm import lm_perplexity
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    return lm_perplexity(ds)
+
+
 def _q_hist_quantiles(sf_dir: str):
     """Histogram-sketch per-group quantiles: only (key, bin) counts
     shuffle — the mergeable scale path next to the exact
@@ -1588,6 +1599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_counts": _q_pivot_counts,
         "melt_counts": _q_melt_counts,
         "tfidf_terms": _q_tfidf_terms,
+        "lm_perplexity": _q_lm_perplexity,
         "hist_quantiles": _q_hist_quantiles,
         "url_canonicalize": _q_url_canonicalize,
         "stopword_fraction": _q_stopword_fraction,
@@ -2286,6 +2298,38 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY lang ORDER BY score DESC, token) AS rn
               FROM sc
             ) WHERE rn <= 10
+        """,
+        "lm_perplexity": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS p
+              FROM toks
+            ), big AS (
+              SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+              FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+            ), lm2 AS (
+              SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2
+            ), lm1 AS (
+              SELECT w1, sum(c12) AS c1 FROM lm2 GROUP BY 1
+            ), v AS (SELECT count(*) AS v FROM lm1),
+            doc_big AS (
+              SELECT doc_id, w1, w2, count(*) AS k FROM big GROUP BY 1, 2, 3
+            ), sums AS (
+              SELECT d.doc_id,
+                     sum(d.k * (ln(l2.c12 + 1.0)
+                                - ln(l1.c1 + (SELECT v FROM v)))) AS s,
+                     sum(d.k) AS n
+              FROM doc_big d
+              JOIN lm2 l2 USING (w1, w2) JOIN lm1 l1 USING (w1)
+              GROUP BY 1
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+                   round(exp(-s / n), 4) AS ppl
+            FROM sums
         """,
         "hist_quantiles": """
             WITH b AS (

@@ -1,0 +1,119 @@
+"""Statistical language-model scoring over a document corpus.
+
+CCNet-style quality filtering (Wenzek et al. 2019, "CCNet: Extracting
+High Quality Monolingual Datasets from Web Crawl Data") buckets web
+documents by language-model perplexity: low-perplexity pages read like
+edited prose, high-perplexity pages are boilerplate/gibberish.  The
+production pipeline trains the LM once and scores every crawled page —
+the scoring pass must stream at corpus scale.
+
+Here the LM is a bigram model with add-one smoothing trained ON the
+corpus itself (self-perplexity — the same shape CCNet uses for its
+paragraph-level filter; an external LM is just a precomputed count
+table fed to the same joins):
+
+    P(w2 | w1) = (c(w1, w2) + 1) / (c(w1) + V)
+
+where ``c(w1, w2)`` is the corpus bigram count, ``c(w1) = sum_w2
+c(w1, w2)`` (occurrences of ``w1`` as a bigram head, the exact MLE
+denominator), and ``V`` is the number of distinct head tokens.  A
+document's score is the mean bigram log-probability; its perplexity is
+``exp(-mean)``.
+
+Scale shape (the whole point):
+  * per-batch combiners collapse each block to distinct
+    ``(doc_id, w1, w2, k)`` rows before ANY exchange — the token stream
+    itself never shuffles;
+  * the count tables come from two keys-only ``grouped_agg`` shuffles
+    whose volume is O(distinct bigrams), not O(corpus tokens);
+  * the two count tables join FIRST (small × small, counts only), so
+    the corpus-sized per-doc rows take exactly one distributed hash
+    join against a precomputed per-bigram log-prob table; per-doc
+    log-prob sums reduce through another combiner-bounded
+    ``grouped_agg``;
+  * the only driver-side value is the scalar vocabulary size ``V``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def _doc_bigram_partial(id_col: str, text_col: str):
+    """Vectorized per-batch bigram counter: lowercase whitespace tokens,
+    explode with an in-doc shift(-1) to pair each token with its
+    successor, then collapse to distinct (doc, w1, w2) rows with counts.
+    No Python loop over rows; each document's text is one row, so a
+    document never straddles batches."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        rows = df[[id_col]].copy()
+        rows["w1"] = df[text_col].fillna("").str.lower().str.split()
+        ex = rows.explode("w1", ignore_index=True).dropna(subset=["w1"])
+        ex["w2"] = ex.groupby(id_col, sort=False)["w1"].shift(-1)
+        big = ex.dropna(subset=["w2"])
+        g = big.groupby([id_col, "w1", "w2"], sort=False).size()
+        return g.rename("k").reset_index()
+
+    return fn
+
+
+def lm_perplexity(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Score every document's bigram-LM perplexity (add-one smoothing)
+    against counts trained on the corpus itself.
+
+    Returns ``(id_col, n_bigrams int64, ppl float round-4)``; documents
+    with fewer than two tokens carry no bigram and are dropped (same as
+    the SQL twin's inner joins).
+    """
+    from .relational import grouped_agg, hash_join, spill_point
+
+    doc_big = spill_point(
+        ds.map_batches(_doc_bigram_partial(id_col, text_col),
+                       batch_format="pandas"),
+        "lm_bigrams")
+
+    lm2 = spill_point(
+        grouped_agg(doc_big.select_columns(["w1", "w2", "k"]),
+                    ["w1", "w2"], {"c12": ("sum", "k")}),
+        "lm_bigram_counts")
+    lm1 = spill_point(grouped_agg(lm2, ["w1"], {"c1": ("sum", "c12")}),
+                      "lm_unigrams")
+    vocab = int(lm1.count())  # scalar V — the only driver-side value
+
+    # enrich the (small, counts-only) bigram table with its head count
+    # first, so the corpus-sized per-doc rows take exactly ONE join
+    lm = hash_join(lm2, lm1, on=["w1"])
+
+    def to_lp(df: pd.DataFrame) -> pd.DataFrame:
+        lp = (np.log(df["c12"].to_numpy(dtype=np.float64) + 1.0)
+              - np.log(df["c1"].to_numpy(dtype=np.float64) + float(vocab)))
+        return pd.DataFrame({"w1": df["w1"], "w2": df["w2"], "lp": lp})
+
+    j = hash_join(doc_big, lm.map_batches(to_lp, batch_format="pandas"),
+                  on=["w1", "w2"])
+
+    def partial_lp(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["k"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({id_col: df[id_col],
+                             "s": k * df["lp"].to_numpy(dtype=np.float64),
+                             "n": df["k"].astype("int64")})
+
+    sums = grouped_agg(j.map_batches(partial_lp, batch_format="pandas"),
+                       [id_col], {"s": ("sum", "s"), "n": ("sum", "n")})
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(dtype=np.float64)
+        ppl = np.round(np.exp(-df["s"].to_numpy(dtype=np.float64) / n), 4)
+        return pd.DataFrame({id_col: df[id_col],
+                             "n_bigrams": df["n"].astype("int64"),
+                             "ppl": ppl})
+
+    return sums.map_batches(finalize, batch_format="pandas")

@@ -836,3 +836,46 @@ def test_cogroup_spill_inner_and_outer(ray_session):
     e = cogroup_spill(rd.from_pandas(l.iloc[:0]), rd.from_pandas(r.iloc[:0]),
                       "k", "k", join, empty=empty, tag="t_cg3")
     assert e.count() == 0 and list(e.schema().names) == ["k", "x", "y"]
+
+
+def test_lm_perplexity(ray_session):
+    """Bigram-LM self-perplexity: engine matches a hand-rolled reference
+    LM (add-one smoothing, V = distinct bigram heads) on a tiny corpus,
+    repeated text scores lower perplexity than novel text, and <2-token
+    docs drop out."""
+    from collections import Counter
+
+    from borges_ray.ops.lm import lm_perplexity
+
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the cat sat on the mat",        # same bigrams as doc 0
+        2: "purple elephant quantum zebra", # all-rare bigrams
+        3: "the cat sat on the mat the cat sat on the mat",
+        4: "single",                        # no bigram -> dropped
+        5: "",                              # empty -> dropped
+    }
+    df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    out = (lm_perplexity(rd.from_pandas(df).repartition(3))
+           .to_pandas().set_index("doc_id").sort_index())
+
+    # reference LM computed in plain python
+    toks = {i: t.lower().split() for i, t in texts.items()}
+    big = {i: list(zip(w[:-1], w[1:])) for i, w in toks.items()}
+    c12 = Counter(b for bs in big.values() for b in bs)
+    c1 = Counter()
+    for (w1, _), c in c12.items():
+        c1[w1] += c
+    V = len(c1)
+    import math
+    for i, bs in big.items():
+        if not bs:
+            assert i not in out.index
+            continue
+        s = sum(math.log((c12[b] + 1) / (c1[b[0]] + V)) for b in bs)
+        assert out.loc[i, "n_bigrams"] == len(bs)
+        assert out.loc[i, "ppl"] == pytest.approx(
+            round(math.exp(-s / len(bs)), 4), abs=1e-4)
+    # identical docs score identically; common text beats rare text
+    assert out.loc[0, "ppl"] == out.loc[1, "ppl"]
+    assert out.loc[0, "ppl"] < out.loc[2, "ppl"]
