@@ -1216,6 +1216,18 @@ def _q_tfidf_terms(sf_dir: str):
     return tfidf_top_terms(ds, k=10)
 
 
+def _q_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means (k=8, 2 iterations, deterministic
+    lowest-id seeds): centroids broadcast via ray.put each round, one
+    streaming partial-sums pass per iteration — the driver reduces only
+    k × num_blocks tiny rows."""
+    from borges_ray.ops.embed import kmeans_lloyd
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_lloyd(ds, k=8, iters=2)
+
+
 def _q_lm_perplexity(sf_dir: str):
     """CCNet-style bigram-LM self-perplexity per document (add-one
     smoothing): batch combiners → keys-only count shuffles → distributed
@@ -1600,6 +1612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "melt_counts": _q_melt_counts,
         "tfidf_terms": _q_tfidf_terms,
         "lm_perplexity": _q_lm_perplexity,
+        "kmeans_clusters": _q_kmeans,
         "hist_quantiles": _q_hist_quantiles,
         "url_canonicalize": _q_url_canonicalize,
         "stopword_fraction": _q_stopword_fraction,
@@ -2330,6 +2343,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
                    round(exp(-s / n), 4) AS ppl
             FROM sums
+        """,
+        "kmeans_clusters": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings),
+            c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb
+                   FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+            a1 AS (SELECT e.vec_id,
+                          (SELECT cid FROM c0
+                           ORDER BY list_distance(e.emb, c0.emb), cid
+                           LIMIT 1) AS cid
+                   FROM e),
+            ex AS (SELECT a1.cid, generate_subscripts(e.emb, 1) AS i,
+                          unnest(e.emb) AS v
+                   FROM a1 JOIN e USING (vec_id)),
+            c1 AS (SELECT cid, list(v ORDER BY i) AS emb
+                   FROM (SELECT cid, i, avg(v) AS v FROM ex GROUP BY 1, 2)
+                   GROUP BY cid),
+            a2 AS (SELECT e.vec_id,
+                          (SELECT cid FROM c1
+                           ORDER BY list_distance(e.emb, c1.emb), cid
+                           LIMIT 1) AS cid
+                   FROM e)
+            SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a2
         """,
         "hist_quantiles": """
             WITH b AS (

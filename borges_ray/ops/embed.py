@@ -594,3 +594,91 @@ def knn_ivf(
         .head(k)
         .reset_index(drop=True)[["query_idx", id_col, "cos"]]
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd) — the clustering primitive behind semantic
+# dedup bucketing, IVF coarse quantizers, and topic-balanced data mixing.
+
+
+def kmeans_lloyd(
+    ds: rd.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> rd.Dataset:
+    """Fixed-iteration Lloyd k-means over an embedding column, fully
+    deterministic: initial centroids are the embeddings of the ``k``
+    smallest ids (stable across runs and cluster sizes), distances are
+    Euclidean with lowest-cid tiebreak, and a cluster that captures no
+    points simply drops out of the next round (same semantics as the
+    SQL twin's inner aggregate).
+
+    Scale shape — the textbook mini-batch-free distributed Lloyd:
+      * centroids are O(k·dim) and ride to every task via ``ray.put``
+        (broadcast once per iteration, never re-shipped per batch);
+      * each iteration is ONE streaming ``map_batches`` pass emitting
+        per-batch partial ``(cid, count, component-sums)`` rows — the
+        driver reduces ≤ k × num_blocks tiny rows, never the corpus;
+      * the seed scan takes per-block k-smallest candidates first, so
+        the driver sees ≤ k × num_blocks seed rows, not a sorted corpus;
+      * the final labelling pass streams ``(id, cluster)`` out.
+
+    Returns a Dataset of ``(id_col, cluster int64)``.
+    """
+    # deterministic seeds: per-block k-smallest ids, reduced on the driver
+    def block_min_k(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[[id_col, vec_col]].sort_values(id_col, kind="mergesort").head(k)
+        return s
+
+    cand = ds.map_batches(block_min_k, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(id_col, kind="mergesort").head(k)
+    cents = _matrix(cand[vec_col])          # row i = centroid cid=i
+    cids = np.arange(len(cents), dtype=np.int64)
+
+    def _assign(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # squared L2 via the expansion; argmin ties resolve to the lowest
+        # index because np.argmin returns the first minimum
+        d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+        return np.argmin(d2, axis=1)
+
+    for _ in range(iters - 1):
+        cents_ref = ray.put(cents)
+        ids_ref = ray.put(cids)
+
+        def partial(df: pd.DataFrame, _c=cents_ref, _i=ids_ref) -> pd.DataFrame:
+            c = ray.get(_c)
+            m = _matrix(df[vec_col])
+            a = _assign(m, c)
+            rows = []
+            for j in np.unique(a):
+                sel = m[a == j]
+                rows.append({"cid": int(ray.get(_i)[j]),
+                             "n": np.int64(len(sel)),
+                             "s": sel.sum(axis=0).tolist()})
+            if not rows:
+                return pd.DataFrame({"cid": pd.Series(dtype="int64"),
+                                     "n": pd.Series(dtype="int64"),
+                                     "s": pd.Series(dtype="object")})
+            return pd.DataFrame(rows, columns=["cid", "n", "s"])
+
+        p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        if not len(p):
+            break
+        g = p.groupby("cid", sort=True)
+        sums = {cid: np.sum(np.vstack([np.asarray(v) for v in sub["s"]]), axis=0)
+                / sub["n"].sum() for cid, sub in g}
+        cids = np.array(sorted(sums), dtype=np.int64)
+        cents = np.vstack([sums[c] for c in cids])
+
+    cents_ref = ray.put(cents)
+    ids_ref = ray.put(cids)
+
+    def label(df: pd.DataFrame, _c=cents_ref, _i=ids_ref) -> pd.DataFrame:
+        a = _assign(_matrix(df[vec_col]), ray.get(_c))
+        return pd.DataFrame({id_col: df[id_col].astype("int64"),
+                             "cluster": ray.get(_i)[a].astype("int64")})
+
+    return ds.map_batches(label, batch_format="pandas")

@@ -879,3 +879,27 @@ def test_lm_perplexity(ray_session):
     # identical docs score identically; common text beats rare text
     assert out.loc[0, "ppl"] == out.loc[1, "ppl"]
     assert out.loc[0, "ppl"] < out.loc[2, "ppl"]
+
+
+def test_kmeans_lloyd(ray_session):
+    """Lloyd k-means on three well-separated blobs: every blob lands in
+    one cluster, blobs get distinct labels, and the labelling is
+    invariant to block layout (determinism across repartition)."""
+    from borges_ray.ops.embed import kmeans_lloyd
+
+    rng = np.random.default_rng(7)
+    blobs = [rng.normal(c, 0.05, size=(40, 8)) for c in (0.0, 5.0, -5.0)]
+    m = np.vstack(blobs)
+    df = pd.DataFrame({"vec_id": np.arange(len(m)),
+                       "embedding": [r.astype(np.float32) for r in m]})
+
+    out = (kmeans_lloyd(rd.from_pandas(df).repartition(5), k=3, iters=3)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    labels = out["cluster"].to_numpy()
+    groups = [set(labels[i * 40:(i + 1) * 40]) for i in range(3)]
+    assert all(len(g) == 1 for g in groups)          # blob = one cluster
+    assert len(set.union(*groups)) == 3              # distinct labels
+
+    out2 = (kmeans_lloyd(rd.from_pandas(df).repartition(2), k=3, iters=3)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert (out2["cluster"].to_numpy() == labels).all()
