@@ -1216,6 +1216,30 @@ def _q_tfidf_terms(sf_dir: str):
     return tfidf_top_terms(ds, k=10)
 
 
+def _q_interval_attribution(sf_dir: str):
+    """Range join: for each purchase event, count and sum the value of
+    click/view events by the same user in the 30 minutes before it.
+    Disk-bucketed cogroup on user + per-bucket merge_asof rank
+    differences — no key-cartesian product even on hot users."""
+    from borges_ray.ops.relational import interval_join_agg, load
+
+    ev = load(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "event_type", "value"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    prior = ev.filter(expr="event_type == 'click' or event_type == 'view'")
+    out = interval_join_agg(
+        purchases, prior, "user_id", left_id="event_id", left_ts="ts",
+        right_ts="ts", lo=pd.Timedelta(minutes=-30), hi=pd.Timedelta(0),
+        value_col="value")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={"n_right": "n_prior"})
+        out["val_prior"] = out.pop("sum_val").round(4)
+        return out
+
+    return out.map_batches(finalize, batch_format="pandas")
+
+
 def _q_kmeans(sf_dir: str):
     """Distributed Lloyd k-means (k=8, 2 iterations, deterministic
     lowest-id seeds): centroids broadcast via ray.put each round, one
@@ -1613,6 +1637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": _q_tfidf_terms,
         "lm_perplexity": _q_lm_perplexity,
         "kmeans_clusters": _q_kmeans,
+        "interval_attribution": _q_interval_attribution,
         "hist_quantiles": _q_hist_quantiles,
         "url_canonicalize": _q_url_canonicalize,
         "stopword_fraction": _q_stopword_fraction,
@@ -2343,6 +2368,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
                    round(exp(-s / n), 4) AS ppl
             FROM sums
+        """,
+        "interval_attribution": """
+            SELECT p.event_id, p.user_id,
+                   count(c.event_id) AS n_prior,
+                   round(coalesce(sum(c.value), 0), 4) AS val_prior
+            FROM events p LEFT JOIN events c
+              ON c.user_id = p.user_id
+             AND c.event_type IN ('click', 'view')
+             AND c.ts >= p.ts - INTERVAL 30 MINUTE
+             AND c.ts < p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY 1, 2
         """,
         "kmeans_clusters": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

@@ -1107,3 +1107,82 @@ def union_all(datasets: Iterable[rd.Dataset]) -> rd.Dataset:
     for d in ds_list[1:]:
         out = out.union(d)
     return out
+
+
+def interval_join_agg(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: str,
+    *,
+    left_id: str,
+    left_ts: str,
+    right_ts: str,
+    lo,
+    hi,
+    value_col: str | None = None,
+    n_buckets: int = 32,
+) -> rd.Dataset:
+    """Range (interval) join with aggregation: for every left row, count
+    — and optionally sum ``value_col`` over — the right rows sharing its
+    ``on`` key whose timestamp falls in ``[left_ts + lo, left_ts + hi)``
+    (``lo``/``hi`` are signed timedeltas; an attribution window like
+    "clicks in the 30 minutes before each purchase" is ``lo=-30min,
+    hi=0``).  Left-outer semantics: a left row with no right rows in
+    window comes back with ``n_right = 0`` / ``sum_val = 0.0``.
+
+    Scale shape: both sides co-locate by key through the disk-bucketed
+    :func:`cogroup_spill` (streaming hash exchange, no union+sort).  The
+    per-bucket kernel NEVER builds the key-cartesian product: the right
+    side is sorted by time once, per-key cumulative count / value prefix
+    sums are taken, and each window aggregate is the difference of two
+    vectorized ``merge_asof`` rank lookups — O((|L|+|R|) log |R|) per
+    bucket regardless of key skew, so a hot key costs its sort, not its
+    square.
+
+    Returns ``(left_id, on, n_right int64, sum_val float64)``.
+    """
+    lo = pd.Timedelta(lo)
+    hi = pd.Timedelta(hi)
+
+    empty = pd.DataFrame({left_id: pd.Series(dtype="int64"),
+                          on: pd.Series(dtype="int64"),
+                          "n_right": pd.Series(dtype="int64"),
+                          "sum_val": pd.Series(dtype="float64")})
+
+    def fn(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(ldf):
+            return empty
+        out = ldf[[left_id, on]].copy()
+        if not len(rdf) or on not in rdf.columns:
+            out["n_right"] = np.int64(0)
+            out["sum_val"] = 0.0
+            return out
+        r = rdf.sort_values(right_ts, kind="mergesort").reset_index(drop=True)
+        # normalize resolution: parquet us-timestamps vs the ns Timedelta
+        # arithmetic below must agree for merge_asof's key check
+        r[right_ts] = r[right_ts].astype("datetime64[ns]")
+        g = r.groupby(on, sort=False)
+        r["__cnt"] = (g.cumcount() + 1).astype("int64")
+        r["__val"] = (g[value_col].cumsum().astype("float64")
+                      if value_col is not None else 0.0)
+        l = ldf[[left_id, on, left_ts]].copy()
+        l[left_ts] = l[left_ts].astype("datetime64[ns]")
+        l["__lo"] = l[left_ts] + lo
+        l["__hi"] = l[left_ts] + hi
+
+        def rank_at(col: str) -> pd.DataFrame:
+            q = l.sort_values(col, kind="mergesort")
+            m = pd.merge_asof(q, r[[on, right_ts, "__cnt", "__val"]],
+                              left_on=col, right_on=right_ts, by=on,
+                              allow_exact_matches=False)
+            m.index = q.index
+            return m[["__cnt", "__val"]].fillna(0.0)
+
+        at_hi = rank_at("__hi").reindex(l.index)
+        at_lo = rank_at("__lo").reindex(l.index)
+        out["n_right"] = (at_hi["__cnt"] - at_lo["__cnt"]).astype("int64")
+        out["sum_val"] = (at_hi["__val"] - at_lo["__val"]).astype("float64")
+        return out
+
+    return cogroup_spill(left, right, on, on, fn, empty=empty,
+                         tag="ivj", n_buckets=n_buckets, require_both=False)

@@ -903,3 +903,51 @@ def test_kmeans_lloyd(ray_session):
     out2 = (kmeans_lloyd(rd.from_pandas(df).repartition(2), k=3, iters=3)
             .to_pandas().sort_values("vec_id").reset_index(drop=True))
     assert (out2["cluster"].to_numpy() == labels).all()
+
+
+def test_interval_join_agg(ray_session):
+    """Range-join aggregate vs a brute-force O(n^2) reference on a small
+    event log with one hot user, boundary-exact semantics
+    ([ts+lo, ts+hi)), and zero-match left rows preserved."""
+    from borges_ray.ops.relational import interval_join_agg
+
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-06-01")
+    n = 400
+    ev = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        # user 0 is hot: half of all events
+        "user_id": np.where(rng.random(n) < 0.5, 0,
+                            rng.integers(1, 8, n)).astype(np.int64),
+        "ts": base + pd.to_timedelta(rng.integers(0, 7200, n), unit="s"),
+        "value": np.round(rng.random(n) * 10, 3),
+    })
+    # exact boundary probes on user 9: right rows AT lo (in) and AT hi (out)
+    probes = pd.DataFrame({
+        "event_id": [1000, 1001, 1002],
+        "user_id": [9, 9, 9],
+        "ts": [base, base - pd.Timedelta(minutes=30),
+               base + pd.Timedelta(minutes=30)],
+        "value": [1.0, 2.0, 4.0],
+    })
+    left = pd.concat([ev.iloc[:150], probes.iloc[:1]], ignore_index=True)
+    right = pd.concat([ev.iloc[150:], probes.iloc[1:]], ignore_index=True)
+
+    lo, hi = pd.Timedelta(minutes=-30), pd.Timedelta(0)
+    out = interval_join_agg(
+        rd.from_pandas(left).repartition(3),
+        rd.from_pandas(right).repartition(4),
+        "user_id", left_id="event_id", left_ts="ts", right_ts="ts",
+        lo=lo, hi=hi, value_col="value", n_buckets=5,
+    ).to_pandas().set_index("event_id").sort_index()
+
+    assert len(out) == len(left)            # left-outer: every left row
+    for _, lrow in left.iterrows():
+        w = right[(right.user_id == lrow.user_id)
+                  & (right.ts >= lrow.ts + lo) & (right.ts < lrow.ts + hi)]
+        assert out.loc[lrow.event_id, "n_right"] == len(w)
+        assert out.loc[lrow.event_id, "sum_val"] == pytest.approx(
+            w.value.sum(), abs=1e-9)
+    # boundary: the row exactly at ts-30min is IN, the one at ts is OUT
+    assert out.loc[1000, "n_right"] == 1
+    assert out.loc[1000, "sum_val"] == pytest.approx(2.0)
