@@ -1216,6 +1216,24 @@ def _q_tfidf_terms(sf_dir: str):
     return tfidf_top_terms(ds, k=10)
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights toward the English subset: hashed-token
+    bucket distributions (md5 % 1024), mean per-token log-likelihood
+    ratio per doc.  Bucket marginals are the only driver state (≤1024
+    rows), re-broadcast via ray.put for the scoring pass."""
+    from borges_ray.ops.lm import dsir_log_weights
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "text"]].copy()
+        out["is_target"] = df["lang"] == "en"
+        return out
+
+    return dsir_log_weights(ds.map_batches(tag, batch_format="pandas"))
+
+
 def _q_interval_attribution(sf_dir: str):
     """Range join: for each purchase event, count and sum the value of
     click/view events by the same user in the 30 minutes before it.
@@ -1638,6 +1656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": _q_lm_perplexity,
         "kmeans_clusters": _q_kmeans,
         "interval_attribution": _q_interval_attribution,
+        "dsir_weights": _q_dsir_weights,
         "hist_quantiles": _q_hist_quantiles,
         "url_canonicalize": _q_url_canonicalize,
         "stopword_fraction": _q_stopword_fraction,
@@ -2368,6 +2387,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
                    round(exp(-s / n), 4) AS ppl
             FROM sums
+        """,
+        "dsir_weights": r"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ), feat AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS b
+              FROM toks
+            ), doc_b AS (
+              SELECT doc_id, b, count(*) AS k FROM feat GROUP BY 1, 2
+            ), buck AS (
+              SELECT b, count(*) AS k_raw,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS k_tgt
+              FROM feat GROUP BY 1
+            ), tot AS (
+              SELECT sum(k_raw) AS t_raw, sum(k_tgt) AS t_tgt FROM buck
+            ), lr AS (
+              SELECT b, ln((k_tgt + 1.0) / (t_tgt + 1024.0))
+                        - ln((k_raw + 1.0) / (t_raw + 1024.0)) AS lr
+              FROM buck, tot
+            )
+            SELECT doc_id, round(sum(k * lr) / sum(k), 4) AS lw
+            FROM doc_b JOIN lr USING (b)
+            GROUP BY 1
         """,
         "interval_attribution": """
             SELECT p.event_id, p.user_id,

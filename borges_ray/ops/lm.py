@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import ray
 import ray.data as rd
 
 
@@ -115,5 +116,89 @@ def lm_perplexity(
         return pd.DataFrame({id_col: df[id_col],
                              "n_bigrams": df["n"].astype("int64"),
                              "ppl": ppl})
+
+    return sums.map_batches(finalize, batch_format="pandas")
+
+
+def dsir_log_weights(
+    ds: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "is_target",
+    dim: int = 1024,
+) -> rd.Dataset:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hash every token
+    into ``dim`` buckets, fit smoothed bucket distributions for the RAW
+    corpus and for the TARGET subset (rows where ``target_col`` is
+    true), and score each document with the mean per-token
+    log-likelihood ratio
+
+        lw(doc) = (1/n) * sum_tok ln( p_target(b(tok)) / p_raw(b(tok)) )
+
+    with add-one smoothing over the ``dim`` buckets.  Resampling then
+    keeps documents by Gumbel-top-k / thresholding on ``lw`` — the
+    caller picks the rule; this op produces the weights.
+
+    Token→bucket uses the repo-wide md5 gate convention
+    (``int(md5(tok)[:8], 16) % dim``) so the scoring is layout- and
+    seed-independent AND SQL-twinnable.
+
+    Scale shape: one tokenize pass emits per-batch-combined
+    ``(doc_id, b, k, kt)`` rows (md5 computed once per DISTINCT token
+    per batch); bucket marginals reduce through a keys-only
+    ``grouped_agg`` to ≤ ``dim`` rows — the ONLY driver-side state, a
+    ``dim``-float log-ratio array re-broadcast via ``ray.put``; scoring
+    re-reads the spilled doc rows, so text is tokenized exactly once.
+    Returns ``(id_col, lw float round-4)``; token-less documents drop.
+    """
+    import hashlib
+
+    from .relational import grouped_agg, spill_point
+
+    def featurize(df: pd.DataFrame) -> pd.DataFrame:
+        rows = df[[id_col, target_col]].copy()
+        rows["tok"] = df[text_col].fillna("").str.lower().str.split()
+        ex = rows.explode("tok", ignore_index=True).dropna(subset=["tok"])
+        uniq = pd.unique(ex["tok"])
+        lut = {t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+               for t in uniq}
+        ex["b"] = ex["tok"].map(lut).astype("int64")
+        g = (ex.groupby([id_col, target_col, "b"], sort=False)
+               .size().rename("k").reset_index())
+        g["kt"] = np.where(g[target_col], g["k"], 0).astype("int64")
+        return g[[id_col, "b", "k", "kt"]]
+
+    doc_b = spill_point(ds.map_batches(featurize, batch_format="pandas"),
+                        "dsir_feat")
+
+    buck = grouped_agg(doc_b.select_columns(["b", "k", "kt"]), ["b"],
+                       {"k_raw": ("sum", "k"), "k_tgt": ("sum", "kt")}
+                       ).to_pandas()  # ≤ dim rows by construction
+    t_raw = float(buck["k_raw"].sum())
+    t_tgt = float(buck["k_tgt"].sum())
+    lr = np.zeros(dim, dtype=np.float64)
+    # unseen buckets get the pure-smoothing ratio (cancels the totals)
+    lr[:] = np.log(1.0 / (t_tgt + dim)) - np.log(1.0 / (t_raw + dim))
+    bi = buck["b"].to_numpy()
+    lr[bi] = (np.log((buck["k_tgt"].to_numpy(np.float64) + 1.0) / (t_tgt + dim))
+              - np.log((buck["k_raw"].to_numpy(np.float64) + 1.0) / (t_raw + dim)))
+    lr_ref = ray.put(lr)
+
+    def partial(df: pd.DataFrame, _r=lr_ref) -> pd.DataFrame:
+        w = ray.get(_r)
+        k = df["k"].to_numpy(np.float64)
+        return pd.DataFrame({id_col: df[id_col],
+                             "s": k * w[df["b"].to_numpy()],
+                             "n": df["k"].astype("int64")})
+
+    sums = grouped_agg(doc_b.map_batches(partial, batch_format="pandas"),
+                       [id_col], {"s": ("sum", "s"), "n": ("sum", "n")})
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        lw = np.round(df["s"].to_numpy(np.float64)
+                      / df["n"].to_numpy(np.float64), 4)
+        return pd.DataFrame({id_col: df[id_col], "lw": lw})
 
     return sums.map_batches(finalize, batch_format="pandas")

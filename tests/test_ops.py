@@ -951,3 +951,47 @@ def test_interval_join_agg(ray_session):
     # boundary: the row exactly at ts-30min is IN, the one at ts is OUT
     assert out.loc[1000, "n_right"] == 1
     assert out.loc[1000, "sum_val"] == pytest.approx(2.0)
+
+
+def test_dsir_log_weights(ray_session):
+    """DSIR weights vs a brute-force bucket-distribution reference:
+    docs written in the target dialect score higher than off-target
+    docs, and every weight matches the reference to 4 dp."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from borges_ray.ops.lm import dsir_log_weights
+
+    tgt_vocab = "alpha beta gamma delta".split()
+    raw_vocab = "omega psi chi phi".split()
+    rng = np.random.default_rng(3)
+    docs = []
+    for i in range(30):
+        v = tgt_vocab if i < 15 else raw_vocab
+        docs.append((" ".join(rng.choice(v, 20)), i < 15))
+    df = pd.DataFrame({"doc_id": range(30),
+                       "text": [d for d, _ in docs],
+                       "is_target": [t for _, t in docs]})
+
+    out = (dsir_log_weights(rd.from_pandas(df).repartition(4), dim=64)
+           .to_pandas().set_index("doc_id").sort_index())
+
+    # brute-force reference
+    dim = 64
+    bkt = lambda t: int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+    raw, tgt = Counter(), Counter()
+    for text, is_t in docs:
+        for t in text.lower().split():
+            raw[bkt(t)] += 1
+            if is_t:
+                tgt[bkt(t)] += 1
+    t_raw, t_tgt = sum(raw.values()), sum(tgt.values())
+    for i, (text, _) in enumerate(docs):
+        ks = Counter(bkt(t) for t in text.lower().split())
+        s = sum(k * (math.log((tgt[b] + 1) / (t_tgt + dim))
+                     - math.log((raw[b] + 1) / (t_raw + dim)))
+                for b, k in ks.items())
+        assert out.loc[i, "lw"] == pytest.approx(
+            round(s / sum(ks.values()), 4), abs=1e-4)
+    assert out.loc[:14, "lw"].min() > out.loc[15:, "lw"].max()
