@@ -91,6 +91,7 @@ class EngineConfig:
     api_keys: tuple = ()         # T2/S13: non-empty → session-actor fetch path
     render: bool = False         # S12: browser-render actor fetch path
     seen_filter: str = "bloom"   # "bloom" | "cuckoo" (deletable — recrawl)
+    parse_block_rows: int = 512  # split fetched blocks before parse (skew fix)
 
 
 def _count_rows(path: str) -> int:
@@ -401,6 +402,16 @@ def run_crawl(
         else:
             fetched = fetch_selected(sel, pages_root, cfg.num_buckets,
                                      flaky=cfg.flaky)
+        # The fetch emits ONE block per corpus bucket, so parse parallelism
+        # was capped at num_buckets and skewed by the hottest bucket (a
+        # single 3k-row block serialized 5+ s of per-page extraction).
+        # A split-only streaming repartition rebalances fetched html into
+        # ~parse_block_rows-row blocks — no all-to-all, bounded payload
+        # (the selection is politeness-bounded) — so parse scales with
+        # CPUs, not buckets.
+        if cfg.parse_block_rows:
+            fetched = fetched.repartition(
+                target_num_rows_per_block=cfg.parse_block_rows)
         return parse_fetched(fetched, rnd_tag).materialize()
 
     prefetch: dict | None = None  # round-pipelined selection (see below)
