@@ -172,6 +172,10 @@ QUERY_SUBSET = [
     # r04 additions: retrieval over the pruned inverted index, fixed-context
     # sequence packing, hashed-linear model scoring
     "bm25_search", "sequence_pack", "model_score",
+    # r04b additions: bigram-LM perplexity, DSIR importance weights,
+    # Lloyd k-means, interval-join attribution
+    "lm_perplexity", "dsir_weights", "kmeans_clusters",
+    "interval_attribution",
 ]
 
 

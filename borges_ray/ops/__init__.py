@@ -14,4 +14,12 @@ Modules:
   similarity search and embedding near-dup
 - :mod:`borges_ray.ops.multimodal` — binary-payload (image/audio) decode
   plumbing with stubbed codecs
+- :mod:`borges_ray.ops.lm`         — bigram-LM perplexity (CCNet-style
+  quality scoring) and DSIR hashed-bucket importance weights
+- :mod:`borges_ray.ops.ccnet`      — paragraph-level corpus-global dedup,
+  repetition metrics, train/eval decontamination
+- :mod:`borges_ray.ops.sketch`     — HyperLogLog / count-min sketches
+- :mod:`borges_ray.ops.pack`       — token-budget shard + sequence packing
+- :mod:`borges_ray.ops.index`      — hive-partitioned inverted token index,
+  pruned conjunctive search, BM25
 """
