@@ -24,20 +24,23 @@ Scale shape (the whole point):
   * per-batch combiners collapse each block to distinct
     ``(doc_id, w1, w2, k)`` rows before ANY exchange — the token stream
     itself never shuffles;
-  * the count tables come from two keys-only ``grouped_agg`` shuffles
-    whose volume is O(distinct bigrams), not O(corpus tokens);
-  * the two count tables join FIRST (small × small, counts only), so
-    the corpus-sized per-doc rows take exactly one distributed hash
-    join against a precomputed per-bigram log-prob table; per-doc
-    log-prob sums reduce through another combiner-bounded
-    ``grouped_agg``;
+  * everything the score needs is a function of the bigram HEAD, so
+    ONE disk-bucketed exchange on ``hash(w1)`` co-locates the training
+    counts and the scoring rows; count tables are LOCAL groupbys inside
+    each bucket task, never a distributed join;
+  * per-doc partial sums (≤ docs × buckets rows) reduce through one
+    combiner-bounded ``grouped_agg``;
   * the only driver-side value is the scalar vocabulary size ``V``.
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
@@ -66,49 +69,93 @@ def lm_perplexity(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_buckets: int = 32,
 ) -> rd.Dataset:
     """Score every document's bigram-LM perplexity (add-one smoothing)
     against counts trained on the corpus itself.
+
+    Partition-once shape: because EVERY quantity the score needs — the
+    bigram count ``c(w1, w2)``, the head count ``c(w1)``, and the doc's
+    own ``(w1, w2, k)`` rows — is a function of the bigram HEAD, ONE
+    disk-bucketed exchange on ``hash(w1)`` co-locates all of it.  The
+    per-doc bigram rows are spilled hive-partitioned by head hash (a
+    linear streaming write, like :func:`~.relational.cogroup_spill`);
+    a first tiny pass over the buckets counts distinct heads (the
+    vocabulary ``V``, the only driver scalar), then a second pass scores
+    each bucket IN PLACE — both count tables are local pandas groupbys,
+    no corpus-sized join ever shuffles again.  Only per-``(doc,
+    bucket)`` partial sums leave the bucket tasks, reduced by one small
+    ``grouped_agg``.  (The previous shape paid five all-to-alls: two
+    count shuffles plus two distributed hash joins plus the reduce.)
 
     Returns ``(id_col, n_bigrams int64, ppl float round-4)``; documents
     with fewer than two tokens carry no bigram and are dropped (same as
     the SQL twin's inner joins).
     """
-    from .relational import grouped_agg, hash_join, spill_point
+    import tempfile
 
-    doc_big = spill_point(
-        ds.map_batches(_doc_bigram_partial(id_col, text_col),
-                       batch_format="pandas"),
-        "lm_bigrams")
+    from .relational import grouped_agg
 
-    lm2 = spill_point(
-        grouped_agg(doc_big.select_columns(["w1", "w2", "k"]),
-                    ["w1", "w2"], {"c12": ("sum", "k")}),
-        "lm_bigram_counts")
-    lm1 = spill_point(grouped_agg(lm2, ["w1"], {"c1": ("sum", "c12")}),
-                      "lm_unigrams")
-    vocab = int(lm1.count())  # scalar V — the only driver-side value
+    def add_bkt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        h = pd.util.hash_pandas_object(df["w1"].astype(str), index=False)
+        out["__bkt"] = (h.to_numpy() % np.uint64(n_buckets)).astype("int64")
+        return out
 
-    # enrich the (small, counts-only) bigram table with its head count
-    # first, so the corpus-sized per-doc rows take exactly ONE join
-    lm = hash_join(lm2, lm1, on=["w1"])
+    spill = tempfile.mkdtemp(prefix="borges_lm_")
+    (ds.map_batches(_doc_bigram_partial(id_col, text_col),
+                    batch_format="pandas")
+       .map_batches(add_bkt, batch_format="pandas")
+       .write_parquet(spill, partition_cols=["__bkt"]))
 
-    def to_lp(df: pd.DataFrame) -> pd.DataFrame:
-        lp = (np.log(df["c12"].to_numpy(dtype=np.float64) + 1.0)
-              - np.log(df["c1"].to_numpy(dtype=np.float64) + float(vocab)))
-        return pd.DataFrame({"w1": df["w1"], "w2": df["w2"], "lp": lp})
+    bkt_dirs = sorted(os.path.join(spill, e) for e in os.listdir(spill)
+                      if e.startswith("__bkt="))
+    if not bkt_dirs:
+        return rd.from_arrow(pa.Table.from_pandas(
+            pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                          "n_bigrams": pd.Series(dtype="int64"),
+                          "ppl": pd.Series(dtype="float64")}),
+            preserve_index=False))
+    paths = rd.from_items([{"d": d} for d in bkt_dirs])
 
-    j = hash_join(doc_big, lm.map_batches(to_lp, batch_format="pandas"),
-                  on=["w1", "w2"])
+    # pass 1 (tiny): distinct heads per bucket → V (buckets partition the
+    # head space, so the per-bucket counts just add up)
+    def head_count(df: pd.DataFrame) -> pd.DataFrame:
+        ns = [pq.read_table(d, columns=["w1"]).column("w1")
+                .to_pandas().nunique() for d in df["d"]]
+        return pd.DataFrame({"n": pd.Series(ns, dtype="int64")})
 
-    def partial_lp(df: pd.DataFrame) -> pd.DataFrame:
-        k = df["k"].to_numpy(dtype=np.float64)
-        return pd.DataFrame({id_col: df[id_col],
-                             "s": k * df["lp"].to_numpy(dtype=np.float64),
-                             "n": df["k"].astype("int64")})
+    vocab = int(paths.map_batches(head_count, batch_format="pandas")
+                .to_pandas()["n"].sum())
 
-    sums = grouped_agg(j.map_batches(partial_lp, batch_format="pandas"),
-                       [id_col], {"s": ("sum", "s"), "n": ("sum", "n")})
+    # pass 2: score each bucket in place — c12/c1 are local groupbys over
+    # the co-located head partition
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for d in df["d"]:
+            b = pq.read_table(d).to_pandas()
+            if not len(b):
+                continue
+            c12 = b.groupby(["w1", "w2"], sort=False)["k"].sum()
+            c1 = c12.groupby(level="w1", sort=False).sum()
+            key = pd.MultiIndex.from_arrays([b["w1"], b["w2"]])
+            lp = (np.log(c12.loc[key].to_numpy(np.float64) + 1.0)
+                  - np.log(c1.loc[b["w1"]].to_numpy(np.float64)
+                           + float(vocab)))
+            k = b["k"].to_numpy(np.float64)
+            part = pd.DataFrame({id_col: b[id_col], "s": k * lp, "n": b["k"]})
+            outs.append(part.groupby(id_col, sort=False)
+                        .agg(s=("s", "sum"), n=("n", "sum")).reset_index())
+        if not outs:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="float64"),
+                                 "n": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    sums = grouped_agg(
+        paths.repartition(len(bkt_dirs))
+             .map_batches(score_bucket, batch_format="pandas"),
+        [id_col], {"s": ("sum", "s"), "n": ("sum", "n")})
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         n = df["n"].to_numpy(dtype=np.float64)
