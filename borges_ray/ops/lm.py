@@ -118,34 +118,56 @@ def lm_perplexity(
             preserve_index=False))
     paths = rd.from_items([{"d": d} for d in bkt_dirs])
 
+    # Both passes STREAM the bucket file-by-file: a Zipf-hot head (think
+    # "the") concentrates O(corpus/20) rows in one bucket, so task memory
+    # must be O(distinct bigrams in bucket), never O(rows in bucket).
+
+    def _files(d: str) -> list[str]:
+        return [os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")]
+
     # pass 1 (tiny): distinct heads per bucket → V (buckets partition the
     # head space, so the per-bucket counts just add up)
     def head_count(df: pd.DataFrame) -> pd.DataFrame:
-        ns = [pq.read_table(d, columns=["w1"]).column("w1")
-                .to_pandas().nunique() for d in df["d"]]
+        ns = []
+        for d in df["d"]:
+            heads: set = set()
+            for f in _files(d):
+                heads.update(pq.read_table(f, columns=["w1"])
+                             .column("w1").unique().to_pylist())
+            ns.append(len(heads))
         return pd.DataFrame({"n": pd.Series(ns, dtype="int64")})
 
     vocab = int(paths.map_batches(head_count, batch_format="pandas")
                 .to_pandas()["n"].sum())
 
     # pass 2: score each bucket in place — c12/c1 are local groupbys over
-    # the co-located head partition
+    # the co-located head partition, folded file-by-file
     def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for d in df["d"]:
-            b = pq.read_table(d).to_pandas()
-            if not len(b):
+            files = _files(d)
+            c12 = None  # (w1, w2) -> count, folded across files
+            for f in files:
+                b = pq.read_table(f, columns=["w1", "w2", "k"]).to_pandas()
+                part = b.groupby(["w1", "w2"], sort=False)["k"].sum()
+                c12 = part if c12 is None else c12.add(part, fill_value=0)
+            if c12 is None or not len(c12):
                 continue
-            c12 = b.groupby(["w1", "w2"], sort=False)["k"].sum()
+            c12 = c12.astype("int64")
             c1 = c12.groupby(level="w1", sort=False).sum()
-            key = pd.MultiIndex.from_arrays([b["w1"], b["w2"]])
-            lp = (np.log(c12.loc[key].to_numpy(np.float64) + 1.0)
-                  - np.log(c1.loc[b["w1"]].to_numpy(np.float64)
-                           + float(vocab)))
-            k = b["k"].to_numpy(np.float64)
-            part = pd.DataFrame({id_col: b[id_col], "s": k * lp, "n": b["k"]})
-            outs.append(part.groupby(id_col, sort=False)
-                        .agg(s=("s", "sum"), n=("n", "sum")).reset_index())
+            for f in files:
+                b = pq.read_table(f).to_pandas()
+                key = pd.MultiIndex.from_arrays([b["w1"], b["w2"]])
+                lp = (np.log(c12.loc[key].to_numpy(np.float64) + 1.0)
+                      - np.log(c1.loc[b["w1"]].to_numpy(np.float64)
+                               + float(vocab)))
+                k = b["k"].to_numpy(np.float64)
+                part = pd.DataFrame({id_col: b[id_col], "s": k * lp,
+                                     "n": b["k"]})
+                outs.append(part.groupby(id_col, sort=False)
+                            .agg(s=("s", "sum"), n=("n", "sum"))
+                            .reset_index())
         if not outs:
             return pd.DataFrame({id_col: pd.Series(dtype="int64"),
                                  "s": pd.Series(dtype="float64"),
