@@ -995,3 +995,43 @@ def test_dsir_log_weights(ray_session):
         assert out.loc[i, "lw"] == pytest.approx(
             round(s / sum(ks.values()), 4), abs=1e-4)
     assert out.loc[:14, "lw"].min() > out.loc[15:, "lw"].max()
+
+
+def test_lm_perplexity_hot_head(ray_session):
+    """Adversarial Zipf head: one token heads ~half of all bigrams, so
+    one hash bucket holds O(corpus/2) rows across many spill files — the
+    streamed fold must still produce exact counts (verified against the
+    same hand LM as the base test)."""
+    import math
+    from collections import Counter
+
+    from borges_ray.ops.lm import lm_perplexity
+
+    rng = np.random.default_rng(13)
+    vocab = ["the"] + [f"w{i}" for i in range(50)]
+    texts = []
+    for i in range(300):
+        # ~every other token is "the" -> "the" heads ~half the bigrams
+        words = []
+        for j in range(60):
+            words.append("the" if j % 2 == 0
+                         else vocab[1 + rng.integers(0, 50)])
+        texts.append(" ".join(words))
+    df = pd.DataFrame({"doc_id": range(300), "text": texts})
+
+    out = (lm_perplexity(rd.from_pandas(df).repartition(16), n_buckets=4)
+           .to_pandas().set_index("doc_id").sort_index())
+
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    big = {i: list(zip(w[:-1], w[1:])) for i, w in toks.items()}
+    c12 = Counter(b for bs in big.values() for b in bs)
+    c1 = Counter()
+    for (w1, _), c in c12.items():
+        c1[w1] += c
+    V = len(c1)
+    for i in (0, 113, 299):
+        bs = big[i]
+        s = sum(math.log((c12[b] + 1) / (c1[b[0]] + V)) for b in bs)
+        assert out.loc[i, "ppl"] == pytest.approx(
+            round(math.exp(-s / len(bs)), 4), abs=1e-4)
+    assert len(out) == 300
