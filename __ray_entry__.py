@@ -1216,6 +1216,25 @@ def _q_tfidf_terms(sf_dir: str):
     return tfidf_top_terms(ds, k=10)
 
 
+def _q_pagerank(sf_dir: str):
+    """Fixed-iteration damped PageRank over the supplier→part link graph
+    (the crawl-tier recrawl-priority computation): rank table stays a
+    Dataset end-to-end — per iteration one keys-only degree aggregate,
+    one O(edges) hash-join exchange, one keys-only reduce."""
+    from borges_ray.ops.graph import pagerank
+    from borges_ray.ops.relational import load
+
+    li = load(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": "s" + df["l_suppkey"].astype(str),
+            "dst": "p" + df["l_partkey"].astype(str)})
+
+    return pagerank(li.map_batches(to_edges, batch_format="pandas"),
+                    iters=2, damping=0.85, round_to=6)
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance weights toward the English subset: hashed-token
     bucket distributions (md5 % 1024), mean per-token log-likelihood
@@ -1657,6 +1676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans,
         "interval_attribution": _q_interval_attribution,
         "dsir_weights": _q_dsir_weights,
+        "pagerank": _q_pagerank,
         "hist_quantiles": _q_hist_quantiles,
         "url_canonicalize": _q_url_canonicalize,
         "stopword_fraction": _q_stopword_fraction,
@@ -2387,6 +2407,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
                    round(exp(-s / n), 4) AS ppl
             FROM sums
+        """,
+        "pagerank": """
+            WITH e AS (
+              SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                     'p' || CAST(l_partkey AS VARCHAR) AS dst
+              FROM lineitem
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+            ), n AS (SELECT count(*) AS n FROM nodes),
+            deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+            r0 AS (SELECT node, 1.0 / (SELECT n FROM n) AS rank FROM nodes),
+            c1 AS (SELECT e.dst AS node, sum(r0.rank / deg.deg) AS c
+                   FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
+                   GROUP BY 1),
+            r1 AS (SELECT nodes.node,
+                          0.15 / (SELECT n FROM n)
+                          + 0.85 * coalesce(c1.c, 0) AS rank
+                   FROM nodes LEFT JOIN c1 USING (node)),
+            c2 AS (SELECT e.dst AS node, sum(r1.rank / deg.deg) AS c
+                   FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
+                   GROUP BY 1),
+            r2 AS (SELECT nodes.node,
+                          0.15 / (SELECT n FROM n)
+                          + 0.85 * coalesce(c2.c, 0) AS rank
+                   FROM nodes LEFT JOIN c2 USING (node))
+            SELECT node, round(rank, 6) AS rank FROM r2
         """,
         "dsir_weights": r"""
             WITH toks AS (

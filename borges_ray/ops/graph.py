@@ -1,0 +1,157 @@
+"""Distributed link-graph analytics over crawl output.
+
+PageRank is THE canonical crawl-tier batch computation: every web-scale
+pipeline ranks its host/page graph to prioritize recrawl budgets and
+weight quality signals (Page et al. 1999; the reference's crawl frontier
+priorities are the per-publisher analogue).  This module implements a
+fixed-iteration damped PageRank as pure Ray Data dataflow — the rank
+table is a Dataset end-to-end, never driver state.
+
+Physical shape (the classic partitioned-graph BSP layout, Pregel/GraphX
+style): the EDGE list is hash-bucketed by source and spilled to disk
+ONCE — edges never move again.  Each iteration exchanges only the
+(small, node-sized) RANK table: ranks are bucket-written by the same
+source hash (a linear streaming write), one task per bucket computes
+out-degrees locally (the bucket holds ALL rows of its sources), turns
+ranks into per-edge shares, and pre-aggregates contributions by
+destination.  The per-bucket partials — unioned with a zero row per
+node so in-linkless nodes keep their teleport mass without a separate
+left join — reduce through one keys-only ``grouped_agg``.  Per
+iteration: one node-table disk exchange + one combiner-bounded shuffle;
+the O(edges) payload is touched only by local bucket reads.
+
+Dangling-node mass is NOT redistributed (it decays) — the engine and
+the SQL twin implement the same convention, so results stay comparable.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+
+def _bucket_write(ds: rd.Dataset, key: str, n_buckets: int, tag: str) -> str:
+    """Hive-partition a dataset by hash(key) % n_buckets (linear plan)."""
+    def add_bkt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        h = pd.util.hash_pandas_object(df[key].astype(str), index=False)
+        out["__bkt"] = (h.to_numpy() % np.uint64(n_buckets)).astype("int64")
+        return out
+
+    d = tempfile.mkdtemp(prefix=f"borges_{tag}_")
+    ds.map_batches(add_bkt, batch_format="pandas").write_parquet(
+        d, partition_cols=["__bkt"])
+    return d
+
+
+def _bucket_dirs(d: str) -> dict[int, str]:
+    return {int(e.split("=", 1)[1]): os.path.join(d, e)
+            for e in os.listdir(d) if e.startswith("__bkt=")}
+
+
+def pagerank(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 2,
+    damping: float = 0.85,
+    round_to: int = 6,
+    n_buckets: int = 16,
+) -> rd.Dataset:
+    """Fixed-iteration PageRank over an edge Dataset.
+
+    Multi-edges count multiplicity (a host linking twice contributes
+    twice — matches the SQL twin's plain joins).  Returns
+    ``(node, rank float round-`round_to`)`` for every node appearing as
+    a source or destination.
+    """
+    from .relational import grouped_agg, spill_point
+
+    # edges partitioned by source hash ONCE; never shuffled again
+    edir = _bucket_write(edges.select_columns([src_col, dst_col]),
+                         src_col, n_buckets, "pr_e")
+    ebkts = _bucket_dirs(edir)
+
+    # node universe: src ∪ dst, distinct (keys-only shuffle)
+    def _as_node(col):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": df[col]})
+        return fn
+
+    srcs = edges.map_batches(_as_node(src_col), batch_format="pandas")
+    dsts = edges.map_batches(_as_node(dst_col), batch_format="pandas")
+    nodes = spill_point(
+        grouped_agg(srcs.union(dsts), ["node"], {"cnt": ("count", "node")})
+        .select_columns(["node"]), "pr_nodes")
+    n_nodes = int(nodes.count())  # scalar N — the only driver value
+    teleport = (1.0 - damping) / n_nodes
+
+    def zero_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"],
+                             "c": np.zeros(len(df), dtype=np.float64)})
+
+    zeros = nodes.map_batches(zero_rows, batch_format="pandas")
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"],
+                             "rank": np.full(len(df), 1.0 / n_nodes)})
+
+    ranks = nodes.map_batches(seed, batch_format="pandas")
+
+    for it in range(iters):
+        rdir = _bucket_write(ranks, "node", n_buckets, f"pr_r{it}")
+        rbkts = _bucket_dirs(rdir)
+        # only buckets that have edges matter (rank-only buckets hold
+        # pure sinks, which contribute nothing)
+        work = sorted(set(ebkts) & set(rbkts))
+        paths = rd.from_items(
+            [{"e": ebkts[b], "r": rbkts[b]} for b in work])
+
+        def contrib_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for e_dir, r_dir in zip(df["e"], df["r"]):
+                e = pq.read_table(e_dir).to_pandas()
+                r = pq.read_table(r_dir).to_pandas()
+                if not len(e) or not len(r):
+                    continue
+                deg = e.groupby(src_col, sort=False).size().rename("deg")
+                m = e.merge(r.rename(columns={"node": src_col}),
+                            on=src_col, how="inner")
+                m = m.merge(deg, left_on=src_col, right_index=True)
+                m["c"] = (m["rank"].to_numpy(np.float64)
+                          / m["deg"].to_numpy(np.float64))
+                g = m.groupby(dst_col, sort=False)["c"].sum().reset_index()
+                outs.append(g.rename(columns={dst_col: "node"}))
+            if not outs:
+                return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                     "c": pd.Series(dtype="float64")})
+            return pd.concat(outs, ignore_index=True)
+
+        partials = paths.repartition(max(1, len(work))).map_batches(
+            contrib_bucket, batch_format="pandas")
+
+        # zero row per node replaces a left join: every node appears in
+        # the aggregate, in-linkless ones with c = 0 → teleport only
+        summed = grouped_agg(partials.union(zeros), ["node"],
+                             {"c": ("sum", "c")})
+
+        def damp(df: pd.DataFrame, _t=teleport, _d=damping) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": df["node"],
+                "rank": _t + _d * df["c"].to_numpy(np.float64)})
+
+        ranks = summed.map_batches(damp, batch_format="pandas")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["rank"] = out["rank"].round(round_to)
+        return out
+
+    return ranks.map_batches(finalize, batch_format="pandas")

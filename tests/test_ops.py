@@ -1035,3 +1035,36 @@ def test_lm_perplexity_hot_head(ray_session):
         assert out.loc[i, "ppl"] == pytest.approx(
             round(math.exp(-s / len(bs)), 4), abs=1e-4)
     assert len(out) == 300
+
+
+def test_pagerank(ray_session):
+    """Fixed-iteration PageRank vs a dense numpy reference on a small
+    multigraph with a dangling node, an in-linkless node, and a
+    duplicated edge (multiplicity counts)."""
+    from borges_ray.ops.graph import pagerank
+
+    # a->b, a->b (double), a->c, b->c, c->a, d->a ; e is a pure sink
+    # reached from c; "lonely" has out-edges but no in-links
+    E = [("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+         ("d", "a"), ("c", "e"), ("lonely", "a")]
+    df = pd.DataFrame(E, columns=["src", "dst"])
+
+    out = (pagerank(rd.from_pandas(df).repartition(3), iters=3,
+                    damping=0.85, round_to=6, n_buckets=4)
+           .to_pandas().set_index("node")["rank"])
+
+    nodes = sorted(set(df.src) | set(df.dst))
+    idx = {n: i for i, n in enumerate(nodes)}
+    N = len(nodes)
+    deg = df.groupby("src").size()
+    r = np.full(N, 1.0 / N)
+    for _ in range(3):
+        nxt = np.full(N, 0.15 / N)
+        for s, d in E:
+            nxt[idx[d]] += 0.85 * r[idx[s]] / deg[s]
+        r = nxt
+    for n in nodes:
+        assert out[n] == pytest.approx(round(r[idx[n]], 6), abs=1e-6)
+    assert len(out) == N
+    # in-linkless node holds exactly the teleport mass
+    assert out["lonely"] == pytest.approx(round(0.15 / N, 6), abs=1e-6)
