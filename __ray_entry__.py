@@ -1376,6 +1376,20 @@ def _q_dup_spans(sf_dir: str):
     return dup_span_coverage(ds, width=5)
 
 
+def _q_exact_substr(sf_dir: str):
+    """ExactSubstr removal (Lee et al. 2022): corpus-duplicated 5-token
+    windows keep only their globally-first occurrence; every other
+    occurrence's tokens are spliced out and the text rebuilt.  Keys-only
+    winner combine + one disk-bucketed text cogroup; the SQL twin
+    recomputes the same winner rule with window functions and rebuilds
+    text with an ordered, position-filtered string_agg."""
+    from borges_ray.ops.ccnet import exact_substr_rewrite
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_substr_rewrite(ds, width=5)
+
+
 def _q_url_canonicalize(sf_dir: str):
     """M1 URL canonicalization, oracle-checked by golden reconstruction:
     both sides derive a MESSY url variant from doc_id (upper-case scheme,
@@ -1659,6 +1673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "warc_roundtrip": _q_warc_roundtrip,
         "dup_spans": _q_dup_spans,
+        "exact_substr": _q_exact_substr,
         "semdedup": _q_semdedup,
         "robots_parse": _q_robots_parse,
         "decontaminate": _q_decontaminate,
@@ -2580,6 +2595,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered,
                    round(CAST(coalesce(c.n_covered, 0) AS DOUBLE) / greatest(len(t.t), 1), 6) AS covered_frac
             FROM toks t LEFT JOIN cov c USING (doc_id)
+        """,
+        "exact_substr": r"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+              FROM documents
+            ), wins AS (
+              SELECT doc_id, i, array_to_string(list_slice(t, i + 1, i + 5), ' ') AS w
+              FROM toks, LATERAL (SELECT unnest(range(greatest(len(t) - 4, 0))) AS i) AS u
+            ), marked AS (
+              SELECT doc_id, i,
+                     count(*) OVER (PARTITION BY w) AS m,
+                     row_number() OVER (PARTITION BY w ORDER BY doc_id, i) AS rn
+              FROM wins
+            ), cov AS (
+              SELECT DISTINCT doc_id, j
+              FROM marked, LATERAL (SELECT unnest(range(i, i + 5)) AS j) AS v
+              WHERE m > 1 AND rn > 1
+            ), pos AS (
+              SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS j
+              FROM toks
+            ), clean AS (
+              SELECT p.doc_id,
+                     coalesce(string_agg(p.tok, ' ' ORDER BY p.j)
+                              FILTER (WHERE c.j IS NULL), '') AS text_clean,
+                     count(*) FILTER (WHERE c.j IS NOT NULL) AS n_removed
+              FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.j = c.j
+              GROUP BY p.doc_id
+            )
+            SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(cl.n_removed, 0) AS BIGINT) AS n_removed,
+                   coalesce(cl.text_clean, '') AS text_clean
+            FROM toks t LEFT JOIN clean cl USING (doc_id)
         """,
         "url_canonicalize": """
             SELECT doc_id,

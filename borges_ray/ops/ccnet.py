@@ -301,3 +301,115 @@ def dup_chunk_metrics(ds: rd.Dataset, id_col: str = "doc_id",
         return out.drop(columns=["__dup_chars", "__chars"])
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+#: max window START position per document for exact-substring ranks —
+#: rank = doc_id << SPAN_POS_BITS | i must fit in int64, so documents up
+#: to 2^21 tokens and doc_id < 2^(63-21) = 2^42 (4.4e12 docs).
+SPAN_POS_BITS = 21
+
+
+def exact_substr_rewrite(ds: rd.Dataset, id_col: str = "doc_id",
+                         text_col: str = "text", width: int = 5,
+                         n_buckets: int = 32) -> rd.Dataset:
+    """ExactSubstr removal (the Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better" rewrite, at window granularity):
+    for every ``width``-token sliding window whose text occurs more than
+    once anywhere in the corpus, keep ONLY the globally-first occurrence
+    (min ``(doc_id, start)``); every other occurrence's token positions
+    are deleted and the document text is rebuilt from the surviving
+    tokens.  Returns one row per input document:
+    ``(id, n_tokens, n_removed, text_clean)`` — unlike
+    :func:`dup_span_coverage` (which only measures what WOULD be
+    trimmed), this emits the spliced text itself.
+
+    Distributed shape (10^10 docs):
+
+    - window occurrences are keys-only ``(hash u64, rank i64)`` rows with
+      ``rank = doc_id << SPAN_POS_BITS | start`` — so the global
+      first-occurrence winner is ONE keys-only min+count combine on the
+      hash (`grouped_agg` partials bound the exchange by distinct
+      windows, not occurrences);
+    - loser occurrences flow back as keys-only ``(id, start)`` intervals
+      via a distributed hash join on the window hash;
+    - document text crosses the wire exactly ONCE: a disk-bucketed
+      cogroup on ``doc_id`` co-locates each doc's text with its removal
+      intervals and splices per bucket (vectorized interval-union via a
+      difference array per doc).
+    """
+    from .relational import hash_join
+
+    occ = ds.map_batches(
+        lambda df: _window_rows(df, id_col, text_col, width),
+        batch_format="pandas")
+
+    def add_rank(df: pd.DataFrame) -> pd.DataFrame:
+        iv = df["i"].to_numpy(np.int64)
+        if len(iv) and int(iv.max()) >= (1 << SPAN_POS_BITS):
+            raise ValueError(
+                f"exact_substr_rewrite: document has a window start >= "
+                f"2^{SPAN_POS_BITS} (i={int(iv.max())}); rank encoding "
+                "would bleed into doc_id bits — raise SPAN_POS_BITS")
+        return pd.DataFrame({
+            "__wh": df["__wh"],
+            "__rank": (df[id_col].to_numpy(np.int64) << SPAN_POS_BITS) | iv,
+        })
+
+    ranked = occ.map_batches(add_rank, batch_format="pandas")
+    agg = grouped_agg(ranked, ["__wh"],
+                      {"m": ("count", "__rank"), "rmin": ("min", "__rank")})
+    dup = agg.map_batches(lambda df: df[df["m"] > 1][["__wh", "rmin"]],
+                          batch_format="pandas")
+
+    joined = hash_join(ranked, dup, on=["__wh"])
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        r = df[df["__rank"] != df["rmin"]]
+        rv = r["__rank"].to_numpy(np.int64)
+        return pd.DataFrame({
+            id_col: rv >> SPAN_POS_BITS,
+            "i": rv & ((1 << SPAN_POS_BITS) - 1),
+        })
+
+    rem = joined.map_batches(losers, batch_format="pandas")
+
+    empty_out = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              "n_tokens": pd.Series(dtype="int64"),
+                              "n_removed": pd.Series(dtype="int64"),
+                              "text_clean": pd.Series(dtype="object")})
+
+    def splice(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return empty_out
+        starts_by_doc: dict[int, np.ndarray] = {}
+        if not r.empty:
+            for d, grp in r.groupby(id_col, sort=False)["i"]:
+                starts_by_doc[d] = grp.to_numpy(np.int64)
+        ids_out, ntok_out, nrem_out, text_out = [], [], [], []
+        for doc_id, text in zip(l[id_col].to_numpy(), l[text_col].to_numpy()):
+            toks = text.split() if isinstance(text, str) else []
+            n = len(toks)
+            starts = starts_by_doc.get(doc_id)
+            if starts is None or n == 0:
+                removed, clean = 0, " ".join(toks)
+            else:
+                # interval union of [s, s+width) via a difference array
+                d = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(d, starts, 1)
+                np.add.at(d, np.minimum(starts + width, n), -1)
+                mask = np.cumsum(d[:-1]) > 0
+                removed = int(mask.sum())
+                clean = " ".join(np.array(toks, dtype=object)[~mask])
+            ids_out.append(doc_id)
+            ntok_out.append(n)
+            nrem_out.append(removed)
+            text_out.append(clean)
+        return pd.DataFrame({id_col: np.asarray(ids_out, dtype=np.int64),
+                             "n_tokens": np.asarray(ntok_out, dtype=np.int64),
+                             "n_removed": np.asarray(nrem_out, dtype=np.int64),
+                             "text_clean": text_out})
+
+    return cogroup_spill(ds.select_columns([id_col, text_col]), rem,
+                         id_col, id_col, splice, empty=empty_out,
+                         tag="xsubstr", n_buckets=n_buckets,
+                         require_both=False)

@@ -633,3 +633,47 @@ def test_hashed_linear_scorer_deterministic(ray_session):
          .map_batches(HashedLinearScorer, batch_format="pandas", concurrency=2)
          .to_pandas().sort_values("doc_id", ignore_index=True))
     assert b["model_score"].tolist() == a["model_score"].tolist()
+
+
+def test_exact_substr_rewrite_planted(ray_session):
+    """ExactSubstr semantics: the globally-first occurrence of a
+    duplicated window keeps its tokens; every later occurrence is
+    spliced out; overlapping loser windows union their intervals."""
+    from borges_ray.ops.ccnet import exact_substr_rewrite
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [
+            "p q r s t u v",          # contains the winner of "q r s"
+            "a q r s b q r s c",      # two loser occurrences of "q r s"
+            "x y z w k",              # no duplicated window
+        ],
+    })
+    out = (exact_substr_rewrite(rd.from_pandas(df), width=3, n_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # doc 0 is the winner (doc_id 0 < 1): untouched
+    assert out.loc[0, "text_clean"] == "p q r s t u v"
+    assert out.loc[0, "n_removed"] == 0
+    # doc 1 loses both occurrences: tokens at [1,4) and [5,8) removed
+    assert out.loc[1, "text_clean"] == "a b c"
+    assert out.loc[1, "n_removed"] == 6
+    assert out.loc[1, "n_tokens"] == 9
+    # doc 2 untouched
+    assert out.loc[2, "text_clean"] == "x y z w k"
+    assert out.loc[2, "n_removed"] == 0
+
+
+def test_exact_substr_rewrite_overlapping_losers(ray_session):
+    """Overlapping duplicated windows in the SAME doc merge into one
+    removal interval (difference-array union), and a window duplicated
+    only WITHIN one doc keeps its first occurrence there."""
+    from borges_ray.ops.ccnet import exact_substr_rewrite
+
+    # "m n o m n o m n o": windows (w=3) "m n o"(0,3,6), "n o m"(1,4),
+    # "o m n"(2,5).  Winners: positions 0,1,2.  Losers cover [3,9).
+    df = pd.DataFrame({"doc_id": [7], "text": ["m n o m n o m n o"]})
+    out = exact_substr_rewrite(rd.from_pandas(df), width=3,
+                               n_buckets=2).to_pandas()
+    assert out.loc[0, "text_clean"] == "m n o"
+    assert out.loc[0, "n_removed"] == 6
