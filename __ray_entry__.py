@@ -1390,6 +1390,18 @@ def _q_exact_substr(sf_dir: str):
     return exact_substr_rewrite(ds, width=5)
 
 
+def _q_epoch_shuffle(sf_dir: str):
+    """Deterministic per-epoch training shuffle: a seeded md5 permutation
+    ranks every document globally and assigns (shard_id, pos_in_shard).
+    Distributed rank via coarse hash ranges — the driver prefix-sums only
+    the ≤4096 per-range totals; the SQL twin is one row_number window."""
+    from borges_ray.ops.pack import epoch_shuffle
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id"])
+    return epoch_shuffle(ds, seed=7, shard_size=64)
+
+
 def _q_url_canonicalize(sf_dir: str):
     """M1 URL canonicalization, oracle-checked by golden reconstruction:
     both sides derive a MESSY url variant from doc_id (upper-case scheme,
@@ -1674,6 +1686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "dup_spans": _q_dup_spans,
         "exact_substr": _q_exact_substr,
+        "epoch_shuffle": _q_epoch_shuffle,
         "semdedup": _q_semdedup,
         "robots_parse": _q_robots_parse,
         "decontaminate": _q_decontaminate,
@@ -2627,6 +2640,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(cl.n_removed, 0) AS BIGINT) AS n_removed,
                    coalesce(cl.text_clean, '') AS text_clean
             FROM toks t LEFT JOIN clean cl USING (doc_id)
+        """,
+        "epoch_shuffle": """
+            WITH k AS (
+              SELECT doc_id,
+                     substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 16) AS kk
+              FROM documents
+            ), r AS (
+              SELECT doc_id, row_number() OVER (ORDER BY kk, doc_id) - 1 AS pos
+              FROM k
+            )
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                   CAST(pos // 64 AS BIGINT) AS shard_id,
+                   CAST(pos % 64 AS BIGINT) AS pos_in_shard
+            FROM r
         """,
         "url_canonicalize": """
             SELECT doc_id,

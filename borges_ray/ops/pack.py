@@ -110,3 +110,59 @@ def sequence_pack(ds: rd.Dataset, order_col: str, tokens_col: str,
         return out.drop(columns=["__w", "cum"])
 
     return with_cum.map_batches(assign, batch_format="pandas")
+
+
+def epoch_shuffle(ds: rd.Dataset, id_col: str = "doc_id", *,
+                  seed: int = 0, shard_size: int = 64,
+                  hex_prefix: int = 3) -> rd.Dataset:
+    """Deterministic seeded EPOCH SHUFFLE into training shards: every row
+    gets a global position in the order of ``md5(f"{seed}:{id}")`` (ties
+    broken by id — md5 collisions aside, unreachable), then
+    ``shard_id = pos // shard_size`` and ``pos_in_shard = pos % shard_size``.
+    Re-running with a different ``seed`` yields an independent permutation
+    — the per-epoch reshuffle a pre-training data loader needs, computed
+    once as a table instead of an in-memory shuffle.
+
+    Distributed rank WITHOUT a global sort materialization: the first
+    ``hex_prefix`` hex chars of the key define 16^hex_prefix coarse ranges
+    that are monotone with the full key order; per-range counts are a
+    keys-only combine, the driver prefix-sums ONLY the range totals
+    (≤ 4096 rows at the default), and one bucketed shuffle on the range id
+    ranks within ranges vectorized.  Same shape as :func:`prefix_sum` but
+    ordered by a hash, not by the id itself."""
+    import hashlib
+
+    n_ranges = 16 ** hex_prefix
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        ks = [hashlib.md5(f"{seed}:{d}".encode()).hexdigest()[:16]
+              for d in df[id_col]]
+        out = pd.DataFrame({id_col: df[id_col], "__k": ks})
+        out["__rg"] = [int(k[:hex_prefix], 16) for k in ks]
+        return out
+
+    keyed = ds.select_columns([id_col]).map_batches(add_key, batch_format="pandas")
+
+    range_counts = grouped_agg(keyed.select_columns(["__rg", id_col]),
+                               ["__rg"], {"__n": ("count", id_col)}
+                               ).to_pandas()  # ≤ n_ranges rows
+    range_counts = range_counts.sort_values("__rg")
+    offsets = dict(zip(range_counts["__rg"],
+                       range_counts["__n"].cumsum() - range_counts["__n"]))
+
+    def rank_range(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "pos": pd.Series(dtype="int64"),
+                                 "shard_id": pd.Series(dtype="int64"),
+                                 "pos_in_shard": pd.Series(dtype="int64")})
+        df = df.sort_values(["__rg", "__k", id_col], kind="mergesort").copy()
+        base = df["__rg"].map(offsets).astype("int64")
+        intra = df.groupby("__rg", sort=False).cumcount()
+        pos = (base + intra).astype("int64")
+        return pd.DataFrame({id_col: df[id_col].astype("int64"),
+                             "pos": pos,
+                             "shard_id": (pos // shard_size).astype("int64"),
+                             "pos_in_shard": (pos % shard_size).astype("int64")})
+
+    return groupby_buckets(keyed, ["__rg"], rank_range)

@@ -677,3 +677,32 @@ def test_exact_substr_rewrite_overlapping_losers(ray_session):
                                n_buckets=2).to_pandas()
     assert out.loc[0, "text_clean"] == "m n o"
     assert out.loc[0, "n_removed"] == 6
+
+
+def test_epoch_shuffle_permutation_and_seeds(ray_session):
+    """epoch_shuffle assigns a bijective 0..N-1 position, equals the
+    driver-side md5 sort exactly, and different seeds give different
+    permutations while identical seeds reproduce bit-for-bit."""
+    import hashlib
+
+    from borges_ray.ops.pack import epoch_shuffle
+
+    ids = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64)})
+    out = (epoch_shuffle(rd.from_pandas(ids), seed=3, shard_size=10)
+           .to_pandas().sort_values("pos").reset_index(drop=True))
+    assert len(out) == 2000
+    assert out["pos"].tolist() == list(range(2000))  # bijective
+    assert (out["shard_id"] == out["pos"] // 10).all()
+    assert (out["pos_in_shard"] == out["pos"] % 10).all()
+
+    expect = sorted(range(2000),
+                    key=lambda d: (hashlib.md5(f"3:{d}".encode()).hexdigest()[:16], d))
+    assert out["doc_id"].tolist() == expect
+
+    again = (epoch_shuffle(rd.from_pandas(ids), seed=3, shard_size=10)
+             .to_pandas().sort_values("pos").reset_index(drop=True))
+    assert again["doc_id"].tolist() == out["doc_id"].tolist()
+
+    other = (epoch_shuffle(rd.from_pandas(ids), seed=4, shard_size=10)
+             .to_pandas().sort_values("pos").reset_index(drop=True))
+    assert other["doc_id"].tolist() != out["doc_id"].tolist()
