@@ -1402,6 +1402,35 @@ def _q_epoch_shuffle(sf_dir: str):
     return epoch_shuffle(ds, seed=7, shard_size=64)
 
 
+def _q_anchor_text(sf_dir: str):
+    """Anchor-text aggregation per link target (Brin & Page 1998 §2.2):
+    a deterministic two-links-per-doc graph is derived from the documents
+    table (first-3-tokens anchor to a spread target; source-name anchor
+    to a hot target — doc_id % 97 gives ~1% of targets 1% of ALL links,
+    exercising the combiner under skew).  Both links are emitted inside
+    ONE map_batches (no union feeding the downstream sort)."""
+    from borges_ray.ops.graph import anchor_stats
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def mk_links(df: pd.DataFrame) -> pd.DataFrame:
+        toks3 = (df["text"].fillna("").str.split().str[:3]
+                 .apply(lambda t: " ".join(t)))
+        l1 = pd.DataFrame({
+            "target": ((df["doc_id"] * 3 + 1) % 1000).astype("int64"),
+            "anchor": toks3,
+        })[toks3 != ""]
+        l2 = pd.DataFrame({
+            "target": (df["doc_id"] % 97).astype("int64"),
+            "anchor": df["source"],
+        })
+        return pd.concat([l1, l2], ignore_index=True)
+
+    links = ds.map_batches(mk_links, batch_format="pandas")
+    return anchor_stats(links)
+
+
 def _q_url_canonicalize(sf_dir: str):
     """M1 URL canonicalization, oracle-checked by golden reconstruction:
     both sides derive a MESSY url variant from doc_id (upper-case scheme,
@@ -1687,6 +1716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "exact_substr": _q_exact_substr,
         "epoch_shuffle": _q_epoch_shuffle,
+        "anchor_text": _q_anchor_text,
         "semdedup": _q_semdedup,
         "robots_parse": _q_robots_parse,
         "decontaminate": _q_decontaminate,
@@ -2640,6 +2670,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(cl.n_removed, 0) AS BIGINT) AS n_removed,
                    coalesce(cl.text_clean, '') AS text_clean
             FROM toks t LEFT JOIN clean cl USING (doc_id)
+        """,
+        "anchor_text": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+              FROM documents
+            ), links AS (
+              SELECT (doc_id * 3 + 1) % 1000 AS target,
+                     array_to_string(list_slice(tk, 1, 3), ' ') AS anchor
+              FROM t WHERE len(tk) > 0
+              UNION ALL
+              SELECT doc_id % 97 AS target, source AS anchor FROM t
+            ), ca AS (
+              SELECT target, anchor, count(*) AS c FROM links GROUP BY 1, 2
+            ), ranked AS (
+              SELECT target, anchor,
+                     row_number() OVER (PARTITION BY target
+                                        ORDER BY c DESC, anchor) AS rn
+              FROM ca
+            ), s AS (
+              SELECT target, CAST(sum(c) AS BIGINT) AS n_links,
+                     CAST(count(*) AS BIGINT) AS n_distinct_anchors
+              FROM ca GROUP BY target
+            )
+            SELECT s.target, s.n_links, s.n_distinct_anchors,
+                   r.anchor AS top_anchor
+            FROM s JOIN ranked r ON r.target = s.target AND r.rn = 1
         """,
         "epoch_shuffle": """
             WITH k AS (

@@ -155,3 +155,44 @@ def pagerank(
         return out
 
     return ranks.map_batches(finalize, batch_format="pandas")
+
+
+def anchor_stats(links: rd.Dataset, target_col: str = "target",
+                 anchor_col: str = "anchor") -> rd.Dataset:
+    """Per-target ANCHOR-TEXT aggregation — the classic web-graph
+    relevance signal (anchor text pointing at a page describes it better
+    than the page itself; used by every production search/crawl stack
+    since Brin & Page 1998 §2.2).  For each link target:
+    ``n_links`` (in-links), ``n_distinct_anchors``, and ``top_anchor``
+    (the most frequent anchor string; ties break to the
+    lexicographically smallest).
+
+    Scale shape: a per-batch ``(target, anchor)`` count combiner bounds
+    the one exchange by DISTINCT (target, anchor) pairs, not link rows —
+    a hot page with 10^8 in-links but few distinct anchors costs a few
+    rows.  The per-target argmax is one vectorized sorted-groupby pass
+    per hash bucket of the counts table (`groupby_buckets`), never a
+    per-key Python call."""
+    from .relational import grouped_agg, groupby_buckets
+
+    counts = grouped_agg(links.select_columns([target_col, anchor_col]),
+                         [target_col, anchor_col],
+                         {"c": ("count", anchor_col)})
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({target_col: pd.Series(dtype="int64"),
+                                 "n_links": pd.Series(dtype="int64"),
+                                 "n_distinct_anchors": pd.Series(dtype="int64"),
+                                 "top_anchor": pd.Series(dtype="object")})
+        df = df.sort_values([target_col, "c", anchor_col],
+                            ascending=[True, False, True], kind="mergesort")
+        g = df.groupby(target_col, sort=False)
+        out = g.agg(n_links=("c", "sum"),
+                    n_distinct_anchors=("c", "count"),
+                    top_anchor=(anchor_col, "first")).reset_index()
+        out["n_links"] = out["n_links"].astype("int64")
+        out["n_distinct_anchors"] = out["n_distinct_anchors"].astype("int64")
+        return out
+
+    return groupby_buckets(counts, [target_col], finalize)

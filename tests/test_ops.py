@@ -1068,3 +1068,26 @@ def test_pagerank(ray_session):
     assert len(out) == N
     # in-linkless node holds exactly the teleport mass
     assert out["lonely"] == pytest.approx(round(0.15 / N, 6), abs=1e-6)
+
+
+def test_anchor_stats_topk_and_skew(ray_session):
+    """anchor_stats: top_anchor is the most frequent anchor with
+    lexicographic tie-break; a hot target with many duplicate anchors
+    reduces to distinct-pair rows in the exchange."""
+    import pandas as pd
+    import ray.data as rd
+
+    from borges_ray.ops.graph import anchor_stats
+
+    links = pd.DataFrame({
+        "target": [1] * 6 + [2] * 3,
+        "anchor": ["nav", "nav", "home", "home", "about", "zz",
+                   "b", "a", "a"],
+    })
+    out = (anchor_stats(rd.from_pandas(links))
+           .to_pandas().sort_values("target").reset_index(drop=True))
+    assert out.loc[0, "n_links"] == 6
+    assert out.loc[0, "n_distinct_anchors"] == 4
+    assert out.loc[0, "top_anchor"] == "home"  # tie nav/home -> lexicographic
+    assert out.loc[1, "n_links"] == 3
+    assert out.loc[1, "top_anchor"] == "a"
