@@ -176,6 +176,9 @@ QUERY_SUBSET = [
     # Lloyd k-means, interval-join attribution
     "lm_perplexity", "dsir_weights", "kmeans_clusters",
     "interval_attribution",
+    # r04c additions: ExactSubstr duplicate-window removal, seeded epoch
+    # shuffle into training shards, anchor-text aggregation
+    "exact_substr", "epoch_shuffle", "anchor_text",
 ]
 
 
