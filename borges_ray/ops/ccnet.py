@@ -355,13 +355,23 @@ def exact_substr_rewrite(ds: rd.Dataset, id_col: str = "doc_id",
             "__rank": (df[id_col].to_numpy(np.int64) << SPAN_POS_BITS) | iv,
         })
 
-    ranked = occ.map_batches(add_rank, batch_format="pandas")
+    # spill the keys-only occurrence table once: it feeds BOTH the winner
+    # aggregate and the loser join, and without a pin the expensive window
+    # hashing would re-execute per consumer
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .relational import (BROADCAST_MAX_ROWS, broadcast_join, hash_join,
+                             spill_point)
+
+    ranked = spill_point(occ.map_batches(add_rank, batch_format="pandas"),
+                         "xsubstr_occ")
     agg = grouped_agg(ranked, ["__wh"],
                       {"m": ("count", "__rank"), "rmin": ("min", "__rank")})
     dup = agg.map_batches(lambda df: df[df["m"] > 1][["__wh", "rmin"]],
                           batch_format="pandas")
-
-    joined = hash_join(ranked, dup, on=["__wh"])
 
     def losers(df: pd.DataFrame) -> pd.DataFrame:
         r = df[df["__rank"] != df["rmin"]]
@@ -371,7 +381,27 @@ def exact_substr_rewrite(ds: rd.Dataset, id_col: str = "doc_id",
             "i": rv & ((1 << SPAN_POS_BITS) - 1),
         })
 
-    rem = joined.map_batches(losers, batch_format="pandas")
+    # the dup table is bounded by DISTINCT duplicated windows — usually
+    # tiny vs occurrences.  Spill it, let parquet METADATA decide: under
+    # the broadcast guard the driver reads it and the join is a map-side
+    # broadcast (no shuffle of the occurrence table); past the guard it
+    # stays a distributed hash join.
+    dup_dir = tempfile.mkdtemp(prefix="borges_xsubstr_dup_")
+    dup.write_parquet(dup_dir)
+    dup_files = [os.path.join(dup_dir, f) for f in os.listdir(dup_dir)
+                 if f.endswith(".parquet")]
+    n_dup = sum(pq.ParquetFile(f).metadata.num_rows for f in dup_files)
+    if n_dup == 0:
+        rem = rd.from_pandas(pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                           "i": pd.Series(dtype="int64")}))
+    else:
+        if n_dup <= BROADCAST_MAX_ROWS:
+            joined = broadcast_join(ranked, pd.read_parquet(dup_dir),
+                                    on=["__wh"])
+        else:
+            joined = hash_join(ranked, rd.read_parquet(dup_files),
+                               on=["__wh"])
+        rem = joined.map_batches(losers, batch_format="pandas")
 
     empty_out = pd.DataFrame({id_col: pd.Series(dtype="int64"),
                               "n_tokens": pd.Series(dtype="int64"),
