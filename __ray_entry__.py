@@ -1235,6 +1235,25 @@ def _q_pagerank(sf_dir: str):
                     iters=2, damping=0.85, round_to=6)
 
 
+def _q_hits(sf_dir: str):
+    """Fixed-iteration HITS hubs/authorities over the same supplier→part
+    link graph as ``pagerank`` (Kleinberg 1999; L1-normalized half-steps
+    so the SQL twin is exact).  Edges bucket-spilled twice (by src and by
+    dst), each half-step exchanges only the node-sized score table."""
+    from borges_ray.ops.graph import hits
+    from borges_ray.ops.relational import load
+
+    li = load(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": "s" + df["l_suppkey"].astype(str),
+            "dst": "p" + df["l_partkey"].astype(str)})
+
+    return hits(li.map_batches(to_edges, batch_format="pandas"),
+                iters=2, round_to=6)
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance weights toward the English subset: hashed-token
     bucket distributions (md5 % 1024), mean per-token log-likelihood
@@ -1735,6 +1754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_attribution": _q_interval_attribution,
         "dsir_weights": _q_dsir_weights,
         "pagerank": _q_pagerank,
+        "hits": _q_hits,
         "hist_quantiles": _q_hist_quantiles,
         "url_canonicalize": _q_url_canonicalize,
         "stopword_fraction": _q_stopword_fraction,
@@ -2465,6 +2485,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
                    round(exp(-s / n), 4) AS ppl
             FROM sums
+        """,
+        "hits": """
+            WITH e AS (
+              SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                     'p' || CAST(l_partkey AS VARCHAR) AS dst
+              FROM lineitem
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+            ), n AS (SELECT count(*) AS n FROM nodes),
+            h0 AS (SELECT node, 1.0 / (SELECT n FROM n) AS v FROM nodes),
+            a1r AS (SELECT nodes.node, coalesce(s.c, 0) AS v FROM nodes
+                    LEFT JOIN (SELECT e.dst AS node, sum(h0.v) AS c
+                               FROM e JOIN h0 ON h0.node = e.src
+                               GROUP BY 1) s USING (node)),
+            a1 AS (SELECT node, v / (SELECT sum(v) FROM a1r) AS v FROM a1r),
+            h1r AS (SELECT nodes.node, coalesce(s.c, 0) AS v FROM nodes
+                    LEFT JOIN (SELECT e.src AS node, sum(a1.v) AS c
+                               FROM e JOIN a1 ON a1.node = e.dst
+                               GROUP BY 1) s USING (node)),
+            h1 AS (SELECT node, v / (SELECT sum(v) FROM h1r) AS v FROM h1r),
+            a2r AS (SELECT nodes.node, coalesce(s.c, 0) AS v FROM nodes
+                    LEFT JOIN (SELECT e.dst AS node, sum(h1.v) AS c
+                               FROM e JOIN h1 ON h1.node = e.src
+                               GROUP BY 1) s USING (node)),
+            a2 AS (SELECT node, v / (SELECT sum(v) FROM a2r) AS v FROM a2r),
+            h2r AS (SELECT nodes.node, coalesce(s.c, 0) AS v FROM nodes
+                    LEFT JOIN (SELECT e.src AS node, sum(a2.v) AS c
+                               FROM e JOIN a2 ON a2.node = e.dst
+                               GROUP BY 1) s USING (node)),
+            h2 AS (SELECT node, v / (SELECT sum(v) FROM h2r) AS v FROM h2r)
+            SELECT h2.node, round(h2.v, 6) AS hub,
+                   round(a2.v, 6) AS authority
+            FROM h2 JOIN a2 USING (node)
         """,
         "pagerank": """
             WITH e AS (

@@ -55,6 +55,15 @@ def _bucket_dirs(d: str) -> dict[int, str]:
             for e in os.listdir(d) if e.startswith("__bkt=")}
 
 
+def _leaf_files(d: str) -> list[str]:
+    """All parquet leaf files under a hive-partitioned bucket dir."""
+    out = []
+    for root, _dirs, files in os.walk(d):
+        out.extend(os.path.join(root, f) for f in files
+                   if f.endswith(".parquet"))
+    return sorted(out)
+
+
 def pagerank(
     edges: rd.Dataset,
     *,
@@ -196,3 +205,117 @@ def anchor_stats(links: rd.Dataset, target_col: str = "target",
         return out
 
     return groupby_buckets(counts, [target_col], finalize)
+
+
+def hits(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 2,
+    round_to: int = 6,
+    n_buckets: int = 16,
+) -> rd.Dataset:
+    """Fixed-iteration HITS (Kleinberg 1999) hubs/authorities over an
+    edge Dataset, L1-normalized each half-step (sum = 1 — exactly
+    SQL-recomputable, unlike the L2 norm whose sqrt compounds float
+    error).  Returns ``(node, hub, authority)`` rounded to
+    ``round_to`` for every node appearing as a source or destination.
+
+    Physical shape mirrors :func:`pagerank`: the edge list is bucket-
+    written TWICE (hashed by src for the authority step, by dst for the
+    hub step) and never moves again; each half-step exchanges only the
+    node-sized score table (one bucket write + a combiner-bounded
+    aggregate), and the normalizing total is read back from the written
+    buckets — one scalar on the driver, no score re-execution."""
+    from .relational import grouped_agg, spill_point
+
+    e2 = edges.select_columns([src_col, dst_col])
+    es_dir = _bucket_write(e2, src_col, n_buckets, "hits_es")
+    ed_dir = _bucket_write(e2, dst_col, n_buckets, "hits_ed")
+    es_bkts, ed_bkts = _bucket_dirs(es_dir), _bucket_dirs(ed_dir)
+
+    def _as_node(col):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": df[col]})
+        return fn
+
+    srcs = edges.map_batches(_as_node(src_col), batch_format="pandas")
+    dsts = edges.map_batches(_as_node(dst_col), batch_format="pandas")
+    nodes = spill_point(
+        grouped_agg(srcs.union(dsts), ["node"], {"cnt": ("count", "node")})
+        .select_columns(["node"]), "hits_nodes")
+    n_nodes = int(nodes.count())
+
+    def zero_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"],
+                             "v": np.zeros(len(df), dtype=np.float64)})
+
+    zeros = nodes.map_batches(zero_rows, batch_format="pandas")
+
+    def seed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"],
+                             "v": np.full(len(df), 1.0 / n_nodes)})
+
+    h_dir = _bucket_write(nodes.map_batches(seed, batch_format="pandas"),
+                          "node", n_buckets, "hits_h0")
+    h_scale = 1.0
+
+    def _halfstep(rank_dir: str, scale: float, ebkts: dict[int, str],
+                  key_col: str, out_col: str, tag: str) -> tuple[str, float]:
+        """Propagate normalized scores (stored raw / ``scale``) across the
+        edge buckets keyed on ``key_col``, summing into ``out_col`` nodes;
+        returns the RAW result's bucket dir and its normalizing total."""
+        rbkts = _bucket_dirs(rank_dir)
+        work = sorted(set(ebkts) & set(rbkts))
+        paths = rd.from_items(
+            [{"e": ebkts[b], "r": rbkts[b]} for b in work])
+
+        def prop(df: pd.DataFrame, _s=scale) -> pd.DataFrame:
+            outs = []
+            for e_dir, r_dir in zip(df["e"], df["r"]):
+                e = pq.read_table(e_dir).to_pandas()
+                r = pq.read_table(r_dir).to_pandas()
+                if not len(e) or not len(r):
+                    continue
+                m = e.merge(r.rename(columns={"node": key_col}),
+                            on=key_col, how="inner")
+                m["v"] = m["v"].to_numpy(np.float64) / _s
+                g = m.groupby(out_col, sort=False)["v"].sum().reset_index()
+                outs.append(g.rename(columns={out_col: "node"}))
+            if not outs:
+                return pd.DataFrame({"node": pd.Series(dtype="object"),
+                                     "v": pd.Series(dtype="float64")})
+            return pd.concat(outs, ignore_index=True)
+
+        partials = paths.repartition(max(1, len(work))).map_batches(
+            prop, batch_format="pandas")
+        raw = grouped_agg(partials.union(zeros), ["node"], {"v": ("sum", "v")})
+        d = _bucket_write(raw, "node", n_buckets, tag)
+        # leaf files, not the hive dir: a hive-partitioned read reports no
+        # schema to downstream ops in Ray 2.49
+        total = rd.read_parquet(_leaf_files(d)).sum("v")
+        total = float(total) if total else 0.0
+        return d, (total if total > 0 else 1.0)
+
+    a_dir, a_scale = h_dir, h_scale
+    for it in range(iters):
+        a_dir, a_scale = _halfstep(h_dir, h_scale, es_bkts,
+                                   src_col, dst_col, f"hits_a{it}")
+        h_dir, h_scale = _halfstep(a_dir, a_scale, ed_bkts,
+                                   dst_col, src_col, f"hits_h{it + 1}")
+
+    def _norm(scale: float, out: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": df["node"],
+                out: (df["v"].to_numpy(np.float64) / scale).round(round_to)})
+        return fn
+
+    from .relational import hash_join
+
+    hubs = rd.read_parquet(_leaf_files(h_dir)).map_batches(
+        _norm(h_scale, "hub"), batch_format="pandas")
+    auths = rd.read_parquet(_leaf_files(a_dir)).map_batches(
+        _norm(a_scale, "authority"), batch_format="pandas")
+    return hash_join(hubs, auths, on=["node"])
