@@ -1254,6 +1254,30 @@ def _q_hits(sf_dir: str):
                 iters=2, round_to=6)
 
 
+def _q_crawl_budget(sf_dir: str):
+    """Global crawl-budget apportionment (Cho & Garcia-Molina-style
+    recrawl planning): 400 fetch slots split across hosts by
+    largest-remainder on summed md5-derived priorities, filled per host
+    in priority order.  Exact-integer arithmetic on both sides — the
+    remainder order is ``(B·w) mod W``, same denominator everywhere."""
+    import hashlib
+
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.sched import crawl_budget_alloc
+
+    ds = load(sf_dir, "documents", columns=["doc_id"])
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        pr = [int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16)
+              for d in df["doc_id"]]
+        return pd.DataFrame({"url": df["doc_id"].astype("int64"),
+                             "host": (df["doc_id"] % 127).astype("int64"),
+                             "pr": pd.Series(pr, dtype="int64")})
+
+    return crawl_budget_alloc(ds.map_batches(mk, batch_format="pandas"),
+                              budget=400)
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance weights toward the English subset: hashed-token
     bucket distributions (md5 % 1024), mean per-token log-likelihood
@@ -1755,6 +1779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "pagerank": _q_pagerank,
         "hits": _q_hits,
+        "crawl_budget": _q_crawl_budget,
         "hist_quantiles": _q_hist_quantiles,
         "url_canonicalize": _q_url_canonicalize,
         "stopword_fraction": _q_stopword_fraction,
@@ -2485,6 +2510,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
                    round(exp(-s / n), 4) AS ppl
             FROM sums
+        """,
+        "crawl_budget": """
+            WITH cand AS (
+              SELECT CAST(doc_id AS BIGINT) AS url,
+                     CAST(doc_id % 127 AS BIGINT) AS host,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                          AS BIGINT) AS pr
+              FROM documents
+            ), hs AS (
+              SELECT host, sum(pr) AS w FROM cand GROUP BY host
+            ), tot AS (SELECT sum(w) AS W FROM hs),
+            fl AS (
+              SELECT host,
+                     (400 * w) // (SELECT W FROM tot) AS nfloor,
+                     (400 * w) % (SELECT W FROM tot) AS rem
+              FROM hs
+            ), kk AS (SELECT 400 - sum(nfloor) AS k FROM fl),
+            alloc AS (
+              SELECT host,
+                     nfloor + CASE WHEN row_number() OVER
+                                        (ORDER BY rem DESC, host)
+                                   <= (SELECT k FROM kk)
+                              THEN 1 ELSE 0 END AS n
+              FROM fl
+            ), sel AS (
+              SELECT c.url, c.host, c.pr,
+                     row_number() OVER (PARTITION BY c.host
+                                        ORDER BY c.pr DESC, c.url) AS rn
+              FROM cand c
+            )
+            SELECT s.url, s.host, s.pr
+            FROM sel s JOIN alloc a USING (host)
+            WHERE s.rn <= a.n
         """,
         "hits": """
             WITH e AS (

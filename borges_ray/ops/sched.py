@@ -1,0 +1,99 @@
+"""Crawl-budget scheduling: apportion a GLOBAL per-round fetch budget
+across hosts, then pick each host's top-priority URLs.
+
+The per-host politeness selector (`stages/politeness.py`) answers "how
+many fetches may host H absorb this round"; this module answers the
+complementary planning question every large crawler faces: the cluster
+can afford B fetches per round TOTAL — which B URLs?  The classic
+answer (Cho & Garcia-Molina 2000-style recrawl scheduling) is
+proportional apportionment by host demand with largest-remainder
+rounding, then per-host priority order.
+
+Everything is EXACT INTEGER arithmetic (`(B·w) // W` and `(B·w) % W`
+share the denominator, so remainder order equals fractional-part order)
+— no float apportionment drift between the engine and a SQL twin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def crawl_budget_alloc(cand: rd.Dataset, budget: int, *,
+                       host_col: str = "host", url_col: str = "url",
+                       pr_col: str = "pr") -> rd.Dataset:
+    """Select ≤ ``budget`` candidate URLs: each host gets
+    ``floor(budget·w_h / W)`` slots (``w_h`` = the host's summed
+    priority, ``W`` the global sum) plus one top-up slot if it ranks in
+    the top ``budget − Σfloor`` hosts by integer remainder
+    (``(budget·w_h) mod W`` descending, host ascending); within a host
+    the highest-priority URLs fill the slots (priority desc, url asc).
+    Returns ``(url, host, pr)`` for the selected URLs.
+
+    Distributed shape: host demand is ONE keys-only combine; the driver
+    sees only the two scalars ``W`` and ``Σfloor``; the remainder top-up
+    is a keys-only sort+limit over the HOST table (not URLs); the
+    per-host quota flows back to URLs via a hash join and one bucketed
+    top-n pass.  Priorities must be non-negative integers small enough
+    that ``budget · w_h`` fits in int64."""
+    from .relational import (grouped_agg, groupby_buckets, hash_join,
+                             spill_point)
+
+    cand = cand.select_columns([url_col, host_col, pr_col])
+
+    hs = spill_point(
+        grouped_agg(cand.select_columns([host_col, pr_col]),
+                    [host_col], {"w": ("sum", pr_col)}), "alloc_hosts")
+    W = int(hs.sum("w") or 0)
+    if W <= 0:
+        return rd.from_pandas(pd.DataFrame({
+            url_col: pd.Series(dtype="int64"),
+            host_col: pd.Series(dtype="int64"),
+            pr_col: pd.Series(dtype="int64")}))
+
+    def flo(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"].to_numpy(np.int64)
+        prod = budget * w  # int64; caller guarantees no overflow
+        return pd.DataFrame({host_col: df[host_col],
+                             "nfloor": prod // W,
+                             "rem": prod % W})
+
+    fl = spill_point(hs.map_batches(flo, batch_format="pandas"), "alloc_fl")
+    k = budget - int(fl.sum("nfloor") or 0)
+
+    if k > 0:
+        boost = (fl.sort(["rem", host_col], descending=[True, False])
+                 .limit(k).select_columns([host_col]))
+        boost = boost.map_batches(
+            lambda df: df.assign(__boost=np.int64(1)), batch_format="pandas")
+        alloc = hash_join(fl.select_columns([host_col, "nfloor"]), boost,
+                          on=[host_col], join_type="left_outer")
+
+        def add_n(df: pd.DataFrame) -> pd.DataFrame:
+            n = (df["nfloor"].astype("int64")
+                 + df["__boost"].fillna(0).astype("int64"))
+            return pd.DataFrame({host_col: df[host_col], "n": n})
+
+        alloc = alloc.map_batches(add_n, batch_format="pandas")
+    else:
+        alloc = fl.map_batches(
+            lambda df: pd.DataFrame({host_col: df[host_col],
+                                     "n": df["nfloor"].astype("int64")}),
+            batch_format="pandas")
+
+    joined = hash_join(cand, alloc, on=[host_col])
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({url_col: pd.Series(dtype="int64"),
+                                 host_col: pd.Series(dtype="int64"),
+                                 pr_col: pd.Series(dtype="int64")})
+        df = df.sort_values([host_col, pr_col, url_col],
+                            ascending=[True, False, True], kind="mergesort")
+        rn = df.groupby(host_col, sort=False).cumcount()
+        out = df[rn < df["n"].to_numpy(np.int64)]
+        return out[[url_col, host_col, pr_col]].reset_index(drop=True)
+
+    return groupby_buckets(joined, [host_col], topn)

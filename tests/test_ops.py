@@ -1127,3 +1127,42 @@ def test_hits_matches_dense_reference(ray_session):
     assert len(m) == len(nodes) == len(out)
     assert (m["hub"] - m["hub_ref"]).abs().max() <= 1e-9
     assert (m["authority"] - m["authority_ref"]).abs().max() <= 1e-9
+
+
+def test_crawl_budget_largest_remainder(ray_session):
+    """crawl_budget_alloc equals a driver-side largest-remainder
+    reference: exact-integer apportionment, remainder top-up order
+    (rem desc, host asc), per-host fill by (pr desc, url asc)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from borges_ray.ops.sched import crawl_budget_alloc
+
+    rng = np.random.RandomState(11)
+    cand = pd.DataFrame({
+        "url": np.arange(500, dtype=np.int64),
+        "host": rng.randint(0, 13, 500).astype(np.int64),
+        "pr": rng.randint(0, 1000, 500).astype(np.int64),
+    })
+    B = 37
+    out = (crawl_budget_alloc(rd.from_pandas(cand), budget=B)
+           .to_pandas().sort_values("url").reset_index(drop=True))
+
+    hs = cand.groupby("host")["pr"].sum().rename("w").reset_index()
+    W = int(hs["w"].sum())
+    hs["nfloor"] = (B * hs["w"]) // W
+    hs["rem"] = (B * hs["w"]) % W
+    k = B - int(hs["nfloor"].sum())
+    hs = hs.sort_values(["rem", "host"], ascending=[False, True])
+    hs["n"] = hs["nfloor"] + np.where(np.arange(len(hs)) < k, 1, 0)
+    picks = []
+    for h, n in zip(hs["host"], hs["n"]):
+        rows = cand[cand["host"] == h].sort_values(
+            ["pr", "url"], ascending=[False, True]).head(int(n))
+        picks.append(rows)
+    ref = (pd.concat(picks)[["url", "host", "pr"]]
+           .sort_values("url").reset_index(drop=True))
+
+    assert len(out) <= B
+    pd.testing.assert_frame_equal(out, ref)
