@@ -260,7 +260,8 @@ class RenderSession:
     def __init__(self, pages_root: str, num_buckets: int,
                  render_wait_ms: int = 10_000, timeout_ms: int = 90_000,
                  pages_per_handle: int = 64, flaky: bool = False,
-                 images_enabled: bool = False):
+                 images_enabled: bool = False,
+                 resource_timeout_ms: int = 90_000):
         self.pages_root = pages_root
         self.num_buckets = num_buckets
         self.render_wait_ms = render_wait_ms
@@ -268,6 +269,10 @@ class RenderSession:
         self.pages_per_handle = pages_per_handle
         self.flaky = flaky
         self.images_enabled = images_enabled
+        # Splash's resource_timeout (settings.py middleware surface): a
+        # SUB-resource slower than this is aborted but the page itself
+        # still renders (partial) — unlike timeout_ms, it never 504s.
+        self.resource_timeout_ms = resource_timeout_ms
         self.handle_gen = 0
         self.pages_rendered = 0
         self._open_handle()
@@ -285,6 +290,17 @@ class RenderSession:
         budget = self.render_wait_ms if self.images_enabled else self.render_wait_ms // 2
         return stable_hash("render:" + url) % max(budget, 1)
 
+    def resources_skipped_of(self, url: str) -> int:
+        """How many of the page's sub-resources (a stable 0-7 per url)
+        exceed ``resource_timeout_ms`` and get aborted mid-render.  Each
+        resource's virtual load time is a stable hash in [0, 30 s); at
+        the reference default (90 s) nothing ever skips, preserving the
+        byte-parity contract with the plain fetch path."""
+        n_res = stable_hash("nres:" + url) % 8
+        return sum(
+            1 for i in range(n_res)
+            if stable_hash(f"res:{url}:{i}") % 30_000 >= self.resource_timeout_ms)
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         out_parts = []
         tmp = df.copy()
@@ -300,15 +316,18 @@ class RenderSession:
             else:
                 hits = {}
             o = g.drop(columns=[BUCKET_COL]).copy()
-            statuses, attempts, render_ms, handle_gens = [], [], [], []
+            statuses, attempts, render_ms, handle_gens, res_skipped = \
+                [], [], [], [], []
             for u in urls:
                 s = 200 if u in hits else 404
                 a = 1
                 if self.flaky:
                     s, a = apply_flaky(u, s)
                 r = 0
+                skipped = 0
                 if s == 200:
                     r = self.render_ms_of(u)
+                    skipped = self.resources_skipped_of(u)
                     if r >= self.timeout_ms:
                         s = 504  # render timeout: page dropped, html None
                     self.pages_rendered += 1
@@ -318,17 +337,21 @@ class RenderSession:
                 attempts.append(a)
                 render_ms.append(r)
                 handle_gens.append(self.handle_gen)
+                res_skipped.append(skipped)
             o["attempts"] = attempts
             o["html"] = [hits.get(u) if s == 200 else None
                          for u, s in zip(urls, statuses)]
             o["status"] = statuses
             o["render_ms"] = pd.Series(render_ms, index=o.index, dtype="int64")
             o["handle_gen"] = pd.Series(handle_gens, index=o.index, dtype="int32")
+            o["resources_skipped"] = pd.Series(res_skipped, index=o.index,
+                                               dtype="int32")
             out_parts.append(o)
         if not out_parts:
             out = df.copy()
             for c, d in (("attempts", "int64"), ("status", "int64"),
-                         ("render_ms", "int64"), ("handle_gen", "int32")):
+                         ("render_ms", "int64"), ("handle_gen", "int32"),
+                         ("resources_skipped", "int32")):
                 out[c] = pd.Series(dtype=d)
             out["html"] = pd.Series(dtype=object)
             return out
@@ -337,7 +360,9 @@ class RenderSession:
 
 def fetch_selected_render(selected: rd.Dataset, pages_root: str,
                           num_buckets: int, *, render_wait_ms: int = 10_000,
-                          timeout_ms: int = 90_000, flaky: bool = False,
+                          timeout_ms: int = 90_000,
+                          resource_timeout_ms: int = 90_000,
+                          flaky: bool = False,
                           concurrency=(1, 4)) -> rd.Dataset:
     """Browser-render fetch path (S12): same rows as :func:`fetch_selected`
     plus ``render_ms``/``handle_gen``, with per-actor browser-handle state.
@@ -348,7 +373,9 @@ def fetch_selected_render(selected: rd.Dataset, pages_root: str,
         fn_constructor_kwargs={"pages_root": pages_root,
                                "num_buckets": num_buckets,
                                "render_wait_ms": render_wait_ms,
-                               "timeout_ms": timeout_ms, "flaky": flaky},
+                               "timeout_ms": timeout_ms,
+                               "resource_timeout_ms": resource_timeout_ms,
+                               "flaky": flaky},
         batch_format="pandas",
         concurrency=concurrency,
         num_cpus=1,

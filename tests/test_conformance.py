@@ -303,3 +303,26 @@ def test_cuckoo_seen_filter_parity(web, ray_session, tmp_path):
     for col in ("status", "attempts", "extracted_text", "fetch_round", "host_seq"):
         assert (a[col].to_numpy() == b[col].to_numpy()).all(), col
     assert set(collect_seen(ck_a)["url"]) == set(collect_seen(ck_b)["url"])
+
+
+def test_render_resource_timeout_partial(web, ray_session):
+    """S12 fidelity: Splash's resource_timeout aborts slow SUB-resources
+    without failing the page — a tight budget yields 200-status pages
+    with resources_skipped > 0 and unchanged html; the reference default
+    (90 s) never skips, preserving the plain-path parity contract."""
+    import pandas as pd
+
+    from borges_ray.stages.fetch import RenderSession
+
+    _pages, _seeds, _robots, pages_root, _ = web
+    sel = pd.DataFrame({"url": _pages["url"].to_pylist()[:40]})
+
+    wide = RenderSession(pages_root, 4)(sel)
+    assert (wide["resources_skipped"] == 0).all()
+
+    tight = RenderSession(pages_root, 4, resource_timeout_ms=1_000)(sel)
+    ok = tight[tight["status"] == 200]
+    assert (ok["resources_skipped"] > 0).any()
+    m = wide.merge(tight, on="url", suffixes=("_w", "_t"))
+    assert (m["status_w"] == m["status_t"]).all()
+    assert m["html_w"].equals(m["html_t"])

@@ -64,3 +64,4 @@ def test_multiweb_conformance(seed, n_pages, flaky, night, render,
     for col in ("status", "attempts", "extracted_text", "lang",
                 "fetch_round", "host_seq", "depth", "n_links"):
         assert (m[col].to_numpy() == o[col].to_numpy()).all(), (col, seed)
+
