@@ -706,3 +706,35 @@ def test_epoch_shuffle_permutation_and_seeds(ray_session):
     other = (epoch_shuffle(rd.from_pandas(ids), seed=4, shard_size=10)
              .to_pandas().sort_values("pos").reset_index(drop=True))
     assert other["doc_id"].tolist() != out["doc_id"].tolist()
+
+
+def test_exact_substr_heavy_duplication(ray_session):
+    """The 30-50% near-duplicate regime real crawl corpora hit: half the
+    corpus is a verbatim copy of the other half.  Every copy must come
+    back EMPTY (its every window lost to the original), originals come
+    back untouched, and unique docs pass through."""
+    from borges_ray.ops.ccnet import exact_substr_rewrite
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(50)]
+    originals = [" ".join(rng.choice(vocab, 30)) for _ in range(40)]
+    rows = []
+    for i, t in enumerate(originals):
+        rows.append({"doc_id": i, "text": t})
+        rows.append({"doc_id": 100 + i, "text": t})      # verbatim copy
+    rows.append({"doc_id": 999,
+                 "text": " ".join(f"u{i}" for i in range(30))})
+    df = pd.DataFrame(rows)
+    out = (exact_substr_rewrite(rd.from_pandas(df), width=5, n_buckets=8)
+           .to_pandas().set_index("doc_id"))
+
+    assert len(out) == len(df)
+    for i, t in enumerate(originals):
+        # originals may still lose windows duplicated ACROSS originals
+        # (random vocab-50 texts can collide), but copies must lose
+        # EVERYTHING the original kept and more: a copy's every window
+        # exists at a smaller doc_id, so all positions are covered
+        assert out.loc[100 + i, "text_clean"] == ""
+        assert out.loc[100 + i, "n_removed"] == 30
+    assert out.loc[999, "n_removed"] == 0
+    assert out.loc[999, "text_clean"] == df.iloc[-1]["text"]
