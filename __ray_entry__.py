@@ -572,6 +572,28 @@ def _q_minhash_neardup(sf_dir: str):
     return minhash_near_dup_pairs(ds, "doc_id", threshold=0.5)
 
 
+def _q_minhash_incremental(sf_dir: str):
+    """Incremental near-dup admission — the production snapshot-ingest
+    shape: odd doc_ids (the NEW snapshot) are admitted against even
+    doc_ids (the accepted corpus); a new doc is dropped iff its exact
+    shingle Jaccard against any old doc reaches 0.5 (LSH candidates,
+    stored-blob verify, distributed anti-join).  Oracle: the all-pairs
+    cross-side shingle-Jaccard SQL."""
+    from borges_ray.ops.dedup import minhash_dedup_incremental_ds
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _parity(p: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["doc_id"] % 2 == p]
+        return fn
+
+    old = ds.map_batches(_parity(0), batch_format="pandas")
+    new = ds.map_batches(_parity(1), batch_format="pandas")
+    return minhash_dedup_incremental_ds(old, new, "doc_id", threshold=0.5)
+
+
 def _q_ngram_jaccard(sf_dir: str):
     """EXACT n-gram Jaccard near-dup pairs (threshold 0.3) via distributed
     prefix filtering (PPJoin lemma) — no LSH miss probability; complements
@@ -1780,6 +1802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "hits": _q_hits,
         "crawl_budget": _q_crawl_budget,
+        "minhash_incremental": _q_minhash_incremental,
         "hist_quantiles": _q_hist_quantiles,
         "url_canonicalize": _q_url_canonicalize,
         "stopword_fraction": _q_stopword_fraction,
@@ -2128,6 +2151,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
             FROM documents
+        """,
+        "minhash_incremental": _MINHASH_PAIRS_SQL + """
+            SELECT doc_id FROM documents
+            WHERE doc_id % 2 = 1 AND doc_id NOT IN (
+                SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END
+                FROM jpairs WHERE (id_a % 2) <> (id_b % 2))
         """,
         "minhash_neardup": _MINHASH_PAIRS_SQL + """
             SELECT id_a, id_b, jaccard FROM jpairs

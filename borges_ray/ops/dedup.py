@@ -1047,3 +1047,136 @@ def dedup_survivors_ds(docs: rd.Dataset, pairs: rd.Dataset | pd.DataFrame,
         return docs
     return hash_semi_join(docs, rd.from_pandas(losers.reset_index(drop=True)),
                           on=[id_col], anti=True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup dedup: a new snapshot against an accepted corpus
+# ---------------------------------------------------------------------------
+
+def _make_cross_pairs(id_col: str, max_bucket: int = 4096):
+    """Per-bucket-block CROSS-side pair spawner over (band, band_hash)
+    groups: emits (id_a = new id, id_b = old id) only — new×new and
+    old×old collisions are someone else's job (the batch self-dedup).
+    Hot-bucket bound mirrors :func:`_make_band_pairs`: past ``max_bucket``
+    members per side the bucket emits the smallest ``max_bucket`` ids of
+    each side (logged; recall degrades, O(max_bucket²) pairs max)."""
+
+    def cross_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        order = np.lexsort((df[id_col].to_numpy(),
+                            df["band_hash"].to_numpy(),
+                            df["band"].to_numpy()))
+        bd = df["band"].to_numpy()[order]
+        bh = df["band_hash"].to_numpy()[order]
+        ids_all = df[id_col].to_numpy()[order]
+        side_all = df["__side"].to_numpy()[order]
+        cut = np.flatnonzero((bd[1:] != bd[:-1]) | (bh[1:] != bh[:-1])) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(bd)]))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ids = ids_all[s:e]
+            side = side_all[s:e]
+            news = np.unique(ids[side == 1])
+            olds = np.unique(ids[side == 0])
+            if not len(news) or not len(olds):
+                continue
+            if len(news) > max_bucket or len(olds) > max_bucket:
+                logger.warning(
+                    "incremental band bucket (%d,%d) has %d new × %d old "
+                    "members (> %d): capping each side at its smallest %d "
+                    "ids; cross-pair recall no longer exact for this bucket",
+                    bd[s], bh[s], len(news), len(olds), max_bucket,
+                    max_bucket)
+                news = news[:max_bucket]
+                olds = olds[:max_bucket]
+            ia = np.repeat(news, len(olds))
+            ib = np.tile(olds, len(news))
+            out_a.append(ia)
+            out_b.append(ib)
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)}).drop_duplicates()
+
+    return cross_pairs
+
+
+def minhash_dedup_incremental_ds(
+    old: rd.Dataset,
+    new: rd.Dataset,
+    id_col: str,
+    *,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int | None = None,
+    shingle_k: int = 3,
+    max_bucket: int = 4096,
+) -> rd.Dataset:
+    """Incremental near-dup dedup — THE production ingestion shape at the
+    100 TB design point: a NEW crawl snapshot is admitted against an
+    already-accepted OLD corpus, dropping every new document whose exact
+    shingle Jaccard against ANY old document reaches ``threshold``
+    (LSH-banded candidates, stored-blob verification).  Returns the
+    surviving new ids as a Dataset; within-snapshot duplicates are the
+    batch self-dedup's job (:func:`minhash_near_dup_pairs_ds`).
+
+    Ids must be globally unique across both sides (the corpus-wide doc
+    id).  The OLD side's featurize spill is exactly the artifact a
+    standing corpus would keep on disk between snapshots — re-runs with a
+    persisted spill skip the old side's tokenize pass entirely.
+
+    Scale shape: both sides' text is tokenized once into spills; banding
+    is keys-only per side; the cross-side pair spawn shares the batch
+    path's bucket machinery; verification reads blobs from BOTH spills
+    through one disk-bucketed cogroup chain; survivors are a distributed
+    anti-join of new ids against verified hits.  Nothing row-scale
+    transits the driver."""
+    from .relational import hash_semi_join
+
+    if bands is None:
+        bands = optimal_bands(num_perm, threshold)
+
+    f_old, _fb_old = minhash_feat_spill(old, id_col, num_perm=num_perm,
+                                        shingle_k=shingle_k)
+    f_new, _fb_new = minhash_feat_spill(new, id_col, num_perm=num_perm,
+                                        shingle_k=shingle_k)
+    new_ids = new.select_columns([id_col])
+    if not f_old or not f_new:
+        return new_ids  # an empty side cannot produce a cross match
+
+    def _tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["__side"] = np.int8(side)
+            return out
+        return fn
+
+    br_old = band_rows_from_sigs(
+        _pruned_spill_read(f_old, [id_col, "__sig"], None),
+        id_col, num_perm=num_perm, bands=bands).map_batches(
+        _tag(0), batch_format="pandas")
+    br_new = band_rows_from_sigs(
+        _pruned_spill_read(f_new, [id_col, "__sig"], None),
+        id_col, num_perm=num_perm, bands=bands).map_batches(
+        _tag(1), batch_format="pandas")
+
+    from .relational import groupby_buckets
+
+    pairs = groupby_buckets(br_old.union(br_new), ["band", "band_hash"],
+                            _make_cross_pairs(id_col, max_bucket))
+
+    blob_ds = _pruned_spill_read(f_old + f_new, [id_col, "__blob", "__nsh"],
+                                 None)
+    verified = verify_pairs_blob(pairs, blob_ds, id_col, threshold=threshold,
+                                 n_buckets=_verify_buckets(f_old + f_new))
+
+    hits = verified.map_batches(
+        lambda df: pd.DataFrame({id_col: df["id_a"].astype("int64")}),
+        batch_format="pandas")
+    return hash_semi_join(new_ids, hits, on=[id_col], anti=True)

@@ -1166,3 +1166,39 @@ def test_crawl_budget_largest_remainder(ray_session):
 
     assert len(out) <= B
     pd.testing.assert_frame_equal(out, ref)
+
+
+def test_minhash_incremental_admission(ray_session):
+    """Incremental snapshot admission: a new doc near-duplicating an OLD
+    doc is dropped; new docs that only duplicate EACH OTHER both survive
+    (within-snapshot dedup is the batch path's job); unique docs pass."""
+    import pandas as pd
+    import ray.data as rd
+
+    from borges_ray.ops.dedup import minhash_dedup_incremental_ds
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight")
+    other = ("completely different words describing an entirely other "
+             "topic with zero overlapping shingle content whatsoever here")
+    old = pd.DataFrame({"doc_id": [0, 2],
+                        "text": [base, "unrelated ancient corpus text "
+                                 "about maritime navigation routes"]})
+    new = pd.DataFrame({
+        "doc_id": [1, 3, 5, 7],
+        "text": [base + " extra",      # near-dup of old doc 0 -> dropped
+                 other,                # near-dup only of new doc 5 -> kept
+                 other + " tail",      # near-dup only of new doc 3 -> kept
+                 "a lone genuinely novel document with its own words"],
+    })
+    out = (minhash_dedup_incremental_ds(rd.from_pandas(old),
+                                        rd.from_pandas(new), "doc_id")
+           .to_pandas())
+    assert sorted(out["doc_id"]) == [3, 5, 7]
+
+    # an empty accepted corpus admits everything
+    empty = rd.from_pandas(pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                         "text": pd.Series(dtype="object")}))
+    all_in = (minhash_dedup_incremental_ds(empty, rd.from_pandas(new),
+                                           "doc_id").to_pandas())
+    assert sorted(all_in["doc_id"]) == [1, 3, 5, 7]
