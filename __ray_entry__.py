@@ -594,6 +594,27 @@ def _q_minhash_incremental(sf_dir: str):
     return minhash_dedup_incremental_ds(old, new, "doc_id", threshold=0.5)
 
 
+def _q_quality_prune(sf_dir: str):
+    """Per-source quality pruning (the C4/FineWeb keep-top-X% stage):
+    keep the top 30% of each source's documents by alphabetic word count
+    (ties → smaller doc_id).  Quota is the exact integer
+    ``ceil(3n/10)``, so the SQL twin needs no float ceil."""
+    from borges_ray.ops.relational import load, top_frac_per_group
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        n_words = (df["text"].fillna("").str.findall(r"[A-Za-z]+")
+                   .str.len().astype("int64"))
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "source": df["source"],
+                             "n_words": n_words})
+
+    scored = ds.map_batches(score, batch_format="pandas")
+    return top_frac_per_group(scored, ["source"], "n_words", "doc_id",
+                              num=3, den=10)
+
+
 def _q_ngram_jaccard(sf_dir: str):
     """EXACT n-gram Jaccard near-dup pairs (threshold 0.3) via distributed
     prefix filtering (PPJoin lemma) — no LSH miss probability; complements
@@ -1803,6 +1824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": _q_hits,
         "crawl_budget": _q_crawl_budget,
         "minhash_incremental": _q_minhash_incremental,
+        "quality_prune": _q_quality_prune,
         "hist_quantiles": _q_hist_quantiles,
         "url_canonicalize": _q_url_canonicalize,
         "stopword_fraction": _q_stopword_fraction,
@@ -2151,6 +2173,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
             FROM documents
+        """,
+        "quality_prune": r"""
+            WITH s AS (
+              SELECT doc_id, source,
+                     len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words
+              FROM documents
+            ), r AS (
+              SELECT doc_id, source, n_words,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_words DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM s
+            )
+            SELECT doc_id, source, CAST(n_words AS BIGINT) AS n_words
+            FROM r WHERE rn <= (3 * n + 9) // 10
         """,
         "minhash_incremental": _MINHASH_PAIRS_SQL + """
             SELECT doc_id FROM documents

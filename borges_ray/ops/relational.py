@@ -1186,3 +1186,32 @@ def interval_join_agg(
 
     return cogroup_spill(left, right, on, on, fn, empty=empty,
                          tag="ivj", n_buckets=n_buckets, require_both=False)
+
+
+def top_frac_per_group(ds: rd.Dataset, keys: list[str], score_col: str,
+                       tiebreak_col: str, num: int, den: int) -> rd.Dataset:
+    """Per-group top-fraction pruning — the C4/FineWeb "keep the best X%
+    of each source" stage: within every ``keys`` group, keep the
+    ``ceil(num/den · group_size)`` highest-``score_col`` rows (ties break
+    on ascending ``tiebreak_col``, so the cut is total-ordered and
+    deterministic).  The fraction is an EXACT integer ratio —
+    ``(num·n + den − 1) // den`` — so a SQL twin needs no float ceil.
+
+    One bucketed exchange: each group's rows co-locate via
+    :func:`groupby_buckets`, the quota derives from the group size inside
+    the block (no separate count join), and the rank-and-cut is one
+    vectorized sorted-groupby pass."""
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        df = df.sort_values(keys + [score_col, tiebreak_col],
+                            ascending=[True] * len(keys) + [False, True],
+                            kind="mergesort")
+        g = df.groupby(keys, sort=False)
+        n = g[score_col].transform("size").to_numpy(np.int64)
+        quota = (num * n + den - 1) // den
+        rn = g.cumcount().to_numpy(np.int64)
+        return df[rn < quota].reset_index(drop=True)
+
+    return groupby_buckets(ds, keys, prune)

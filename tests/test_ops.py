@@ -1202,3 +1202,25 @@ def test_minhash_incremental_admission(ray_session):
     all_in = (minhash_dedup_incremental_ds(empty, rd.from_pandas(new),
                                            "doc_id").to_pandas())
     assert sorted(all_in["doc_id"]) == [1, 3, 5, 7]
+
+
+def test_top_frac_per_group_exact_quota(ray_session):
+    """top_frac_per_group keeps exactly ceil(num/den * n) rows per group
+    with a deterministic (score desc, tiebreak asc) cut."""
+    import pandas as pd
+    import ray.data as rd
+
+    from borges_ray.ops.relational import top_frac_per_group
+
+    df = pd.DataFrame({
+        "g": ["a"] * 7 + ["b"] * 3 + ["c"] * 1,
+        "score": [5, 5, 4, 3, 2, 1, 0,   9, 9, 9,   2],
+        "id": list(range(11)),
+    })
+    out = (top_frac_per_group(rd.from_pandas(df), ["g"], "score", "id",
+                              num=3, den=10)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    # quotas: a -> ceil(21/10)=3, b -> ceil(9/10)=1, c -> ceil(3/10)=1
+    assert out[out["g"] == "a"]["id"].tolist() == [0, 1, 2]  # tie 5/5 -> ids
+    assert out[out["g"] == "b"]["id"].tolist() == [7]        # tie 9s -> id 7
+    assert out[out["g"] == "c"]["id"].tolist() == [10]
