@@ -179,6 +179,8 @@ QUERY_SUBSET = [
     # r04c additions: ExactSubstr duplicate-window removal, seeded epoch
     # shuffle into training shards, anchor-text aggregation
     "exact_substr", "epoch_shuffle", "anchor_text",
+    # r04d additions: incremental snapshot admission, per-source pruning
+    "minhash_incremental", "quality_prune",
 ]
 
 
