@@ -1756,6 +1756,43 @@ def _q_snapshot_diff(sf_dir: str):
     return snapshot_diff(old, new, "doc_id", "text")
 
 
+def _q_recrawl_plan(sf_dir: str):
+    """Composed recrawl planning — the rolling-crawl control loop as one
+    dataflow: snapshot diff (what changed) → change-class priorities
+    (changed 3 > added 2 > unchanged 1, removed leaves the frontier) →
+    host-budget apportionment (300 slots, exact largest remainder).
+    Exercises snapshot_diff and crawl_budget_alloc composed end-to-end;
+    the SQL twin recomputes the diff classes closed-form from the same
+    deterministic snapshot derivation as ``snapshot_diff``."""
+    from borges_ray.ops.records import snapshot_diff
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.sched import crawl_budget_alloc
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    old = ds.map_batches(lambda df: df[df["doc_id"] % 11 != 3],
+                         batch_format="pandas")
+
+    def mk_new(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["doc_id"] % 13 != 5].copy()
+        mod = out["doc_id"] % 9 == 0
+        out.loc[mod, "text"] = out.loc[mod, "text"].fillna("") + " v2"
+        return out
+
+    new = ds.map_batches(mk_new, batch_format="pandas")
+    diff = snapshot_diff(old, new, "doc_id", "text")
+
+    def to_cand(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["change"] != "removed"]
+        pr = keep["change"].map({"changed": 3, "added": 2,
+                                 "unchanged": 1}).astype("int64")
+        return pd.DataFrame({"url": keep["doc_id"].astype("int64"),
+                             "host": (keep["doc_id"] % 127).astype("int64"),
+                             "pr": pr})
+
+    cand = diff.map_batches(to_cand, batch_format="pandas")
+    return crawl_budget_alloc(cand, budget=300)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bpe_tokens": _q_bpe_tokens,
@@ -1825,6 +1862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_budget": _q_crawl_budget,
         "minhash_incremental": _q_minhash_incremental,
         "quality_prune": _q_quality_prune,
+        "recrawl_plan": _q_recrawl_plan,
         "hist_quantiles": _q_hist_quantiles,
         "url_canonicalize": _q_url_canonicalize,
         "stopword_fraction": _q_stopword_fraction,
@@ -2173,6 +2211,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
             FROM documents
+        """,
+        "recrawl_plan": """
+            WITH cls AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN doc_id % 11 = 3 AND doc_id % 13 <> 5 THEN 'added'
+                       WHEN doc_id % 11 <> 3 AND doc_id % 13 = 5 THEN 'removed'
+                       WHEN doc_id % 11 <> 3 AND doc_id % 13 <> 5
+                            AND doc_id % 9 = 0 THEN 'changed'
+                       WHEN doc_id % 11 <> 3 AND doc_id % 13 <> 5
+                            THEN 'unchanged'
+                     END AS change
+              FROM documents
+              WHERE NOT (doc_id % 11 = 3 AND doc_id % 13 = 5)
+            ), cand AS (
+              SELECT CAST(doc_id AS BIGINT) AS url,
+                     CAST(doc_id % 127 AS BIGINT) AS host,
+                     CAST(CASE change WHEN 'changed' THEN 3
+                                      WHEN 'added' THEN 2
+                                      ELSE 1 END AS BIGINT) AS pr
+              FROM cls WHERE change <> 'removed'
+            ), hs AS (
+              SELECT host, sum(pr) AS w FROM cand GROUP BY host
+            ), tot AS (SELECT sum(w) AS W FROM hs),
+            fl AS (
+              SELECT host,
+                     (300 * w) // (SELECT W FROM tot) AS nfloor,
+                     (300 * w) % (SELECT W FROM tot) AS rem
+              FROM hs
+            ), kk AS (SELECT 300 - sum(nfloor) AS k FROM fl),
+            alloc AS (
+              SELECT host,
+                     nfloor + CASE WHEN row_number() OVER
+                                        (ORDER BY rem DESC, host)
+                                   <= (SELECT k FROM kk)
+                              THEN 1 ELSE 0 END AS n
+              FROM fl
+            ), sel AS (
+              SELECT c.url, c.host, c.pr,
+                     row_number() OVER (PARTITION BY c.host
+                                        ORDER BY c.pr DESC, c.url) AS rn
+              FROM cand c
+            )
+            SELECT s.url, s.host, s.pr
+            FROM sel s JOIN alloc a USING (host)
+            WHERE s.rn <= a.n
         """,
         "quality_prune": r"""
             WITH s AS (
