@@ -1756,6 +1756,27 @@ def _q_snapshot_diff(sf_dir: str):
     return snapshot_diff(old, new, "doc_id", "text")
 
 
+def _q_vocab_topk(sf_dir: str):
+    """Tokenizer-training prep: corpus-global word counts, top 200 by
+    (count desc, token asc).  Per-batch value_counts is the combiner —
+    the exchange moves distinct (token, n) partials, not token
+    occurrences; the final top-k is combiner-bounded per block."""
+    from borges_ray.ops.relational import grouped_agg, load, topk
+
+    ds = load(sf_dir, "documents", columns=["text"])
+
+    def explode_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].fillna("").str.split().explode().dropna().value_counts()
+        return pd.DataFrame({"tok": vc.index.astype(str),
+                             "n": vc.to_numpy(np.int64)})
+
+    partials = ds.map_batches(explode_counts, batch_format="pandas")
+    counts = grouped_agg(partials, ["tok"], {"cnt": ("sum", "n")})
+    out = topk(counts, ["cnt"], 200, tiebreak=["tok"])
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
+
+
 def _q_recrawl_plan(sf_dir: str):
     """Composed recrawl planning — the rolling-crawl control loop as one
     dataflow: snapshot diff (what changed) → change-class priorities
@@ -1863,6 +1884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_incremental": _q_minhash_incremental,
         "quality_prune": _q_quality_prune,
         "recrawl_plan": _q_recrawl_plan,
+        "vocab_topk": _q_vocab_topk,
         "hist_quantiles": _q_hist_quantiles,
         "url_canonicalize": _q_url_canonicalize,
         "stopword_fraction": _q_stopword_fraction,
@@ -2211,6 +2233,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
             FROM documents
+        """,
+        "vocab_topk": r"""
+            WITH ex AS (
+              SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ), c AS (
+              SELECT tok, count(*) AS cnt FROM ex GROUP BY tok
+            )
+            SELECT tok, CAST(cnt AS BIGINT) AS cnt
+            FROM c ORDER BY cnt DESC, tok LIMIT 200
         """,
         "recrawl_plan": """
             WITH cls AS (
