@@ -738,3 +738,50 @@ def test_exact_substr_heavy_duplication(ray_session):
         assert out.loc[100 + i, "n_removed"] == 30
     assert out.loc[999, "n_removed"] == 0
     assert out.loc[999, "text_clean"] == df.iloc[-1]["text"]
+
+
+@pytest.mark.parametrize("seed,n_docs,vocab", [(1, 60, 12), (2, 80, 8),
+                                               (9, 50, 20)])
+def test_exact_substr_matches_pure_reference(seed, n_docs, vocab,
+                                             ray_session):
+    """Randomized corpora × a pure-pandas reference of the ExactSubstr
+    rule (winner = min (doc_id, start) per duplicated window text;
+    losers' positions removed; text rebuilt)."""
+    from borges_ray.ops.ccnet import exact_substr_rewrite
+
+    W = 4
+    rng = np.random.RandomState(seed)
+    words = [f"t{i}" for i in range(vocab)]
+    texts = [" ".join(rng.choice(words, rng.randint(W, 25)))
+             for _ in range(n_docs)]
+    df = pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64),
+                       "text": texts})
+
+    out = (exact_substr_rewrite(rd.from_pandas(df), width=W, n_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # pure reference
+    occ = {}
+    for d, t in zip(df["doc_id"], df["text"]):
+        toks = t.split()
+        for i in range(len(toks) - W + 1):
+            occ.setdefault(" ".join(toks[i:i + W]), []).append((d, i))
+    losers: dict[int, list[int]] = {}
+    for w, lst in occ.items():
+        if len(lst) < 2:
+            continue
+        lst = sorted(lst)
+        for d, i in lst[1:]:
+            losers.setdefault(d, []).append(i)
+    ref_rows = []
+    for d, t in zip(df["doc_id"], df["text"]):
+        toks = t.split()
+        mask = np.zeros(len(toks), dtype=bool)
+        for i in losers.get(d, []):
+            mask[i:i + W] = True
+        ref_rows.append({"doc_id": d, "n_tokens": len(toks),
+                         "n_removed": int(mask.sum()),
+                         "text_clean": " ".join(
+                             tok for tok, m in zip(toks, mask) if not m)})
+    ref = pd.DataFrame(ref_rows).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref)
