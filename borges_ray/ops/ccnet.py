@@ -89,7 +89,14 @@ def paragraph_dedup(ds: rd.Dataset, id_col: str = "doc_id",
                 f"paragraph_dedup: document has >= 2^{PIDX_BITS} chunks "
                 f"(pidx={int(pidx_v.max())}); rank encoding would bleed into "
                 "doc_id bits — raise PIDX_BITS or chunk width")
-        out["__rank"] = (df[id_col].to_numpy(np.int64) << PIDX_BITS) | pidx_v
+        dv = df[id_col].to_numpy(np.int64)
+        if len(dv) and (int(dv.min()) < 0
+                        or int(dv.max()) >= (1 << (63 - PIDX_BITS))):
+            raise ValueError(
+                f"paragraph_dedup: {id_col} outside [0, 2^{63 - PIDX_BITS}) "
+                f"(got min={int(dv.min())}, max={int(dv.max())}); the packed "
+                "rank would wrap — remap ids to a dense range first")
+        out["__rank"] = (dv << PIDX_BITS) | pidx_v
         return out
 
     occ = occ.map_batches(add_keys, batch_format="pandas")
@@ -337,11 +344,11 @@ def exact_substr_rewrite(ds: rd.Dataset, id_col: str = "doc_id",
       intervals and splices per bucket (vectorized interval-union via a
       difference array per doc).
     """
-    from .relational import hash_join
-
     occ = ds.map_batches(
         lambda df: _window_rows(df, id_col, text_col, width),
         batch_format="pandas")
+
+    id_hi = 1 << (63 - SPAN_POS_BITS)
 
     def add_rank(df: pd.DataFrame) -> pd.DataFrame:
         iv = df["i"].to_numpy(np.int64)
@@ -350,14 +357,24 @@ def exact_substr_rewrite(ds: rd.Dataset, id_col: str = "doc_id",
                 f"exact_substr_rewrite: document has a window start >= "
                 f"2^{SPAN_POS_BITS} (i={int(iv.max())}); rank encoding "
                 "would bleed into doc_id bits — raise SPAN_POS_BITS")
+        dv = df[id_col].to_numpy(np.int64)
+        if len(dv) and (int(dv.min()) < 0 or int(dv.max()) >= id_hi):
+            raise ValueError(
+                f"exact_substr_rewrite: {id_col} outside [0, 2^"
+                f"{63 - SPAN_POS_BITS}) (got min={int(dv.min())}, "
+                f"max={int(dv.max())}); the packed (doc_id << "
+                f"{SPAN_POS_BITS} | i) rank would wrap — remap ids to a "
+                "dense range first (hash ids overflow this)")
         return pd.DataFrame({
             "__wh": df["__wh"],
-            "__rank": (df[id_col].to_numpy(np.int64) << SPAN_POS_BITS) | iv,
+            "__rank": (dv << SPAN_POS_BITS) | iv,
         })
 
     # spill the keys-only occurrence table once: it feeds BOTH the winner
     # aggregate and the loser join, and without a pin the expensive window
-    # hashing would re-execute per consumer
+    # hashing would re-execute per consumer.  32 MB read target: the table
+    # is O(corpus tokens) rows — the 4 MB default shreds it into
+    # micro-blocks (the measured driver-churn mode in _pruned_spill_read)
     import os
     import tempfile
 
@@ -367,7 +384,7 @@ def exact_substr_rewrite(ds: rd.Dataset, id_col: str = "doc_id",
                              spill_point)
 
     ranked = spill_point(occ.map_batches(add_rank, batch_format="pandas"),
-                         "xsubstr_occ")
+                         "xsubstr_occ", target_bytes=32 << 20)
     agg = grouped_agg(ranked, ["__wh"],
                       {"m": ("count", "__rank"), "rmin": ("min", "__rank")})
     dup = agg.map_batches(lambda df: df[df["m"] > 1][["__wh", "rmin"]],

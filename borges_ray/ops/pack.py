@@ -141,7 +141,14 @@ def epoch_shuffle(ds: rd.Dataset, id_col: str = "doc_id", *,
         out["__rg"] = [int(k[:hex_prefix], 16) for k in ks]
         return out
 
-    keyed = ds.select_columns([id_col]).map_batches(add_key, batch_format="pandas")
+    from .relational import spill_point
+
+    # pin the keyed table: it feeds both the range-count pass and the
+    # final bucketed rank, and the per-row md5 keying is the expensive
+    # part — without a pin it would execute twice
+    keyed = spill_point(
+        ds.select_columns([id_col]).map_batches(add_key, batch_format="pandas"),
+        "epoch_keys")
 
     range_counts = grouped_agg(keyed.select_columns(["__rg", id_col]),
                                ["__rg"], {"__n": ("count", id_col)}

@@ -16,6 +16,7 @@ Two modes:
 
 Corpus build (once): tools/stress_dedup_1m.py --build
 Usage: PYTHONPATH=/root/repo python tools/stress_dedup_1m.py [--build] [--planted]
+       PYTHONPATH=/root/repo python tools/stress_dedup_1m.py --exact-substr [--planted] [--frac N]
 
 History this file pins down: the union→sort verify shape livelocked at
 this scale (preserve-order UnionOperator buffers its whole input; see
@@ -119,6 +120,111 @@ def main(planted: bool) -> int:
     return 0 if ok else 1
 
 
+
+
+def main_exact_substr(planted: bool, frac: int) -> int:
+    """ExactSubstr window-removal at stress scale: the occurrence table is
+    O(corpus tokens) keys-only rows (vs MinHash's fixed-width signatures),
+    so this mode exercises a ~10x larger intermediate than the near-dup
+    chain.  ``--frac N`` keeps every Nth doc (by hash) to fit the run
+    in a time budget; the windows table is ~700 rows per doc.
+
+    Planted-mode exact assertion: docs sharing an IDENTICAL planted text
+    (same cluster+variant) must come back EMPTY except the group's min
+    doc_id — every window of a non-min doc exists at the same position in
+    the group min, which always outranks it."""
+    import ray as _ray
+    import ray.data as rd
+
+    from borges_ray.canonical import stable_hash
+    from borges_ray.extract import extract_text
+    from borges_ray.ops.ccnet import exact_substr_rewrite
+    from borges_ray.ops.relational import _spill_point_n
+
+    # dense-rank the 64-bit url hashes into [0, n): the packed
+    # (doc_id << 21 | start) rank encoding requires doc_id < 2^42, which
+    # raw hash ids overflow (exact_substr_rewrite now raises on that).
+    # One sorted u64 array broadcast once — the standard compact-id
+    # assignment step a real corpus does before rank-packed operators.
+    T0 = time.time()
+    all_urls = rd.read_parquet(PAGES, columns=["url"]).to_pandas()["url"]
+    h_all = np.sort(np.array([stable_hash(u) for u in all_urls],
+                             dtype=np.uint64))
+    if frac > 1:
+        h_all = h_all[h_all % np.uint64(frac) == 0]
+    id_ref = _ray.put(h_all)
+
+    def to_docs(df):
+        h = np.array([stable_hash(u) for u in df["url"]], dtype=np.uint64)
+        keep = (h % np.uint64(frac) == 0) if frac > 1 else np.ones(len(h), dtype=bool)
+        sorted_h = _ray.get(id_ref)
+        texts, hh = [], []
+        for u_h, html, k in zip(h, df["html"], keep):
+            if not k:
+                continue
+            hv = int(u_h)
+            hh.append(hv)
+            if planted and hv % 100 < 3:
+                texts.append(template_text((hv // 100) % 10000, hv % 100))
+            else:
+                texts.append(extract_text(html))
+        dense = np.searchsorted(sorted_h, np.array(hh, dtype=np.uint64))
+        return pd.DataFrame({"doc_id": dense.astype(np.int64),
+                             "text": texts})
+
+    pages = rd.read_parquet(PAGES, columns=["url", "html"],
+                            override_num_blocks=128)
+    docs = pages.map_batches(to_docs, batch_format="pandas")
+    n_in = docs.count()
+    print(f"STAGE docs: {time.time()-T0:.1f}s; docs in: {n_in}", flush=True)
+
+    t = time.time()
+    out = exact_substr_rewrite(docs, width=5, n_buckets=64)
+    out, _ = _spill_point_n(out, "stress_xsub")
+    n_out = out.count()
+    removed = out.sum("n_removed")
+    toks = out.sum("n_tokens")
+    print(f"STAGE exact_substr: {time.time()-t:.1f}s; rows: {n_out}; "
+          f"tokens: {toks}; removed: {removed} "
+          f"({removed/max(toks,1):.4%})", flush=True)
+    print(f"TOTAL: {time.time()-T0:.1f}s over {n_in} docs", flush=True)
+    ok = n_out == n_in
+    if planted:
+        import collections
+
+        ph = h_all[h_all % 100 < 3]
+        groups: dict[tuple[int, int], list[int]] = collections.defaultdict(list)
+        for hv in ph.tolist():
+            groups[((hv // 100) % 10000, hv % 100)].append(hv)
+        # winner order is the engine's dense id = rank of the u64 hash,
+        # so group minima in u64 order map to minima in id order
+        expect_ids = set()
+        for v in groups.values():
+            if len(v) < 2:
+                continue
+            dense = sorted(int(np.searchsorted(h_all,
+                                               np.uint64(x))) for x in v)
+            expect_ids.update(dense[1:])
+        # collect ONLY the planted rows (bounded: ~30k)
+        import ray as _ray
+
+        ref = _ray.put(expect_ids)
+
+        def pick(df):
+            s = _ray.get(ref)
+            m = df[df["doc_id"].isin(s)]
+            return m[["doc_id", "n_tokens", "n_removed"]]
+
+        got = out.map_batches(pick, batch_format="pandas").to_pandas()
+        bad = got[got["n_removed"] != got["n_tokens"]]
+        print(f"planted groups>1 non-min docs: {len(expect_ids)}; "
+              f"collected: {len(got)}; not-fully-removed: {len(bad)}",
+              flush=True)
+        ok = ok and len(got) == len(expect_ids) and len(bad) == 0
+    print(f"MATCH={ok}", flush=True)
+    return 0 if ok else 1
+
+
 if __name__ == "__main__":
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=32, include_dashboard=False,
@@ -128,6 +234,14 @@ if __name__ == "__main__":
     DataContext.get_current().enable_progress_bars = False
     if "--build" in sys.argv or not os.path.exists(os.path.join(ROOT, "_DONE")):
         build_corpus()
-    rc = main("--planted" in sys.argv)
+    if "--exact-substr" in sys.argv:
+        fr = 1
+        if "--frac" in sys.argv:
+            fr = int(sys.argv[sys.argv.index("--frac") + 1])
+        elif "--half" in sys.argv:
+            fr = 2
+        rc = main_exact_substr("--planted" in sys.argv, fr)
+    else:
+        rc = main("--planted" in sys.argv)
     ray.shutdown()
     sys.exit(rc)
