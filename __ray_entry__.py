@@ -1777,6 +1777,44 @@ def _q_vocab_topk(sf_dir: str):
     return out
 
 
+def _q_line_filter(sf_dir: str):
+    """C4-style LINE-level cleaning: per-line keep predicate (≥6 distinct
+    tokens, no blocklist term) + ordered rebuild + ≥2-surviving-lines doc
+    gate — one shuffle-free map_batches pass (lines never leave their
+    document)."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.textops import line_filter
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    return line_filter(ds, width=10, min_distinct=6,
+                       blocklist=("slow",), min_lines=2)
+
+
+def _q_dup_cluster_sizes(sf_dir: str):
+    """Near-dup audit: connected-component size histogram over the
+    MinHash pair graph (singletons derived arithmetically, no per-doc
+    label materialization).  Oracle: recursive-CTE components over the
+    exact-Jaccard pair set."""
+    from borges_ray.ops.dedup import dup_cluster_size_hist, minhash_near_dup_pairs_ds
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_near_dup_pairs_ds(ds, "doc_id", threshold=0.5)
+    docs = load(sf_dir, "documents", columns=["doc_id"])
+    return dup_cluster_size_hist(docs, pairs, "doc_id")
+
+
+def _q_bigram_pmi(sf_dir: str):
+    """Top-50 collocations by PMI among bigrams with count ≥ 5 —
+    tokenizer-merge / stock-phrase statistics (combiner-collapsed count
+    exchange, marginals from the count table, pre-join min-count prune)."""
+    from borges_ray.ops.lm import bigram_pmi
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_pmi(ds, min_count=5, k=50)
+
+
 def _q_recrawl_plan(sf_dir: str):
     """Composed recrawl planning — the rolling-crawl control loop as one
     dataflow: snapshot diff (what changed) → change-class priorities
@@ -1885,6 +1923,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_prune": _q_quality_prune,
         "recrawl_plan": _q_recrawl_plan,
         "vocab_topk": _q_vocab_topk,
+        "line_filter": _q_line_filter,
+        "dup_cluster_sizes": _q_dup_cluster_sizes,
+        "bigram_pmi": _q_bigram_pmi,
         "hist_quantiles": _q_hist_quantiles,
         "url_canonicalize": _q_url_canonicalize,
         "stopword_fraction": _q_stopword_fraction,
@@ -2329,6 +2370,70 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT id FROM comp WHERE root < id)
+        """,
+        "dup_cluster_sizes": _MINHASH_PAIRS_SQL + """,
+            edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
+                      UNION ALL SELECT id_b, id_a FROM jpairs),
+            reach(id, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+            ),
+            comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+            sizes AS (SELECT root, count(*) AS sz FROM comp GROUP BY root),
+            multi AS (SELECT CAST(sz AS BIGINT) AS cluster_size,
+                             CAST(count(*) AS BIGINT) AS n_clusters
+                      FROM sizes GROUP BY sz)
+            SELECT cluster_size, n_clusters FROM multi
+            UNION ALL
+            SELECT CAST(1 AS BIGINT),
+                   CAST((SELECT count(*) FROM documents)
+                        - (SELECT coalesce(sum(sz), 0) FROM sizes) AS BIGINT)
+        """,
+        "line_filter": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS tok,
+                     unnest(range(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')))) AS i
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, i // 10 AS pidx,
+                     string_agg(tok, ' ' ORDER BY i) AS line,
+                     count(DISTINCT tok) AS ndist,
+                     max(CASE WHEN tok = 'slow' THEN 1 ELSE 0 END) AS blocked
+              FROM toks GROUP BY doc_id, i // 10
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+                   string_agg(line, ' ' ORDER BY pidx) AS text
+            FROM lines WHERE ndist >= 6 AND blocked = 0
+            GROUP BY doc_id HAVING count(*) >= 2
+        """,
+        "bigram_pmi": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS p
+              FROM toks
+            ), big AS (
+              SELECT a.tok AS w1, b.tok AS w2
+              FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+            ), lm2 AS (
+              SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2
+            ), heads AS (
+              SELECT w1, sum(c12) AS c1 FROM lm2 GROUP BY 1
+            ), tails AS (
+              SELECT w2, sum(c12) AS c2 FROM lm2 GROUP BY 1
+            ), tot AS (SELECT sum(c12) AS n FROM lm2)
+            SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS c12,
+                   round(ln((b.c12 * t.n) / (h.c1 * ta.c2)), 4) AS pmi
+            FROM lm2 b
+            JOIN heads h USING (w1) JOIN tails ta USING (w2) CROSS JOIN tot t
+            WHERE b.c12 >= 5
+            ORDER BY pmi DESC, b.w1, b.w2
+            LIMIT 50
         """,
         "lang_id_confusion": _LANG_ID_SQL,
         "fingerprints": r"""

@@ -1180,3 +1180,37 @@ def minhash_dedup_incremental_ds(
         lambda df: pd.DataFrame({id_col: df["id_a"].astype("int64")}),
         batch_format="pandas")
     return hash_semi_join(new_ids, hits, on=[id_col], anti=True)
+
+
+def dup_cluster_size_hist(docs: rd.Dataset, pairs: rd.Dataset,
+                          id_col: str = "doc_id") -> pd.DataFrame:
+    """Near-dup AUDIT: histogram of connected-component sizes — the
+    standard dedup report (how much of the corpus sits in 2-doc pairs vs
+    giant mirror clusters; the cluster-size tail decides whether banding
+    parameters need tightening).
+
+    Scale shape: labels come from :func:`near_dup_labels_ds` (tree forest
+    merge, Dataset end-to-end); per-group sizes and the size histogram are
+    two keys-only ``grouped_agg`` exchanges, and the driver sees only the
+    O(distinct sizes) histogram rows.  Singleton count (docs in no pair)
+    is derived arithmetically — ``n_docs - Σ size·count`` — without ever
+    materializing per-doc labels.  Returns pandas
+    (cluster_size, n_clusters), ascending.
+    """
+    from .relational import grouped_agg
+
+    labels = near_dup_labels_ds(pairs)
+    sizes = grouped_agg(labels, ["group"], {"sz": ("count", "id")})
+    hist = grouped_agg(sizes.select_columns(["sz"]),
+                       ["sz"], {"n_clusters": ("count", "sz")}).to_pandas()
+    n_docs = docs.count()
+    in_clusters = int((hist["sz"] * hist["n_clusters"]).sum()) if len(hist) else 0
+    out = hist.rename(columns={"sz": "cluster_size"})
+    singles = n_docs - in_clusters
+    if singles > 0:
+        out = pd.concat(
+            [pd.DataFrame({"cluster_size": [1], "n_clusters": [singles]}), out],
+            ignore_index=True)
+    out["cluster_size"] = out["cluster_size"].astype("int64")
+    out["n_clusters"] = out["n_clusters"].astype("int64")
+    return out.sort_values("cluster_size", ignore_index=True)

@@ -271,3 +271,60 @@ def dsir_log_weights(
         return pd.DataFrame({id_col: df[id_col], "lw": lw})
 
     return sums.map_batches(finalize, batch_format="pandas")
+
+
+def bigram_pmi(ds: rd.Dataset, id_col: str = "doc_id",
+               text_col: str = "text", *, min_count: int = 5,
+               k: int = 50) -> pd.DataFrame:
+    """Top-k collocations by pointwise mutual information — the classic
+    corpus-statistics signal for tokenizer-merge candidates and stock
+    phrases (a high-PMI bigram is a unit the vocabulary should own; BPE's
+    first merges are exactly the high-count end of this table).
+
+        pmi(w1, w2) = ln( c12 * N / (head(w1) * tail(w2)) )
+
+    with ``c12`` the corpus bigram count, ``head``/``tail`` the bigram
+    head/tail marginals, and ``N`` the total bigram count — all exact
+    integers, so the only float is one division + log (bit-stable vs the
+    SQL twin; rounded to 4 decimals like ``lm_perplexity``).
+
+    Scale shape: the token stream collapses to distinct (w1, w2, k) rows
+    inside each batch (combiner) before the ONE count exchange; marginals
+    are keys-only aggregates OF that count table (vocab-bounded, never
+    back to the corpus); the ``min_count`` prune happens before the two
+    marginal joins, so the joined table is heavy-bigrams only; top-k is
+    per-block partial + final-k.  The driver sees only k rows.
+    """
+    from .relational import grouped_agg, hash_join, spill_point, topk
+
+    part = _doc_bigram_partial(id_col, text_col)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = part(df).groupby(["w1", "w2"], sort=False)["k"].sum()
+        return g.rename("k").reset_index()
+
+    big = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                      ["w1", "w2"], {"c12": ("sum", "k")})
+    # one count table feeds N, both marginals, and the candidate prune —
+    # pin it so the corpus tokenization runs once
+    big = spill_point(big, "pmi_bigrams")
+    heads = grouped_agg(big.select_columns(["w1", "c12"]),
+                        ["w1"], {"c1": ("sum", "c12")})
+    tails = grouped_agg(big.select_columns(["w2", "c12"]),
+                        ["w2"], {"c2": ("sum", "c12")})
+    n_total = int(big.sum("c12"))
+
+    cand = big.map_batches(lambda df: df[df["c12"] >= min_count],
+                           batch_format="pandas")
+    joined = hash_join(hash_join(cand, heads, on=["w1"]), tails, on=["w2"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        num = df["c12"].to_numpy(np.int64) * np.int64(n_total)
+        den = df["c1"].to_numpy(np.int64) * df["c2"].to_numpy(np.int64)
+        out = df[["w1", "w2"]].copy()
+        out["c12"] = df["c12"].astype("int64")
+        out["pmi"] = np.round(np.log(num / den), 4)
+        return out
+
+    return topk(joined.map_batches(score, batch_format="pandas"),
+                ["pmi"], k, descending=True, tiebreak=["w1", "w2"])

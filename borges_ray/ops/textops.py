@@ -303,3 +303,48 @@ class HashedLinearScorer:
         out = df.copy()
         out["model_score"] = [self.score(t) for t in df["text"].fillna("")]
         return out
+
+
+def line_filter(ds: rd.Dataset, id_col: str = "doc_id",
+                text_col: str = "text", *, width: int = 10,
+                min_distinct: int = 6, blocklist: tuple[str, ...] = ("slow",),
+                min_lines: int = 2) -> rd.Dataset:
+    """C4-style LINE-level cleaning (Raffel et al. 2020 §2.2): split each
+    document into lines, drop lines failing a per-line predicate (too
+    repetitive: fewer than ``min_distinct`` distinct tokens; or containing
+    a blocklist term), rebuild the document from surviving lines in
+    order, and drop documents left with fewer than ``min_lines`` lines.
+
+    The reference corpus' synthetic text has no newlines, so a "line"
+    here is a fixed ``width``-token window (the same splitter
+    ``ccnet.paragraph_dedup`` uses); the operator semantics — per-line
+    predicate, blocklist, ordered rebuild, min-line document gate — are
+    C4's and independent of the splitter.
+
+    Scale shape: lines never leave their document, so this is ONE
+    embarrassingly-parallel ``map_batches`` pass — no shuffle at all (vs
+    paragraph dedup, whose first-occurrence rule is corpus-global).
+    Returns (id_col, n_lines_kept, text_col).
+    """
+    block = frozenset(blocklist)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        kept_n: list[int] = []
+        texts: list[str] = []
+        for doc_id, toks in zip(df[id_col].to_numpy(),
+                                df[text_col].fillna("").str.split()):
+            kept: list[str] = []
+            for p in range(0, len(toks), width):
+                line = toks[p:p + width]
+                if len(set(line)) >= min_distinct and block.isdisjoint(line):
+                    kept.append(" ".join(line))
+            if len(kept) >= min_lines:
+                ids.append(doc_id)
+                kept_n.append(len(kept))
+                texts.append(" ".join(kept))
+        return pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64),
+                             "n_lines_kept": np.asarray(kept_n, dtype=np.int64),
+                             text_col: texts})
+
+    return ds.map_batches(fn, batch_format="pandas")

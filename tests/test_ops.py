@@ -1224,3 +1224,91 @@ def test_top_frac_per_group_exact_quota(ray_session):
     assert out[out["g"] == "a"]["id"].tolist() == [0, 1, 2]  # tie 5/5 -> ids
     assert out[out["g"] == "b"]["id"].tolist() == [7]        # tie 9s -> id 7
     assert out[out["g"] == "c"]["id"].tolist() == [10]
+
+
+def test_line_filter_rules_and_rebuild(ray_session):
+    from borges_ray.ops.textops import line_filter
+
+    # doc 1: line0 diverse+clean, line1 blocklisted, line2 diverse+clean
+    # doc 2: only one clean line -> dropped by the min_lines gate
+    # doc 3: all lines too repetitive -> dropped
+    l_ok1 = "a b c d e f g h i j"
+    l_block = "a b c d e f g h i slow"
+    l_ok2 = "k l m n o p q r s t"
+    l_rep = "a a a b b b c c c c"
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [" ".join([l_ok1, l_block, l_ok2]),
+                 " ".join([l_ok1, l_rep]),
+                 " ".join([l_rep, l_rep])],
+    })
+    out = (line_filter(rd.from_pandas(df), width=10, min_distinct=6,
+                       blocklist=("slow",), min_lines=2)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert out["doc_id"].tolist() == [1]
+    assert out["n_lines_kept"].tolist() == [2]
+    # rebuilt in original line order, blocklisted line gone
+    assert out["text"].tolist() == [l_ok1 + " " + l_ok2]
+    # a short final line (< width tokens) still counts if it passes
+    df2 = pd.DataFrame({"doc_id": [4], "text": [l_ok1 + " u v w x y z"]})
+    out2 = line_filter(rd.from_pandas(df2), width=10, min_distinct=6,
+                       blocklist=("slow",), min_lines=2).to_pandas()
+    assert out2["n_lines_kept"].tolist() == [2]
+
+
+def test_dup_cluster_size_hist(docs):
+    from borges_ray.ops.dedup import dup_cluster_size_hist
+
+    df, ds = docs
+    # chain 0-100 exact dup (jaccard 1.0) and 1-101 near dup: two 2-clusters
+    pairs = rd.from_pandas(pd.DataFrame(
+        {"id_a": [0, 1], "id_b": [100, 101]}))
+    hist = dup_cluster_size_hist(ds.select_columns(["doc_id"]), pairs)
+    assert hist["cluster_size"].tolist() == [1, 2]
+    # 62 docs total, 4 in the two pair clusters
+    assert hist["n_clusters"].tolist() == [58, 2]
+    assert hist["cluster_size"].dtype == np.int64
+    # transitive chain a-b, b-c collapses to ONE 3-cluster
+    tri = rd.from_pandas(pd.DataFrame({"id_a": [0, 100], "id_b": [100, 101]}))
+    hist3 = dup_cluster_size_hist(ds.select_columns(["doc_id"]), tri)
+    assert hist3.set_index("cluster_size")["n_clusters"].to_dict() == {1: 59, 3: 1}
+
+
+def test_bigram_pmi_exact_reference(ray_session):
+    import collections
+    import math
+
+    from borges_ray.ops.lm import bigram_pmi
+
+    rng = np.random.default_rng(11)
+    vocab = "aa bb cc dd ee".split()
+    texts = []
+    for i in range(40):
+        toks = [vocab[j] for j in rng.integers(0, len(vocab), 25)]
+        # plant a strong collocation
+        if i % 2 == 0:
+            toks[3:5] = ["new", "york"]
+        texts.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    out = bigram_pmi(rd.from_pandas(df), min_count=2, k=10)
+
+    # pure-python reference
+    big = collections.Counter()
+    for t in texts:
+        toks = t.lower().split()
+        big.update(zip(toks, toks[1:]))
+    heads = collections.Counter()
+    tails = collections.Counter()
+    for (w1, w2), c in big.items():
+        heads[w1] += c
+        tails[w2] += c
+    n = sum(big.values())
+    rows = [(w1, w2, c, round(math.log(c * n / (heads[w1] * tails[w2])), 4))
+            for (w1, w2), c in big.items() if c >= 2]
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    exp = pd.DataFrame(rows[:10], columns=["w1", "w2", "c12", "pmi"])
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp,
+                                  check_dtype=False)
+    # the planted collocation dominates
+    assert out.iloc[0][["w1", "w2"]].tolist() == ["new", "york"]
