@@ -1815,6 +1815,27 @@ def _q_bigram_pmi(sf_dir: str):
     return bigram_pmi(ds, min_count=5, k=50)
 
 
+def _q_norm_dedup(sf_dir: str):
+    """Exact dedup keyed on CCNet-NORMALIZED text (lowercase, digit fold,
+    punct strip, whitespace collapse): case/punct variants — planted here
+    as an uppercased ``+' !!'`` copy of every ``doc_id % 7 == 2`` doc —
+    collapse onto the raw original, which raw exact dedup would miss.
+    Keys-only (fp u64, id) shuffle; text never moves."""
+    from borges_ray.ops.relational import load, union_all
+    from borges_ray.ops.textops import normalized_dedup
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[df["doc_id"] % 7 == 2].copy()
+        v["doc_id"] = v["doc_id"] + 1000000
+        v["text"] = v["text"].fillna("").str.upper() + " !!"
+        return v
+
+    var = ds.map_batches(variants, batch_format="pandas")
+    return normalized_dedup(union_all([ds, var]))
+
+
 def _q_recrawl_plan(sf_dir: str):
     """Composed recrawl planning — the rolling-crawl control loop as one
     dataflow: snapshot diff (what changed) → change-class priorities
@@ -1924,6 +1945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_plan": _q_recrawl_plan,
         "vocab_topk": _q_vocab_topk,
         "line_filter": _q_line_filter,
+        "norm_dedup": _q_norm_dedup,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
         "bigram_pmi": _q_bigram_pmi,
         "hist_quantiles": _q_hist_quantiles,
@@ -2407,6 +2429,22 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(line, ' ' ORDER BY pidx) AS text
             FROM lines WHERE ndist >= 6 AND blocked = 0
             GROUP BY doc_id HAVING count(*) >= 2
+        """,
+        "norm_dedup": r"""
+            WITH aug AS (
+              SELECT doc_id, coalesce(text, '') AS text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, upper(coalesce(text, '')) || ' !!'
+              FROM documents WHERE doc_id % 7 = 2
+            ), norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(regexp_replace(
+                          lower(text), '[0-9]', '0', 'g'),
+                          '[^\w\s]', '', 'g'), '\s+', ' ', 'g')) AS t
+              FROM aug
+            )
+            SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_variants
+            FROM norm GROUP BY t
         """,
         "bigram_pmi": r"""
             WITH toks AS (

@@ -181,6 +181,9 @@ QUERY_SUBSET = [
     "exact_substr", "epoch_shuffle", "anchor_text",
     # r04d additions: incremental snapshot admission, per-source pruning
     "minhash_incremental", "quality_prune",
+    # r04e additions: C4 line-level cleaning, near-dup cluster-size audit,
+    # PMI collocations, normalized exact dedup
+    "line_filter", "dup_cluster_sizes", "bigram_pmi", "norm_dedup",
 ]
 
 

@@ -348,3 +348,41 @@ def line_filter(ds: rd.Dataset, id_col: str = "doc_id",
                              text_col: texts})
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+#: CCNet-style aggressive normalization before hashing (Wenzek et al.
+#: 2019 §3.1: lowercase, digit folding, punctuation/accent stripping) —
+#: the canonical form exact dedup should key on so case/punct/digit
+#: variants of one page collapse.
+def normalize_text(s: pd.Series) -> pd.Series:
+    s = s.fillna("").str.lower()
+    s = s.str.replace(r"\d", "0", regex=True)
+    s = s.str.replace(r"[^\w\s]", "", regex=True, flags=re.ASCII)
+    return s.str.replace(r"\s+", " ", regex=True).str.strip()
+
+
+def normalized_dedup(ds: rd.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text") -> rd.Dataset:
+    """Exact dedup keyed on the CCNet-NORMALIZED text: for each distinct
+    normalized form, the min-id occurrence wins and ``n_variants`` counts
+    how many raw documents collapsed onto it.
+
+    Scale shape: normalization and the 64-bit content fingerprint happen
+    inside one map_batches pass, so the ONE exchange moves keys-only
+    ``(fp u64, id i64)`` rows — the text itself never shuffles (same
+    16-byte dedup shuffle as ``dedup.exact_dedup``'s ingest path).
+    Returns (id_col, n_variants).
+    """
+    from .relational import grouped_agg
+
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        fp = fingerprint_batch(normalize_text(df[text_col]))
+        return pd.DataFrame({"__fp": fp.astype(np.uint64),
+                             id_col: df[id_col].astype("int64")})
+
+    keyed = ds.map_batches(keys, batch_format="pandas")
+    agg = grouped_agg(keyed, ["__fp"],
+                      {id_col: ("min", id_col),
+                       "n_variants": ("count", id_col)})
+    return agg.map_batches(lambda df: df[[id_col, "n_variants"]],
+                           batch_format="pandas")

@@ -1312,3 +1312,23 @@ def test_bigram_pmi_exact_reference(ray_session):
                                   check_dtype=False)
     # the planted collocation dominates
     assert out.iloc[0][["w1", "w2"]].tolist() == ["new", "york"]
+
+
+def test_normalized_dedup_collapses_variants(ray_session):
+    from borges_ray.ops.textops import normalize_text, normalized_dedup
+
+    # normalization semantics: case, digits, punctuation, whitespace
+    s = pd.Series(["Hello, WORLD  42!", "hello world 00", None, "  a\tb "])
+    assert normalize_text(s).tolist() == [
+        "hello world 00", "hello world 00", "", "a b"]
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["The quick fox.", "the  QUICK fox", "price is 95",
+                 "price is 10", "unique text"],
+    })
+    out = (normalized_dedup(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    # 1+2 collapse (case/punct/ws); 3+4 collapse (digit fold); 5 alone
+    assert out["doc_id"].tolist() == [1, 3, 5]
+    assert out["n_variants"].tolist() == [2, 2, 1]
