@@ -1815,6 +1815,38 @@ def _q_bigram_pmi(sf_dir: str):
     return bigram_pmi(ds, min_count=5, k=50)
 
 
+def _q_ppl_buckets(sf_dir: str):
+    """CCNet's final step composed end-to-end: per-doc bigram-LM
+    perplexity → corpus-wide head/middle/tail split at the exact discrete
+    33/67 percentiles → per-(lang, bucket) census.  The thresholds are
+    the only driver scalars; scoring, the quantile exchange, the lang
+    join, and the census all stream."""
+    from borges_ray.ops.lm import lm_perplexity
+    from borges_ray.ops.relational import (grouped_agg, grouped_quantile,
+                                           hash_join, load, spill_point)
+
+    docs = load(sf_dir, "documents", columns=["doc_id", "text"])
+    ppl = spill_point(
+        lm_perplexity(docs).select_columns(["doc_id", "ppl"]), "pplb")
+
+    ths = grouped_quantile(
+        ppl.map_batches(lambda df: df.assign(__k=np.int64(0)),
+                        batch_format="pandas"),
+        "__k", "ppl", [0.33, 0.67]).to_pandas()
+    t1, t2 = float(ths["q33"].iloc[0]), float(ths["q67"].iloc[0])
+
+    lang = load(sf_dir, "documents", columns=["doc_id", "lang"])
+    joined = hash_join(ppl, lang, on=["doc_id"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["ppl"].to_numpy(np.float64)
+        b = np.where(p <= t1, "head", np.where(p <= t2, "middle", "tail"))
+        return pd.DataFrame({"lang": df["lang"], "bucket": b})
+
+    return grouped_agg(joined.map_batches(bucket, batch_format="pandas"),
+                       ["lang", "bucket"], {"n_docs": ("count", "bucket")})
+
+
 def _q_norm_dedup(sf_dir: str):
     """Exact dedup keyed on CCNet-NORMALIZED text (lowercase, digit fold,
     punct strip, whitespace collapse): case/punct variants — planted here
@@ -1946,6 +1978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _q_vocab_topk,
         "line_filter": _q_line_filter,
         "norm_dedup": _q_norm_dedup,
+        "ppl_buckets": _q_ppl_buckets,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
         "bigram_pmi": _q_bigram_pmi,
         "hist_quantiles": _q_hist_quantiles,
@@ -2021,6 +2054,39 @@ def _jaccard_pairs_sql(threshold: float) -> str:
     (minhash verify at 0.5, the prefix-filtered exact join at 0.3)."""
     return _MINHASH_PAIRS_SQL.replace(">= 0.5", f">= {threshold}")
 
+
+#: shared CTE chain: corpus bigram-LM with add-one smoothing → per-doc
+#: log-prob sums (`sums`: doc_id, s, n) — used by lm_perplexity and the
+#: CCNet-style ppl_buckets twin.
+_LM_PPL_SQL = r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS p
+              FROM toks
+            ), big AS (
+              SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+              FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+            ), lm2 AS (
+              SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2
+            ), lm1 AS (
+              SELECT w1, sum(c12) AS c1 FROM lm2 GROUP BY 1
+            ), v AS (SELECT count(*) AS v FROM lm1),
+            doc_big AS (
+              SELECT doc_id, w1, w2, count(*) AS k FROM big GROUP BY 1, 2, 3
+            ), sums AS (
+              SELECT d.doc_id,
+                     sum(d.k * (ln(l2.c12 + 1.0)
+                                - ln(l1.c1 + (SELECT v FROM v)))) AS s,
+                     sum(d.k) AS n
+              FROM doc_big d
+              JOIN lm2 l2 USING (w1, w2) JOIN lm1 l1 USING (w1)
+              GROUP BY 1
+            )
+"""
 
 _MINHASH_PAIRS_SQL = r"""
     WITH RECURSIVE toks AS (
@@ -2805,37 +2871,27 @@ def oracle_sql() -> dict[str, str]:
               FROM sc
             ) WHERE rn <= 10
         """,
-        "lm_perplexity": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                 x -> x <> '') AS w
-              FROM documents
-            ), pos AS (
-              SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS p
-              FROM toks
-            ), big AS (
-              SELECT a.doc_id, a.tok AS w1, b.tok AS w2
-              FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.p = a.p + 1
-            ), lm2 AS (
-              SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2
-            ), lm1 AS (
-              SELECT w1, sum(c12) AS c1 FROM lm2 GROUP BY 1
-            ), v AS (SELECT count(*) AS v FROM lm1),
-            doc_big AS (
-              SELECT doc_id, w1, w2, count(*) AS k FROM big GROUP BY 1, 2, 3
-            ), sums AS (
-              SELECT d.doc_id,
-                     sum(d.k * (ln(l2.c12 + 1.0)
-                                - ln(l1.c1 + (SELECT v FROM v)))) AS s,
-                     sum(d.k) AS n
-              FROM doc_big d
-              JOIN lm2 l2 USING (w1, w2) JOIN lm1 l1 USING (w1)
-              GROUP BY 1
-            )
+        "lm_perplexity": _LM_PPL_SQL + """
             SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
                    round(exp(-s / n), 4) AS ppl
             FROM sums
+        """,
+        "ppl_buckets": _LM_PPL_SQL + """,
+            ppl AS (
+              SELECT doc_id, round(exp(-s / n), 4) AS ppl FROM sums
+            ), th AS (
+              SELECT quantile_disc(ppl, 0.33) AS t1,
+                     quantile_disc(ppl, 0.67) AS t2
+              FROM ppl
+            ), b AS (
+              SELECT d.lang,
+                     CASE WHEN p.ppl <= t.t1 THEN 'head'
+                          WHEN p.ppl <= t.t2 THEN 'middle'
+                          ELSE 'tail' END AS bucket
+              FROM ppl p JOIN documents d USING (doc_id) CROSS JOIN th t
+            )
+            SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs
+            FROM b GROUP BY 1, 2
         """,
         "crawl_budget": """
             WITH cand AS (

@@ -1332,3 +1332,22 @@ def test_normalized_dedup_collapses_variants(ray_session):
     # 1+2 collapse (case/punct/ws); 3+4 collapse (digit fold); 5 alone
     assert out["doc_id"].tolist() == [1, 3, 5]
     assert out["n_variants"].tolist() == [2, 2, 1]
+
+
+def test_ppl_buckets_partitions_corpus(ray_session):
+    import __ray_entry__ as e
+
+    out = e.queries()["ppl_buckets"]("/root/testdata/sf0.001")
+    df = out.to_pandas()
+    assert set(df["bucket"]) == {"head", "middle", "tail"}
+    import duckdb
+
+    n_scored = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet' "
+        "WHERE len(list_filter(regexp_split_to_array(text, '\\s+'), "
+        "x -> x <> '')) >= 2").fetchone()[0]
+    # every scored doc lands in exactly one bucket
+    assert int(df["n_docs"].sum()) == n_scored
+    # discrete 33/67 split: head holds roughly a third (ties may widen it)
+    frac = df.groupby("bucket")["n_docs"].sum() / n_scored
+    assert 0.25 <= frac["head"] <= 0.45
