@@ -1905,6 +1905,72 @@ def _q_recrawl_plan(sf_dir: str):
     return crawl_budget_alloc(cand, budget=300)
 
 
+def _q_gopher_filter(sf_dir: str):
+    """Gopher heuristic quality-rule bundle (word count / mean word length /
+    symbol ratio / alpha-word fraction / required-word hits) — one
+    shuffle-free scan, every flag computed with exact integer arithmetic.
+    Thresholds adapted to the synthetic corpus's 10-99-word bodies so the
+    word-count and mean-word-length rules actually discriminate."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.textops import gopher_quality
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    # mean-word-length window [4.3, 4.7] as exact rationals (43/10, 47/10)
+    return gopher_quality(ds, min_words=20, max_words=90,
+                          mwl_lo=(43, 10), mwl_hi=(47, 10), min_req_hits=1)
+
+
+def _q_soft_dedup(sf_dir: str):
+    """SoftDeDup duplication down-weighting: weight = 1/n_dups over the
+    CCNet-normalized content fingerprint.  Variant copies are planted
+    (an uppercased `` !!`` copy of every doc_id%7==2 doc, and a second
+    whitespace-padded copy of every doc_id%14==2 doc) so the weight
+    distribution has 1, 1/2 and 1/3 mass.  Keys-only exchanges; text
+    never shuffles."""
+    from borges_ray.ops.relational import load, union_all
+    from borges_ray.ops.textops import soft_dedup_weights
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        v1 = df[df["doc_id"] % 7 == 2].copy()
+        v1["doc_id"] = v1["doc_id"] + 1000000
+        v1["text"] = v1["text"].fillna("").str.upper() + " !!"
+        v2 = df[df["doc_id"] % 14 == 2].copy()
+        v2["doc_id"] = v2["doc_id"] + 2000000
+        v2["text"] = "  " + v2["text"].fillna("") + "\t"
+        return pd.concat([v1, v2], ignore_index=True)
+
+    var = ds.map_batches(variants, batch_format="pandas")
+    return soft_dedup_weights(union_all([ds, var]))
+
+
+def _q_compact_files(sf_dir: str):
+    """Small-file Parquet compaction: scatter the documents table into
+    32 tiny part files (the shape a per-round crawl sink leaves behind),
+    compact to ~250-row files, and return the re-read table — proving the
+    rewrite is lossless.  Streamed split/coalesce, no shuffle."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from borges_ray.ops.relational import load
+    from borges_ray.sources.io import compact_parquet
+
+    root = tempfile.mkdtemp(prefix="compact_", dir="/tmp")
+    in_dir, out_dir = f"{root}/in", f"{root}/out"
+    try:
+        load(sf_dir, "documents", columns=["doc_id", "n_chars"]) \
+            .repartition(32).write_parquet(in_dir)
+        info = compact_parquet(in_dir, out_dir, rows_per_file=250)
+        assert info["files_out"] < info["files_in"], info
+        out = rd.read_parquet(out_dir).to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bpe_tokens": _q_bpe_tokens,
@@ -1978,6 +2044,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": _q_vocab_topk,
         "line_filter": _q_line_filter,
         "norm_dedup": _q_norm_dedup,
+        "gopher_filter": _q_gopher_filter,
+        "soft_dedup": _q_soft_dedup,
+        "compact_files": _q_compact_files,
         "ppl_buckets": _q_ppl_buckets,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
         "bigram_pmi": _q_bigram_pmi,
@@ -2495,6 +2564,73 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(line, ' ' ORDER BY pidx) AS text
             FROM lines WHERE ndist >= 6 AND blocked = 0
             GROUP BY doc_id HAVING count(*) >= 2
+        """,
+        "gopher_filter": r"""
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS text FROM documents
+            ), tok AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS w,
+                     CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS word_chars,
+                     CAST(length(text) - length(replace(text, '#', ''))
+                          + (length(text) - length(replace(text, '...', ''))) / 3
+                          AS BIGINT) AS n_sym
+              FROM base
+            ), feat AS (
+              SELECT doc_id,
+                     CAST(len(w) AS BIGINT) AS n_words,
+                     word_chars, n_sym,
+                     CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+                     CAST(list_contains(list_transform(w, x -> lower(x)), 'the') AS BIGINT)
+                   + CAST(list_contains(list_transform(w, x -> lower(x)), 'be') AS BIGINT)
+                   + CAST(list_contains(list_transform(w, x -> lower(x)), 'to') AS BIGINT)
+                   + CAST(list_contains(list_transform(w, x -> lower(x)), 'of') AS BIGINT)
+                   + CAST(list_contains(list_transform(w, x -> lower(x)), 'and') AS BIGINT)
+                   + CAST(list_contains(list_transform(w, x -> lower(x)), 'that') AS BIGINT)
+                   + CAST(list_contains(list_transform(w, x -> lower(x)), 'have') AS BIGINT)
+                   + CAST(list_contains(list_transform(w, x -> lower(x)), 'with') AS BIGINT)
+                     AS req_hits
+              FROM tok
+            )
+            SELECT doc_id, n_words, word_chars, req_hits,
+                   (n_words >= 20 AND n_words <= 90) AS ok_words,
+                   (10 * word_chars >= 43 * n_words
+                    AND 10 * word_chars <= 47 * n_words) AS ok_mwl,
+                   (10 * n_sym < n_words) AS ok_sym,
+                   (5 * n_alpha >= 4 * n_words) AS ok_alpha,
+                   (req_hits >= 1) AS ok_req,
+                   ((n_words >= 20 AND n_words <= 90)
+                    AND (10 * word_chars >= 43 * n_words
+                         AND 10 * word_chars <= 47 * n_words)
+                    AND (10 * n_sym < n_words)
+                    AND (5 * n_alpha >= 4 * n_words)
+                    AND (req_hits >= 1)) AS keep
+            FROM feat
+        """,
+        "soft_dedup": r"""
+            WITH aug AS (
+              SELECT doc_id, coalesce(text, '') AS text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, upper(coalesce(text, '')) || ' !!'
+              FROM documents WHERE doc_id % 7 = 2
+              UNION ALL
+              SELECT doc_id + 2000000, '  ' || coalesce(text, '') || chr(9)
+              FROM documents WHERE doc_id % 14 = 2
+            ), norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(regexp_replace(
+                          lower(text), '[0-9]', '0', 'g'),
+                          '[^\w\s]', '', 'g'), '\s+', ' ', 'g')) AS t
+              FROM aug
+            )
+            SELECT doc_id,
+                   CAST(count(*) OVER (PARTITION BY t) AS BIGINT) AS n_dups,
+                   round(1.0 / count(*) OVER (PARTITION BY t), 6) AS weight
+            FROM norm
+        """,
+        "compact_files": r"""
+            SELECT doc_id, n_chars FROM documents ORDER BY doc_id
         """,
         "norm_dedup": r"""
             WITH aug AS (

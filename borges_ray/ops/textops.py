@@ -386,3 +386,120 @@ def normalized_dedup(ds: rd.Dataset, id_col: str = "doc_id",
                        "n_variants": ("count", id_col)})
     return agg.map_batches(lambda df: df[[id_col, "n_variants"]],
                            batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules
+# ---------------------------------------------------------------------------
+
+#: Gopher's "required words" bank (Rae et al. 2021 §A1.1: a document must
+#: contain at least min_hits of these to survive the rule bundle).
+GOPHER_REQUIRED = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+class GopherRules:
+    """Gopher-style heuristic quality-rule bundle (Rae et al. 2021, §A1.1),
+    evaluated per document with EXACT integer arithmetic so a SQL oracle can
+    reproduce every flag bit-for-bit (no float-boundary ties):
+
+    - ``ok_words``:  min_words <= n_words <= max_words
+    - ``ok_mwl``:    mean word length in [mwl_lo, mwl_hi], tested as
+                     ``mwl_lo_num*n_words <= mwl_den*word_chars`` etc. with
+                     the bounds given as exact rationals (num, den)
+    - ``ok_sym``:    (count('#') + count('...')) / n_words < 0.1, tested as
+                     ``10*symbols < n_words``
+    - ``ok_alpha``:  >= 80% of words contain an ASCII letter, tested as
+                     ``5*n_alpha >= 4*n_words``
+    - ``ok_req``:    at least ``min_req_hits`` distinct GOPHER_REQUIRED
+                     words occur (whitespace-delimited, case-folded)
+
+    ``keep`` is the conjunction.  All counting is vectorized (pandas
+    ``.str.count`` with compiled patterns built once per actor); the text
+    column is dropped on output so only (id, counters, flags) flow on.
+    """
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text", *,
+                 min_words: int = 50, max_words: int = 100000,
+                 mwl_lo: tuple[int, int] = (3, 1), mwl_hi: tuple[int, int] = (10, 1),
+                 min_req_hits: int = 2):
+        self.id_col, self.text_col = id_col, text_col
+        self.min_words, self.max_words = min_words, max_words
+        self.mwl_lo, self.mwl_hi = mwl_lo, mwl_hi
+        self.min_req_hits = min_req_hits
+        self.word_re = re.compile(r"\S+")
+        self.alpha_word_re = re.compile(r"\S*[A-Za-z]\S*")
+        self.nonspace_re = re.compile(r"\S")
+        self.ellipsis_re = re.compile(r"\.\.\.")
+        # one presence regex per required word: whitespace-delimited token
+        self.req_res = [re.compile(r"(?<!\S)" + re.escape(w) + r"(?!\S)")
+                        for w in GOPHER_REQUIRED]
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[self.text_col].fillna("")
+        n_words = texts.str.count(self.word_re.pattern).astype("int64")
+        n_alpha = texts.str.count(self.alpha_word_re.pattern).astype("int64")
+        word_chars = texts.str.count(self.nonspace_re.pattern).astype("int64")
+        n_sym = (texts.str.count(r"#") + texts.str.count(self.ellipsis_re.pattern)).astype("int64")
+        low = texts.str.lower()
+        hits = pd.Series(np.zeros(len(df), dtype=np.int64), index=df.index)
+        for rx in self.req_res:
+            hits += low.str.contains(rx.pattern, regex=True).astype("int64")
+        (lo_n, lo_d), (hi_n, hi_d) = self.mwl_lo, self.mwl_hi
+        ok_words = (n_words >= self.min_words) & (n_words <= self.max_words)
+        ok_mwl = (lo_d * word_chars >= lo_n * n_words) & (hi_d * word_chars <= hi_n * n_words)
+        ok_sym = 10 * n_sym < n_words
+        ok_alpha = 5 * n_alpha >= 4 * n_words
+        ok_req = hits >= self.min_req_hits
+        return pd.DataFrame({
+            self.id_col: df[self.id_col].astype("int64"),
+            "n_words": n_words,
+            "word_chars": word_chars,
+            "req_hits": hits,
+            "ok_words": ok_words,
+            "ok_mwl": ok_mwl,
+            "ok_sym": ok_sym,
+            "ok_alpha": ok_alpha,
+            "ok_req": ok_req,
+            "keep": ok_words & ok_mwl & ok_sym & ok_alpha & ok_req,
+        })
+
+
+def gopher_quality(ds: rd.Dataset, **kw) -> rd.Dataset:
+    """Apply the Gopher rule bundle as one shuffle-free map_batches pass.
+    Purely embarrassingly parallel: at 100 TB this is a single streamed
+    scan with no exchange — the text column dies inside the stage."""
+    return ds.map_batches(GopherRules(**kw), batch_format="pandas")
+
+
+def soft_dedup_weights(ds: rd.Dataset, id_col: str = "doc_id",
+                       text_col: str = "text") -> rd.Dataset:
+    """SoftDeDup-style duplication DOWN-WEIGHTING (He et al. 2024): instead
+    of dropping duplicates, every document gets sampling weight
+    ``1 / n_dups`` where ``n_dups`` counts the documents sharing its
+    CCNet-normalized content fingerprint — a duplicated page contributes
+    one document's worth of training mass in total, split across copies.
+
+    Scale shape: TWO keys-only exchanges, text never moves — (a) a 16-byte
+    ``(fp, 1)`` count combine, (b) an fp-keyed hash join of (id, fp) rows
+    against the tiny per-fp count table.  Returns (id_col, n_dups, weight).
+    """
+    from .relational import grouped_agg, hash_join
+
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        fp = fingerprint_batch(normalize_text(df[text_col]))
+        # int64 view: join/groupby key dtype kept uniform across the engine
+        return pd.DataFrame({"__fp": fp.to_numpy().view(np.int64),
+                             id_col: df[id_col].astype("int64")})
+
+    keyed = ds.map_batches(keys, batch_format="pandas")
+    counts = grouped_agg(keyed, ["__fp"], {"n_dups": ("count", id_col)})
+    joined = hash_join(keyed, counts, on=["__fp"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].astype("int64"),
+            "n_dups": df["n_dups"].astype("int64"),
+            "weight": (1.0 / df["n_dups"].astype("float64")).round(6),
+        })
+
+    return joined.map_batches(fin, batch_format="pandas")

@@ -68,3 +68,31 @@ def sample(ds: rd.Dataset, frac: float, seed: int = 42) -> rd.Dataset:
     ``Borges/db_scripts/create_dummy_col.py:26-31``).  Deterministic for a
     fixed seed + input layout."""
     return ds.random_sample(frac, seed=seed)
+
+
+def compact_parquet(in_dir: str, out_dir: str, *, rows_per_file: int,
+                    columns: list[str] | None = None) -> dict:
+    """Small-file compaction: rewrite a directory of many small Parquet
+    files (the natural output of per-round crawl checkpoints and per-block
+    sinks) into files of ~``rows_per_file`` rows each.
+
+    Scale shape: a pure streamed read → split/coalesce → write; NO
+    all-to-all (``repartition(target_num_rows_per_block=...)`` is a local
+    split/merge of adjacent blocks, not a shuffle), so 100 TB compaction
+    moves each byte exactly once.  Row order within each input file is
+    preserved; file boundaries change.  Returns {files_in, files_out, rows}.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    files_in = sum(1 for f in os.listdir(in_dir) if f.endswith(".parquet"))
+    ds = rd.read_parquet(in_dir, columns=columns)
+    ds = ds.repartition(target_num_rows_per_block=rows_per_file)
+    ds.write_parquet(out_dir, min_rows_per_file=rows_per_file)
+    files_out, rows = 0, 0
+    for f in os.listdir(out_dir):
+        if f.endswith(".parquet"):
+            files_out += 1
+            rows += pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+    return {"files_in": files_in, "files_out": files_out, "rows": rows}

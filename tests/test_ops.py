@@ -1351,3 +1351,64 @@ def test_ppl_buckets_partitions_corpus(ray_session):
     # discrete 33/67 split: head holds roughly a third (ties may widen it)
     frac = df.groupby("bucket")["n_docs"].sum() / n_scored
     assert 0.25 <= frac["head"] <= 0.45
+
+
+def test_gopher_rules_flags(ray_session):
+    from borges_ray.ops.textops import gopher_quality
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            # passes every rule: 20 words, mwl 87/20 = 4.35 in [4.3,4.7], has 'the'
+            " ".join(["the"] * 2 + ["word"] * 9 + ["words"] * 9),
+            "too few words here",                       # fails ok_words
+            " ".join(["the"] * 25),                     # mwl 3.0 < 4.3
+            " ".join(["somewhere"] * 10 + ["the"] * 15), # alpha ok, no-req? has 'the'
+            " ".join(["12345"] * 30),                   # no alpha words, no req
+        ],
+    })
+    out = (gopher_quality(rd.from_pandas(df), min_words=20, max_words=90,
+                          mwl_lo=(43, 10), mwl_hi=(47, 10), min_req_hits=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "keep"]
+    assert not out.loc[1, "ok_words"]
+    assert not out.loc[2, "ok_mwl"]
+    assert out.loc[3, "ok_req"] and out.loc[3, "ok_alpha"]
+    assert not out.loc[4, "ok_alpha"] and not out.loc[4, "ok_req"]
+    # integer-exact mean-word-length boundary: 43*n_words == 10*word_chars
+    b = pd.DataFrame({"doc_id": [9], "text": [" ".join(["abcd"] * 7 + ["abc"] * 2 + ["abcde"] * 11)]})
+    # 7*4+2*3+11*5 = 89 chars / 20 words = 4.45 -> inside [4.3, 4.7]
+    ob = gopher_quality(rd.from_pandas(b), min_words=20, max_words=90,
+                        mwl_lo=(43, 10), mwl_hi=(47, 10), min_req_hits=0).to_pandas()
+    assert bool(ob.loc[0, "ok_mwl"])
+
+
+def test_soft_dedup_weights(ray_session):
+    from borges_ray.ops.textops import soft_dedup_weights
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["alpha beta", "ALPHA  beta!", " alpha beta ",
+                 "gamma delta", "gamma delta", "unique text"],
+    })
+    out = (soft_dedup_weights(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_dups"].tolist() == [3, 3, 3, 2, 2, 1]
+    assert out.loc[0, "weight"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out.loc[5, "weight"] == 1.0
+    # total training mass = number of distinct contents
+    assert out["weight"].sum() == pytest.approx(3.0, abs=1e-5)
+
+
+def test_compact_parquet_lossless(ray_session, tmp_path):
+    from borges_ray.sources.io import compact_parquet
+
+    df = pd.DataFrame({"k": np.arange(1000, dtype=np.int64),
+                       "v": np.arange(1000, dtype=np.int64) * 7})
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    rd.from_pandas(df).repartition(25).write_parquet(in_dir)
+    info = compact_parquet(in_dir, out_dir, rows_per_file=400)
+    assert info["rows"] == 1000
+    assert info["files_out"] < info["files_in"]
+    back = rd.read_parquet(out_dir).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
