@@ -55,6 +55,9 @@ CJK_RANGES: list[tuple[int, int]] = [
     (0x2B820, 0x2CEAF),
 ]
 
+#: lowest CJK-range start — gate for the all-latin fast path in tag_lang_batch
+_CJK_MIN_LO = min(lo for lo, _hi in CJK_RANGES)
+
 COPYRIGHT_SENTINEL = " © 2000 The Electrochemical Society. All rights reserved."
 
 #: Article-type classes excluded from frontier expansion (F2 —
@@ -146,6 +149,11 @@ def tag_lang_batch(texts: list[str]) -> list[str]:
     if not texts:
         return []
     cp, offsets = _codepoints(texts)
+    # fast path: no codepoint reaches the lowest CJK range (the common
+    # all-ASCII/latin web batch) → every text is "en"; one comparison pass
+    # instead of 14 range masks + two reduceats
+    if len(cp) == 0 or not bool((cp >= _CJK_MIN_LO).any()):
+        return ["en"] * len(texts)
     is_cjk = np.zeros(len(cp), dtype=bool)
     for lo, hi in CJK_RANGES:
         is_cjk |= (cp >= lo) & (cp <= hi)

@@ -69,7 +69,7 @@ class PageFeaturizer:
         ws, bpe = token_count_batch(s)
         fp = fingerprint_batch(s)
         q = self.quality(pd.DataFrame({"text": s}))
-        sigs = [self.minhash.signature(x).tobytes() for x in texts]
+        sigs = [s.tobytes() for s in self.minhash.signatures(texts)]
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
