@@ -1971,6 +1971,56 @@ def _q_compact_files(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_embed_quantize(sf_dir: str):
+    """Symmetric int8 quantization of the embedding column (vector-store
+    prep): per-vector scale, quantized checksum, and worst dequantization
+    error — one shuffle-free pass, half-up rounding so SQL reproduces every
+    value exactly."""
+    from borges_ray.ops.embed import quantize_int8
+    from borges_ray.ops.relational import load
+
+    return quantize_int8(load(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+
+
+def _q_host_prior(sf_dir: str):
+    """Host-level quality prior (RefinedWeb-style host filtering shape):
+    per-source word-count mean as the prior, each doc flagged against its
+    host's prior with EXACT integer arithmetic (n_words * host_n < host_sum
+    avoids float-boundary ties).  One text scan → keys-only per-host
+    combine → fp-keyed hash join back (the prior table is tiny but the
+    join stays fully distributed)."""
+    from borges_ray.ops.relational import grouped_agg, hash_join, load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def words(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "source": df["source"],
+            "n_words": df["text"].fillna("").str.split().str.len()
+                                 .fillna(0).astype("int64"),
+        })
+
+    w = ds.map_batches(words, batch_format="pandas")
+    prior = grouped_agg(w, ["source"], {"host_n": ("count", "n_words"),
+                                        "host_sum": ("sum", "n_words")})
+    joined = hash_join(w, prior, on=["source"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        host_n = df["host_n"].astype("int64")
+        host_sum = df["host_sum"].astype("int64")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "source": df["source"],
+            "n_words": df["n_words"].astype("int64"),
+            "host_n": host_n,
+            "host_mean": (host_sum / host_n).round(6),
+            "below_prior": df["n_words"].astype("int64") * host_n < host_sum,
+        })
+
+    return joined.map_batches(fin, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bpe_tokens": _q_bpe_tokens,
@@ -2045,6 +2095,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_filter": _q_line_filter,
         "norm_dedup": _q_norm_dedup,
         "gopher_filter": _q_gopher_filter,
+        "embed_quantize": _q_embed_quantize,
+        "host_prior": _q_host_prior,
         "soft_dedup": _q_soft_dedup,
         "compact_files": _q_compact_files,
         "ppl_buckets": _q_ppl_buckets,
@@ -2564,6 +2616,43 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(line, ' ' ORDER BY pidx) AS text
             FROM lines WHERE ndist >= 6 AND blocked = 0
             GROUP BY doc_id HAVING count(*) >= 2
+        """,
+        "embed_quantize": r"""
+            WITH s AS (
+              SELECT vec_id,
+                     list_max(list_transform(embedding,
+                              x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+              FROM embeddings
+            ), sf AS (
+              SELECT vec_id, scale,
+                     CASE WHEN scale = 0 THEN 1.0 ELSE scale END AS safe
+              FROM s
+            )
+            SELECT e.vec_id,
+                   round(sf.scale, 6) AS scale,
+                   CAST(list_sum(list_transform(e.embedding,
+                        x -> floor(CAST(x AS DOUBLE) / sf.safe + 0.5))) AS BIGINT) AS q_sum,
+                   CAST(list_max(list_transform(e.embedding,
+                        x -> abs(floor(CAST(x AS DOUBLE) / sf.safe + 0.5)))) AS BIGINT) AS q_abs_max,
+                   round(list_max(list_transform(e.embedding,
+                        x -> abs(floor(CAST(x AS DOUBLE) / sf.safe + 0.5) * sf.safe
+                                 - CAST(x AS DOUBLE)))), 6) AS max_err
+            FROM embeddings e JOIN sf USING (vec_id)
+        """,
+        "host_prior": r"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     CAST(len(list_filter(regexp_split_to_array(
+                          coalesce(text, ''), '\s+'), x -> x <> '')) AS BIGINT) AS n_words
+              FROM documents
+            )
+            SELECT doc_id, source, n_words,
+                   CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS host_n,
+                   round(CAST(sum(n_words) OVER (PARTITION BY source) AS DOUBLE)
+                         / count(*) OVER (PARTITION BY source), 6) AS host_mean,
+                   (n_words * count(*) OVER (PARTITION BY source)
+                    < sum(n_words) OVER (PARTITION BY source)) AS below_prior
+            FROM w
         """,
         "gopher_filter": r"""
             WITH base AS (

@@ -682,3 +682,37 @@ def kmeans_lloyd(
                              "cluster": ray.get(_i)[a].astype("int64")})
 
     return ds.map_batches(label, batch_format="pandas")
+
+
+def quantize_int8(ds: rd.Dataset, *, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> rd.Dataset:
+    """Symmetric per-vector int8 quantization for embedding storage: each
+    vector's scale is ``max|v| / 127`` and every component quantizes to
+    ``floor(v/scale + 0.5)`` (half-up — deterministic and SQL-reproducible,
+    unlike banker's rounding).  Returns (id, scale, q_sum, q_abs_max,
+    max_err): the quantized checksum row a 100 TB vector-store prep stage
+    would validate against, with ``max_err`` the per-vector worst absolute
+    dequantization error (rounded to 6 dp).
+
+    Scale shape: one embarrassingly-parallel map_batches pass — vectors die
+    inside the stage; only 5 small columns flow out (the quantized payload
+    itself would be written straight to a partitioned sink in production).
+    """
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        m = _matrix(df[vec_col])
+        amax = np.abs(m).max(axis=1)
+        scale = amax / 127.0
+        safe = np.where(scale == 0, 1.0, scale)
+        q = np.floor(m / safe[:, None] + 0.5)
+        deq = q * safe[:, None]
+        err = np.abs(deq - m).max(axis=1)
+        return pd.DataFrame({
+            id_col: df[id_col].astype("int64"),
+            "scale": np.round(scale, 6),
+            "q_sum": q.sum(axis=1).astype("int64"),
+            "q_abs_max": np.abs(q).max(axis=1).astype("int64"),
+            "max_err": np.round(err, 6),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -1412,3 +1412,21 @@ def test_compact_parquet_lossless(ray_session, tmp_path):
     assert info["files_out"] < info["files_in"]
     back = rd.read_parquet(out_dir).to_pandas().sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(back, df)
+
+
+def test_quantize_int8_roundtrip_error(ray_session):
+    from borges_ray.ops.embed import quantize_int8
+
+    rng = np.random.default_rng(3)
+    vecs = [rng.normal(size=16).astype(np.float32) for _ in range(20)]
+    vecs.append(np.zeros(16, dtype=np.float32))          # all-zero vector
+    df = pd.DataFrame({"vec_id": np.arange(21, dtype=np.int64),
+                       "embedding": vecs})
+    out = (quantize_int8(rd.from_pandas(df)).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    # quantized range respected, error bounded by scale/2
+    assert (out["q_abs_max"] <= 127).all()
+    nz = out[out["scale"] > 0]
+    assert (nz["max_err"] <= nz["scale"] / 2 + 1e-9).all()
+    z = out[out["scale"] == 0].iloc[0]
+    assert z["q_sum"] == 0 and z["max_err"] == 0.0
