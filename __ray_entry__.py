@@ -1971,6 +1971,54 @@ def _q_compact_files(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_change_rate(sf_dir: str):
+    """Recrawl change-frequency estimation (Cho & Garcia-Molina 2003): four
+    deterministic corpus snapshots (each doc changes at snapshot s∈{1,2,3}
+    iff (doc_id*31 + s*17) % 5 == 0, realized as an appended revision
+    marker), fingerprinted per (doc, snap); n_changes counts adjacent
+    fingerprint flips and λ̂ = -ln((n - X + 0.5)/(n + 0.5)) is the
+    bias-corrected Poisson rate the scheduler would sort on.
+
+    Scale shape: each snapshot is its own scan → keys-only
+    (doc_id, snap, fp) exchange, ONE hash-partitioned groupby on doc_id;
+    text never shuffles.  The SQL twin recomputes the change schedule
+    closed-form, so the oracle verifies the whole fingerprint/diff
+    dataflow end-to-end."""
+    from borges_ray.ops.relational import load, union_all
+    from borges_ray.ops.textops import fingerprint_batch
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    N_INT = 3  # observed intervals
+
+    def snap_fn(s: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            d = df["doc_id"].astype("int64")
+            c = np.zeros(len(df), dtype=np.int64)
+            for t in range(1, s + 1):
+                c += ((d * 31 + t * 17) % 5 == 0).to_numpy().astype(np.int64)
+            txt = df["text"].fillna("")
+            suffixed = txt.where(c == 0, txt + " r" + pd.Series(c, index=df.index).astype(str))
+            return pd.DataFrame({
+                "doc_id": d,
+                "snap": np.full(len(df), s, dtype=np.int64),
+                "fp": fingerprint_batch(suffixed).to_numpy().view(np.int64),
+            })
+        return fn
+
+    snaps = union_all([ds.map_batches(snap_fn(s), batch_format="pandas")
+                       for s in range(N_INT + 1)])
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("snap", kind="mergesort")
+        x = int((df["fp"].to_numpy()[1:] != df["fp"].to_numpy()[:-1]).sum())
+        lam = round(-np.log((N_INT - x + 0.5) / (N_INT + 0.5)), 6)
+        return pd.DataFrame({"doc_id": [int(df["doc_id"].iloc[0])],
+                             "n_changes": [x], "lam": [lam],
+                             "due": [x >= 2]})
+
+    return snaps.groupby("doc_id").map_groups(per_doc, batch_format="pandas")
+
+
 def _q_embed_quantize(sf_dir: str):
     """Symmetric int8 quantization of the embedding column (vector-store
     prep): per-vector scale, quantized checksum, and worst dequantization
@@ -2096,6 +2144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "norm_dedup": _q_norm_dedup,
         "gopher_filter": _q_gopher_filter,
         "embed_quantize": _q_embed_quantize,
+        "change_rate": _q_change_rate,
         "host_prior": _q_host_prior,
         "soft_dedup": _q_soft_dedup,
         "compact_files": _q_compact_files,
@@ -2616,6 +2665,19 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(line, ' ' ORDER BY pidx) AS text
             FROM lines WHERE ndist >= 6 AND blocked = 0
             GROUP BY doc_id HAVING count(*) >= 2
+        """,
+        "change_rate": r"""
+            WITH ch AS (
+              SELECT doc_id,
+                     CAST(((doc_id*31 + 17) % 5 = 0) AS BIGINT)
+                   + CAST(((doc_id*31 + 34) % 5 = 0) AS BIGINT)
+                   + CAST(((doc_id*31 + 51) % 5 = 0) AS BIGINT) AS n_changes
+              FROM documents
+            )
+            SELECT doc_id, n_changes,
+                   round(-ln((3 - n_changes + 0.5) / 3.5), 6) AS lam,
+                   (n_changes >= 2) AS due
+            FROM ch
         """,
         "embed_quantize": r"""
             WITH s AS (
