@@ -278,6 +278,36 @@ def _cpu_calibration(levels: tuple[int, ...]) -> dict:
     return out
 
 
+def _mem_burn(_arg):
+    import numpy as np
+
+    a = np.ones(40_000_000, dtype=np.uint8)
+    b = np.empty_like(a)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 2.0:
+        np.copyto(b, a)
+        n += 1
+    return n * 40  # MB copied
+
+
+def _mem_calibration(levels: tuple[int, ...]) -> dict:
+    """Aggregate MEMORY-COPY bandwidth per parallelism level.  The spin-loop
+    calibration (`_cpu_calibration`) is register-resident and blind to the
+    SMT/cache/bandwidth contention that dominates text processing: the
+    ingest featurize UDF streams several MB of strings per batch, so its
+    real 8→32 ceiling is the bandwidth ratio, not the spin ratio.  Reported
+    so scaling efficiency can be read against the ceiling that matches the
+    workload class."""
+    import multiprocessing as mp
+
+    out = {}
+    for procs in levels:
+        with mp.Pool(procs) as p:
+            out[procs] = sum(p.map(_mem_burn, range(procs)))
+    return out
+
+
 def run_scaling() -> dict:
     """The bulk-ingest job at N and 4N CPUs in fresh processes, same corpus.
 
@@ -315,6 +345,7 @@ def run_scaling() -> dict:
     crawl_eff = (crawl_best[8]["value"] / crawl_best[32]["value"]) / 4
 
     calib = _cpu_calibration((2, 8, 32))
+    mem_calib = _mem_calibration((2, 8, 32))
     eff_2_8 = (best[2]["value"] / best[8]["value"]) / 4
     eff_8_32 = (best[8]["value"] / best[32]["value"]) / 4
     hw_2_8 = (calib[8] / calib[2]) / 4
@@ -342,6 +373,11 @@ def run_scaling() -> dict:
         "pages_per_sec": {str(k): v["ingest_pages_per_sec"] for k, v in best.items()},
         "all_runs_sec": {str(k): [r["value"] for r in rs] for k, rs in runs_by_level.items()},
         "cpu_calibration_loops": {str(k): v for k, v in calib.items()},
+        "mem_bandwidth_mb": {str(k): v for k, v in mem_calib.items()},
+        "mem_hw_ceiling": {
+            "2_to_8": round((mem_calib[8] / mem_calib[2]) / 4, 3),
+            "8_to_32": round((mem_calib[32] / mem_calib[8]) / 4, 3),
+        },
         "warm_sec_8": warm["value"],
         "sf": best[8]["sf"],
         "n_pages": best[8]["n_pages"],
