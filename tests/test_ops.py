@@ -1430,3 +1430,74 @@ def test_quantize_int8_roundtrip_error(ray_session):
     assert (nz["max_err"] <= nz["scale"] / 2 + 1e-9).all()
     z = out[out["scale"] == 0].iloc[0]
     assert z["q_sum"] == 0 and z["max_err"] == 0.0
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_gopher_rules_match_pure_reference(seed, ray_session):
+    """Randomized messy strings (punctuation, digits, unicode, '#', '...')
+    × a pure-python reference of every Gopher flag."""
+    import re as _re
+
+    from borges_ray.ops.textops import GOPHER_REQUIRED, gopher_quality
+
+    rng = np.random.RandomState(seed)
+    frag = ["the", "Be", "to", "of", "and", "würde", "a1", "1a", "#tag",
+            "...", "12345", "x" * 12, "a.b", "naïve", "CAT", "--", "e",
+            "with,", "have!"]
+    texts = [" ".join(rng.choice(frag, rng.randint(0, 60))) for _ in range(50)]
+    texts += ["", "   ", "\t\n"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    out = (gopher_quality(rd.from_pandas(df), min_words=5, max_words=40,
+                          mwl_lo=(3, 1), mwl_hi=(7, 1), min_req_hits=2)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, t in enumerate(texts):
+        toks = t.split()
+        n_words = len(toks)
+        wchars = sum(len(w) for w in toks)
+        n_alpha = sum(1 for w in toks if _re.search("[A-Za-z]", w))
+        n_sym = t.count("#") + t.count("...")
+        hits = sum(1 for r in GOPHER_REQUIRED
+                   if r in {w.lower() for w in toks})
+        row = out.iloc[i]
+        assert row["n_words"] == n_words, (i, t)
+        assert row["word_chars"] == wchars, (i, t)
+        assert row["req_hits"] == hits, (i, t)
+        assert row["ok_words"] == (5 <= n_words <= 40)
+        assert row["ok_mwl"] == (1 * wchars >= 3 * n_words
+                                 and 1 * wchars <= 7 * n_words)
+        assert row["ok_sym"] == (10 * n_sym < n_words)
+        assert row["ok_alpha"] == (5 * n_alpha >= 4 * n_words)
+        assert row["ok_req"] == (hits >= 2)
+
+
+@pytest.mark.parametrize("seed,n_docs", [(5, 80), (6, 120)])
+def test_soft_dedup_matches_pure_reference(seed, n_docs, ray_session):
+    """Random corpora with planted normalized-duplicate clusters × a pure
+    pandas groupby reference: every weight is 1/cluster-size and total
+    mass equals the count of distinct normalized contents."""
+    from borges_ray.ops.textops import normalize_text, soft_dedup_weights
+
+    rng = np.random.RandomState(seed)
+    base = [f"text {i} body {'x' * (i % 5)}" for i in range(20)]
+    texts = []
+    for _ in range(n_docs):
+        t = base[rng.randint(len(base))]
+        style = rng.randint(4)
+        if style == 1:
+            t = t.upper() + "!!"
+        elif style == 2:
+            t = "  " + t + "\t"
+        elif style == 3:
+            t = t.replace(" ", "  ")
+        texts.append(t)
+    df = pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64),
+                       "text": texts})
+    out = (soft_dedup_weights(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    norm = normalize_text(df["text"])
+    counts = norm.value_counts()
+    exp_n = norm.map(counts).astype("int64")
+    assert out["n_dups"].tolist() == exp_n.tolist()
+    assert np.allclose(out["weight"], (1.0 / exp_n).round(6))
+    assert out["weight"].sum() == pytest.approx(len(counts), abs=1e-4)
