@@ -1971,6 +1971,34 @@ def _q_compact_files(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_partitioned_export(sf_dir: str):
+    """Hive-partitioned sink + pruned read-back (the resumable-output
+    contract as a first-class op): write documents partitioned by lang
+    (one directory per key — a failed run skips finished partitions), then
+    read back ONLY the ``lang=en`` directory.  The read touches one
+    partition's bytes; the other languages never leave storage."""
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from borges_ray.ops.relational import load
+
+    root = tempfile.mkdtemp(prefix="pexport_", dir="/tmp")
+    try:
+        load(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]) \
+            .write_parquet(root, partition_cols=["lang"])
+        dirs = sorted(d for d in os.listdir(root) if d.startswith("lang="))
+        assert "lang=en" in dirs, dirs
+        out = rd.read_parquet(os.path.join(root, "lang=en")).to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    out["lang"] = out["lang"].astype(str)
+    return (out[["doc_id", "lang", "n_chars"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def _q_change_rate(sf_dir: str):
     """Recrawl change-frequency estimation (Cho & Garcia-Molina 2003): four
     deterministic corpus snapshots (each doc changes at snapshot s∈{1,2,3}
@@ -2145,6 +2173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": _q_gopher_filter,
         "embed_quantize": _q_embed_quantize,
         "change_rate": _q_change_rate,
+        "partitioned_export": _q_partitioned_export,
         "host_prior": _q_host_prior,
         "soft_dedup": _q_soft_dedup,
         "compact_files": _q_compact_files,
@@ -2665,6 +2694,10 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(line, ' ' ORDER BY pidx) AS text
             FROM lines WHERE ndist >= 6 AND blocked = 0
             GROUP BY doc_id HAVING count(*) >= 2
+        """,
+        "partitioned_export": r"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE lang = 'en' ORDER BY doc_id
         """,
         "change_rate": r"""
             WITH ch AS (
