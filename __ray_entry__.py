@@ -2097,8 +2097,110 @@ def _q_host_prior(sf_dir: str):
     return joined.map_batches(fin, batch_format="pandas")
 
 
+def _q_redirect_resolve(sf_dir: str):
+    """Redirect-chain resolution by pointer doubling (O(log chain) rounds
+    of keys-only self-joins; see ``borges_ray.ops.graph.redirect_resolve``).
+    The synthetic redirect map has chains up to 15 hops (every id steps to
+    id-1 until a multiple of 16, which is terminal) plus PLANTED 2-CYCLES
+    (each id%1000==777 points UP to 778, which points back), so ids whose
+    descent passes the cycle never resolve — the oracle classifies the
+    same set via a bounded recursive CTE."""
+    from borges_ray.ops.graph import redirect_resolve
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_edges(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64")
+        m = d % 1000
+        is_src = (m == 777) | (m == 778) | (d % 16 != 0)
+        d = d[is_src]
+        dst = np.where(d % 1000 == 777, d + 1, d - 1)
+        return pd.DataFrame({"src": d.to_numpy(), "dst": dst})
+
+    edges = ds.map_batches(mk_edges, batch_format="pandas")
+    # chains here are <= 15 hops: 4 doubling rounds (2^4 = 16) suffice
+    return redirect_resolve(edges, max_rounds=4)
+
+
+def _q_sitemap_extract(sf_dir: str):
+    """Sitemap-protocol seed discovery: one synthetic sitemap XML per doc
+    (1-5 url entries; lastmod/priority optionally absent) parsed by the
+    engine's namespace-tolerant extractor into one row per <url> entry.
+    The oracle regenerates loc/lastmod/priority arithmetically — the
+    engine must genuinely parse the XML to match."""
+    from borges_ray.extract import parse_sitemap
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_and_parse(df: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[str, list] = {"doc_id": [], "loc": [], "lastmod": [],
+                                 "priority_x10": []}
+        for d in df["doc_id"].astype("int64"):
+            parts = ['<?xml version="1.0" encoding="UTF-8"?>'
+                     '<urlset xmlns='
+                     '"http://www.sitemaps.org/schemas/sitemap/0.9">']
+            for j in range(int(d) % 5 + 1):
+                e = [f"<loc>https://host{int(d) % 50}.example.com"
+                     f"/page/{int(d) * 8 + j}</loc>"]
+                if (int(d) + j) % 4 != 0:
+                    e.append(f"<lastmod>2026-0{(int(d) + j) % 9 + 1}-15"
+                             "</lastmod>")
+                if (int(d) + j) % 3 != 0:
+                    e.append(f"<priority>0.{(int(d) + j) % 10}</priority>")
+                parts.append("<url>" + "".join(e) + "</url>")
+            parts.append("</urlset>")
+            for ent in parse_sitemap("".join(parts)):
+                rows["doc_id"].append(int(d))
+                rows["loc"].append(ent["loc"])
+                rows["lastmod"].append(ent["lastmod"])
+                rows["priority_x10"].append(ent["priority_x10"])
+        out = pd.DataFrame(rows)
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["priority_x10"] = out["priority_x10"].astype("int64")
+        return out
+
+    return ds.map_batches(mk_and_parse, batch_format="pandas")
+
+
+def _q_url_features(sf_dir: str):
+    """URL structure features for frontier prioritization / spam demotion
+    (path depth, query-param count, digit-heavy hosts) over four
+    doc_id-derived URL shapes; vectorized pandas str kernels in the
+    engine vs an arithmetic SQL rebuild in the oracle."""
+    from borges_ray.canonical import url_features_batch
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64")
+        h, ds_ = (d % 50).astype(str), d.astype(str)
+        v = (d % 4).to_numpy()
+        urls = pd.Series(np.select(
+            [v == 0, v == 1, v == 2],
+            [
+                "https://www.site" + h + ".example.com/a/b/c" + ds_
+                + "?x=1&y=2",
+                "http://site" + h + ".example.com:8080/p" + ds_,
+                "https://img" + (d % 7).astype(str) + ".cdn" + h
+                + ".example.net/i/" + ds_ + "/th.jpg?w=100",
+            ],
+            default="http://site" + h + ".example.com/",
+        ), index=df.index)
+        out = url_features_batch(urls)
+        out.insert(0, "doc_id", d)
+        return out
+
+    return ds.map_batches(feats, batch_format="pandas")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "redirect_resolve": _q_redirect_resolve,
+        "sitemap_extract": _q_sitemap_extract,
+        "url_features": _q_url_features,
         "bpe_tokens": _q_bpe_tokens,
         "oversized_payloads": _q_oversized_payloads,
         "snapshot_diff": _q_snapshot_diff,
@@ -2463,6 +2565,87 @@ def oracle_sql() -> dict[str, str]:
         # SQL reads it so the driver gates rows+schema+hash like any query
         "crawl_pipeline": (
             f"SELECT * FROM read_parquet('{_crawl_oracle_parquet()}')"),
+        "redirect_resolve": r"""
+            WITH RECURSIVE edges AS (
+              SELECT doc_id AS src,
+                     CASE WHEN doc_id % 1000 = 777 THEN doc_id + 1
+                          ELSE doc_id - 1 END AS dst
+              FROM documents
+              WHERE doc_id % 1000 = 777 OR doc_id % 1000 = 778
+                    OR doc_id % 16 <> 0
+            ), walk AS (
+              SELECT src, dst AS cur, CAST(1 AS BIGINT) AS hops FROM edges
+              UNION ALL
+              SELECT w.src, e.dst, w.hops + 1
+              FROM walk w JOIN edges e ON w.cur = e.src
+              WHERE w.hops < 40
+            ), resolved AS (
+              SELECT w.src, w.cur AS final_id, w.hops
+              FROM walk w
+              WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = w.cur)
+            )
+            SELECT src, final_id, hops, TRUE AS resolved FROM resolved
+            UNION ALL
+            SELECT e.src, CAST(-1 AS BIGINT) AS final_id,
+                   CAST(-1 AS BIGINT) AS hops, FALSE AS resolved
+            FROM edges e
+            WHERE NOT EXISTS (SELECT 1 FROM resolved r WHERE r.src = e.src)
+        """,
+        "sitemap_extract": r"""
+            SELECT d.doc_id,
+                   'https://host' || (d.doc_id % 50)
+                     || '.example.com/page/' || (d.doc_id * 8 + t.j) AS loc,
+                   CASE WHEN (d.doc_id + t.j) % 4 = 0 THEN NULL
+                        ELSE '2026-0' || ((d.doc_id + t.j) % 9 + 1) || '-15'
+                   END AS lastmod,
+                   CAST(CASE WHEN (d.doc_id + t.j) % 3 = 0 THEN -1
+                             ELSE (d.doc_id + t.j) % 10
+                        END AS BIGINT) AS priority_x10
+            FROM documents d,
+                 UNNEST(generate_series(0, d.doc_id % 5)) AS t(j)
+        """,
+        "url_features": r"""
+            WITH u AS (
+              SELECT doc_id, doc_id % 4 AS v,
+                     CAST(doc_id % 50 AS VARCHAR) AS h,
+                     CAST(doc_id AS VARCHAR) AS s,
+                     CAST(doc_id % 7 AS VARCHAR) AS i7
+              FROM documents
+            ), built AS (
+              SELECT doc_id, v,
+                CASE v
+                  WHEN 0 THEN 'https://www.site' || h
+                              || '.example.com/a/b/c' || s || '?x=1&y=2'
+                  WHEN 1 THEN 'http://site' || h || '.example.com:8080/p' || s
+                  WHEN 2 THEN 'https://img' || i7 || '.cdn' || h
+                              || '.example.net/i/' || s || '/th.jpg?w=100'
+                  ELSE 'http://site' || h || '.example.com/'
+                END AS url,
+                CASE v
+                  WHEN 0 THEN 'www.site' || h || '.example.com'
+                  WHEN 1 THEN 'site' || h || '.example.com'
+                  WHEN 2 THEN 'img' || i7 || '.cdn' || h || '.example.net'
+                  ELSE 'site' || h || '.example.com'
+                END AS host
+              FROM u
+            )
+            SELECT doc_id,
+                   CASE WHEN v IN (0, 2) THEN 'https' ELSE 'http' END
+                     AS scheme,
+                   host,
+                   CAST(length(host) AS BIGINT) AS host_len,
+                   CAST(length(host)
+                        - length(regexp_replace(host, '[0-9]', '', 'g'))
+                        AS BIGINT) AS host_digits,
+                   CAST(CASE v WHEN 0 THEN 3 WHEN 1 THEN 1
+                               WHEN 2 THEN 3 ELSE 0 END AS BIGINT)
+                     AS path_depth,
+                   CAST(CASE v WHEN 0 THEN 2 WHEN 1 THEN 0
+                               WHEN 2 THEN 1 ELSE 0 END AS BIGINT)
+                     AS n_params,
+                   CAST(length(url) AS BIGINT) AS url_len
+            FROM built
+        """,
         "simhash_signatures": _ORACLE_SIMHASH_SIGS,
         "simhash_neardup": _ORACLE_SIMHASH_NEARDUP,
         "cosine_neardup_lsh": _oracle_cosine_lsh(),

@@ -104,3 +104,48 @@ def canonicalize_batch(urls: list[str], bases: list[str] | None = None) -> list[
                 cache[key] = v
             out.append(v)
     return out
+
+
+def url_features_batch(urls) -> "pd.DataFrame":  # noqa: F821
+    """Vectorized URL structure features — the cheap signals crawl
+    schedulers use for frontier prioritization and spam demotion (path
+    depth, parameter count, digit-heavy hosts; cf. the reference's
+    URL-shape gating of which index pages are worth following,
+    ``paper_index.py``).  All counts are exact integers so a SQL oracle
+    reproduces every value bit-for-bit.
+
+    Input: pandas Series of raw absolute URL strings.  Output columns:
+
+    - ``scheme``      lowercased scheme
+    - ``host``        lowercased host, port stripped
+    - ``host_len``    ``len(host)``
+    - ``host_digits`` count of ASCII digit chars in host
+    - ``path_depth``  number of NON-EMPTY ``/``-separated path segments
+    - ``n_params``    query parameters (``&``-separated, 0 when no query)
+    - ``url_len``     ``len(url)``
+
+    Pure pandas str kernels (compiled-regex extract/count) — no per-row
+    Python parse; this runs inside map_batches as a shuffle-free scan.
+    """
+    import pandas as pd
+
+    s = pd.Series(urls).fillna("").astype(str)
+    scheme = s.str.extract(r"^([A-Za-z][A-Za-z0-9+.-]*)://", expand=False)
+    rest = s.str.replace(r"^[A-Za-z][A-Za-z0-9+.-]*://", "", regex=True)
+    netloc = rest.str.extract(r"^([^/?#]*)", expand=False).fillna("")
+    host = netloc.str.replace(r":\d+$", "", regex=True).str.lower()
+    after = rest.str.slice(start=0).str.replace(r"^[^/?#]*", "", regex=True)
+    path = after.str.extract(r"^([^?#]*)", expand=False).fillna("")
+    query = after.str.extract(r"\?([^#]*)", expand=False)
+    core = path.str.replace(r"/+", "/", regex=True).str.strip("/")
+    depth = (core.str.count("/") + 1).where(core != "", 0).astype("int64")
+    nparams = (query.str.count("&") + 1).fillna(0).astype("int64")
+    return pd.DataFrame({
+        "scheme": scheme.fillna("").str.lower(),
+        "host": host,
+        "host_len": host.str.len().astype("int64"),
+        "host_digits": host.str.count(r"[0-9]").astype("int64"),
+        "path_depth": depth,
+        "n_params": nparams,
+        "url_len": s.str.len().astype("int64"),
+    })

@@ -181,3 +181,55 @@ def tag_lang_batch(texts: list[str]) -> list[str]:
 def tag_lang(text: str) -> str:
     """Scalar convenience wrapper over :func:`tag_lang_batch`."""
     return tag_lang_batch([text])[0]
+
+
+def parse_sitemap(xml_text: str) -> list[dict]:
+    """Parse one sitemap-protocol document (sitemaps.org 0.9) into url
+    entries — the crawl seed-discovery path the reference drives by
+    enumerating publisher issue indexes (``paper_index.py``); on the open
+    web the equivalent seed feed is the per-host sitemap.
+
+    Returns one dict per ``<url>`` entry: ``loc`` (required; entries
+    without it are dropped per the protocol), ``lastmod`` (optional,
+    verbatim string or None) and ``priority_x10`` (optional ``0.X``
+    decimal scaled to an exact int, -1 when absent — exact-integer so a
+    SQL oracle reproduces it without float parsing).  Namespaced and
+    namespace-free documents both parse (real-world sitemaps are
+    inconsistent); malformed XML yields [] rather than raising — a bad
+    sitemap must not kill a batch.
+    """
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError:
+        return []
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    out: list[dict] = []
+    for el in root.iter():
+        if local(el.tag) != "url":
+            continue
+        loc = lastmod = prio = None
+        for ch in el:
+            name = local(ch.tag)
+            if name == "loc":
+                loc = (ch.text or "").strip()
+            elif name == "lastmod":
+                lastmod = (ch.text or "").strip()
+            elif name == "priority":
+                prio = (ch.text or "").strip()
+        if not loc:
+            continue
+        px10 = -1
+        if prio:
+            try:
+                from decimal import Decimal
+
+                px10 = int(Decimal(prio) * 10)
+            except Exception:
+                px10 = -1
+        out.append({"loc": loc, "lastmod": lastmod, "priority_x10": px10})
+    return out

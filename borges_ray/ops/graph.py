@@ -319,3 +319,97 @@ def hits(
     auths = rd.read_parquet(_leaf_files(a_dir)).map_batches(
         _norm(a_scale, "authority"), batch_format="pandas")
     return hash_join(hubs, auths, on=["node"])
+
+
+def redirect_resolve(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 5,
+) -> rd.Dataset:
+    """Resolve HTTP redirect chains to their final destination by
+    POINTER DOUBLING: ``max_rounds`` rounds of keys-only left-outer
+    self-joins resolve every chain of length <= 2**max_rounds in
+    O(log chain) exchanges — never O(chain) sequential lookups and never
+    a driver-side walk (the reference follows redirects one hop at a
+    time inside each request, Borges/settings.py REDIRECT_ENABLED; a
+    batch engine replaying a crawl's redirect map must collapse chains
+    corpus-wide instead).
+
+    Input: one row per redirecting URL ``(src, dst)`` — a FUNCTIONAL
+    graph (each src has exactly one outgoing edge).  A URL is terminal
+    iff it never appears as a src.  Returns one row per src:
+
+    - resolved chains: ``(src, final_id, hops, resolved=True)``
+    - redirect CYCLES (or chains longer than 2**max_rounds):
+      ``(src, final_id=-1, hops=-1, resolved=False)``
+
+    Scale shape: the pointer table is 4 keys-only int64/bool columns —
+    32 B/row no matter how long the chains are; each round is ONE
+    hash-partitioned self-join plus a parquet spill that truncates
+    lineage (the spill doubles as a resumable checkpoint).  Rows whose
+    pointer already reached a terminal keep flowing through the join
+    unmatched (a terminal id is never a src, so the left-outer probe is
+    a guaranteed miss) — no union/branch split that would re-buffer the
+    stream.  Early exit when a round leaves zero unresolved rows.
+    """
+    from .relational import hash_join, spill_point
+
+    def init(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": df[src_col].astype("int64"),
+            "cur": df[dst_col].astype("int64"),
+            "hops": np.int64(1),
+            "done": False,
+        })
+
+    ptr = spill_point(edges.map_batches(init, batch_format="pandas"),
+                      "redirect0")
+
+    for rnd in range(max_rounds):
+        # right side of the self-join: the same table keyed by src
+        right = ptr.map_batches(
+            lambda df: pd.DataFrame({
+                "cur": df["src"], "cur2": df["cur"],
+                "hops2": df["hops"], "done2": df["done"]}),
+            batch_format="pandas")
+        joined = hash_join(ptr, right, on=["cur"], join_type="left_outer")
+
+        def jump(df: pd.DataFrame) -> pd.DataFrame:
+            done = df["done"].to_numpy(bool)
+            matched = df["cur2"].notna().to_numpy(bool)
+            hit = matched & ~done
+            miss = ~matched & ~done
+            cur = df["cur"].to_numpy("int64").copy()
+            hops = df["hops"].to_numpy("int64").copy()
+            cur[hit] = pd.to_numeric(df["cur2"], errors="coerce") \
+                .fillna(-1).to_numpy("int64")[hit]
+            hops[hit] += pd.to_numeric(df["hops2"], errors="coerce") \
+                .fillna(0).to_numpy("int64")[hit]
+            done2 = df["done2"].astype("boolean").fillna(False) \
+                .to_numpy(dtype=bool)
+            new_done = done | miss | (hit & done2)
+            return pd.DataFrame({"src": df["src"].astype("int64"), "cur": cur,
+                                 "hops": hops, "done": new_done})
+
+        ptr = spill_point(joined.map_batches(jump, batch_format="pandas"),
+                          f"redirect{rnd + 1}")
+        remaining = ptr.map_batches(
+            lambda df: pd.DataFrame({"n": [int((~df["done"]).sum())]}),
+            batch_format="pandas").sum("n")
+        if not remaining:
+            break
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        done = df["done"].to_numpy(bool)
+        return pd.DataFrame({
+            "src": df["src"].astype("int64"),
+            "final_id": np.where(done, df["cur"].to_numpy("int64"),
+                                 np.int64(-1)),
+            "hops": np.where(done, df["hops"].to_numpy("int64"),
+                             np.int64(-1)),
+            "resolved": done,
+        })
+
+    return ptr.map_batches(finalize, batch_format="pandas")

@@ -49,3 +49,26 @@ def test_batch_matches_scalar():
     urls = ["HTTP://A.EXAMPLE/x#f", "/rel", "mailto:z", "http://b.example/q?b=1&a=2"]
     bases = ["http://a.example/", "http://a.example/d/", "http://a.example/", "http://b.example/"]
     assert canonicalize_batch(urls, bases) == [canonicalize(u, b) for u, b in zip(urls, bases)]
+
+
+def test_url_features_batch():
+    import pandas as pd
+
+    from borges_ray.canonical import url_features_batch
+
+    out = url_features_batch(pd.Series([
+        "https://www.site7.example.com/a/b/c123?x=1&y=2",
+        "http://site9.example.com:8080/p42",
+        "http://site0.example.com/",
+        "HTTPS://UP.example.com/A//B/",   # double slash collapses
+        "http://h.example.com/p?only=1",
+    ]))
+    assert out["scheme"].tolist() == ["https", "http", "http", "https",
+                                      "http"]
+    assert out["host"].tolist() == [
+        "www.site7.example.com", "site9.example.com", "site0.example.com",
+        "up.example.com", "h.example.com"]
+    assert out["path_depth"].tolist() == [3, 1, 0, 2, 1]
+    assert out["n_params"].tolist() == [2, 0, 0, 0, 1]
+    assert out["host_digits"].tolist() == [1, 1, 1, 0, 0]
+    assert out["url_len"].tolist() == [46, 33, 25, 28, 29]

@@ -59,3 +59,32 @@ def test_lang_tagging():
     assert tag_lang("abc 一") == "mixed"
     assert tag_lang("") == "en"
     assert tag_lang_batch(["abc", "一丁", ""]) == ["en", "cjk", "en"]
+
+
+def test_parse_sitemap():
+    from borges_ray.extract import parse_sitemap
+
+    xml = ('<?xml version="1.0"?>'
+           '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+           '<url><loc> https://a.com/1 </loc>'
+           '<lastmod>2026-01-15</lastmod><priority>0.7</priority></url>'
+           '<url><loc>https://a.com/2</loc></url>'
+           '<url><lastmod>2026-01-15</lastmod></url>'  # no loc: dropped
+           '</urlset>')
+    out = parse_sitemap(xml)
+    assert out == [
+        {"loc": "https://a.com/1", "lastmod": "2026-01-15",
+         "priority_x10": 7},
+        {"loc": "https://a.com/2", "lastmod": None, "priority_x10": -1},
+    ]
+    # namespace-free documents parse too; malformed XML yields []
+    assert parse_sitemap("<urlset><url><loc>u</loc></url></urlset>") == [
+        {"loc": "u", "lastmod": None, "priority_x10": -1}]
+    assert parse_sitemap("<bad") == []
+    assert parse_sitemap("<urlset/>") == []
+    # priority edge cases: 1.0 -> 10, junk -> -1
+    assert parse_sitemap(
+        "<urlset><url><loc>u</loc><priority>1.0</priority></url>"
+        "<url><loc>v</loc><priority>high</priority></url></urlset>") == [
+        {"loc": "u", "lastmod": None, "priority_x10": 10},
+        {"loc": "v", "lastmod": None, "priority_x10": -1}]

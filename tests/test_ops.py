@@ -1501,3 +1501,44 @@ def test_soft_dedup_matches_pure_reference(seed, n_docs, ray_session):
     assert out["n_dups"].tolist() == exp_n.tolist()
     assert np.allclose(out["weight"], (1.0 / exp_n).round(6))
     assert out["weight"].sum() == pytest.approx(len(counts), abs=1e-4)
+
+
+def test_redirect_resolve_pointer_doubling():
+    """redirect_resolve vs a pure-python chain walk over a random
+    functional graph with planted cycles: chains up to ~40 hops (needing
+    all 6 doubling rounds), a 2-cycle, a 3-cycle, and feeder chains that
+    drain INTO a cycle (unresolvable)."""
+    import ray.data as rd
+
+    from borges_ray.ops.graph import redirect_resolve
+
+    edges = {}
+    # long chain: 100 -> 99 -> ... -> 61 (terminal), 39 hops
+    for i in range(62, 101):
+        edges[i] = i - 1
+    # short chains to a shared terminal
+    for i in (200, 201, 202):
+        edges[i] = 300
+    # 2-cycle and a feeder into it
+    edges[400], edges[401] = 401, 400
+    edges[402] = 400
+    # 3-cycle
+    edges[500], edges[501], edges[502] = 501, 502, 500
+
+    def pure(src):
+        cur, hops = edges[src], 1
+        while cur in edges:
+            cur, hops = edges[cur], hops + 1
+            if hops > 200:
+                return (-1, -1, False)
+        return (cur, hops, True)
+
+    expected = {s: pure(s) for s in edges}
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"src": list(edges), "dst": [edges[s] for s in edges]}))
+    out = redirect_resolve(ds, max_rounds=6).to_pandas()
+    assert len(out) == len(edges)
+    got = {int(r.src): (int(r.final_id), int(r.hops), bool(r.resolved))
+           for r in out.itertuples()}
+    assert got == expected
