@@ -2164,6 +2164,41 @@ def _q_sitemap_extract(sf_dir: str):
     return ds.map_batches(mk_and_parse, batch_format="pandas")
 
 
+def _q_seed_discovery(sf_dir: str):
+    """Seed discovery from robots.txt ``Sitemap:`` directives: synthetic
+    robots bodies (UA groups, comments, duplicate and empty Sitemap
+    lines planted) -> the engine's global-directive extractor -> one row
+    per discovered sitemap URL in file order.  The oracle regenerates
+    the expected (doc_id, ord, sitemap_url) set arithmetically."""
+    from borges_ray.ops.relational import load
+    from borges_ray.stages.robots import robots_sitemaps
+
+    ds = load(sf_dir, "documents", columns=["doc_id"])
+
+    def discover(df: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[str, list] = {"doc_id": [], "ord": [], "sitemap_url": []}
+        for d in df["doc_id"].astype("int64"):
+            d = int(d)
+            lines = ["User-agent: *", "Disallow: /private",
+                     "Sitemap:"]  # empty value: must be skipped
+            for j in range(d % 3):
+                lines.append(f"Sitemap: https://host{d % 50}.example.com"
+                             f"/sm/{d}_{j}.xml  # discovered")
+            if d % 5 == 0 and d % 3 >= 1:  # duplicate line: must dedup
+                lines.append(f"Sitemap: https://host{d % 50}.example.com"
+                             f"/sm/{d}_0.xml")
+            for k, u in enumerate(robots_sitemaps("\n".join(lines))):
+                rows["doc_id"].append(d)
+                rows["ord"].append(k)
+                rows["sitemap_url"].append(u)
+        out = pd.DataFrame(rows)
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["ord"] = out["ord"].astype("int64")
+        return out
+
+    return ds.map_batches(discover, batch_format="pandas")
+
+
 def _q_url_features(sf_dir: str):
     """URL structure features for frontier prioritization / spam demotion
     (path depth, query-param count, digit-heavy hosts) over four
@@ -2200,6 +2235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "redirect_resolve": _q_redirect_resolve,
         "sitemap_extract": _q_sitemap_extract,
+        "seed_discovery": _q_seed_discovery,
         "url_features": _q_url_features,
         "bpe_tokens": _q_bpe_tokens,
         "oversized_payloads": _q_oversized_payloads,
@@ -2603,6 +2639,14 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS priority_x10
             FROM documents d,
                  UNNEST(generate_series(0, d.doc_id % 5)) AS t(j)
+        """,
+        "seed_discovery": r"""
+            SELECT d.doc_id,
+                   CAST(t.j AS BIGINT) AS ord,
+                   'https://host' || (d.doc_id % 50) || '.example.com/sm/'
+                     || d.doc_id || '_' || t.j || '.xml' AS sitemap_url
+            FROM documents d,
+                 UNNEST(generate_series(0, d.doc_id % 3 - 1)) AS t(j)
         """,
         "url_features": r"""
             WITH u AS (

@@ -104,3 +104,27 @@ def parse_robots(ds: rd.Dataset, user_agent: str, *,
         })
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def robots_sitemaps(text: str) -> list[str]:
+    """All ``Sitemap:`` directive values in a robots.txt body, in file
+    order, deduplicated.  Per the sitemaps protocol the directive is
+    GLOBAL — independent of User-agent groups — so this is a separate
+    extractor from the per-agent rule selection above.  The value is an
+    absolute URL taken verbatim (no canonicalization here; callers feed
+    it through ``canonical.canonicalize`` like any discovered URL).
+    Matching is case-insensitive on the key; comments are stripped the
+    same way as the group parser."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap":
+            val = val.strip()
+            if val and val not in seen:
+                seen.add(val)
+                out.append(val)
+    return out

@@ -785,3 +785,19 @@ def test_exact_substr_matches_pure_reference(seed, n_docs, vocab,
                              tok for tok, m in zip(toks, mask) if not m)})
     ref = pd.DataFrame(ref_rows).sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, ref)
+
+
+def test_robots_sitemaps_global_directive():
+    from borges_ray.stages.robots import robots_sitemaps
+
+    t = ("User-agent: *\nDisallow: /tmp\n"
+         "SITEMAP: https://a.com/sitemap.xml  # comment\n"
+         "Sitemap: https://a.com/s2.xml\n"
+         "Sitemap: https://a.com/sitemap.xml\n"   # duplicate
+         "sitemap:\n"                              # empty: skipped
+         "User-agent: other\nSitemap: https://a.com/s3.xml\n")
+    # global directive: collected across ALL groups, order kept, deduped
+    assert robots_sitemaps(t) == [
+        "https://a.com/sitemap.xml", "https://a.com/s2.xml",
+        "https://a.com/s3.xml"]
+    assert robots_sitemaps("User-agent: *\nDisallow:\n") == []
