@@ -330,7 +330,7 @@ def redirect_resolve(
 ) -> rd.Dataset:
     """Resolve HTTP redirect chains to their final destination by
     POINTER DOUBLING: ``max_rounds`` rounds of keys-only left-outer
-    self-joins resolve every chain of length <= 2**max_rounds in
+    self-joins resolve every chain of length <= 2**max_rounds - 1 in
     O(log chain) exchanges — never O(chain) sequential lookups and never
     a driver-side walk (the reference follows redirects one hop at a
     time inside each request, Borges/settings.py REDIRECT_ENABLED; a
@@ -342,7 +342,7 @@ def redirect_resolve(
     iff it never appears as a src.  Returns one row per src:
 
     - resolved chains: ``(src, final_id, hops, resolved=True)``
-    - redirect CYCLES (or chains longer than 2**max_rounds):
+    - redirect CYCLES (or chains longer than 2**max_rounds - 1):
       ``(src, final_id=-1, hops=-1, resolved=False)``
 
     Scale shape: the pointer table is 4 keys-only int64/bool columns —

@@ -323,6 +323,70 @@ def main_filter_chain() -> int:
     return 0 if bad == 0 else 1
 
 
+def main_redirects() -> int:
+    """Pointer-doubling redirect resolution at 4M edges: chains up to
+    255 hops (needing all 8 doubling rounds) plus planted cycles — the
+    regime where a sequential per-hop walk would need 255 exchanges and
+    a driver-side walk would hold the whole map in memory.
+
+    Ground truth is arithmetic: id i steps down to i-1 until a multiple
+    of 256 (terminal), so final(i) = i - i%256, hops(i) = i%256 — except
+    ids whose block contains the planted 2-cycle (i%100000 in {777,778}),
+    whose descent gets trapped.  The engine output is checked EXACTLY,
+    corpus-wide, by a distributed comparison pass (no driver pandas)."""
+    import ray.data as rd
+
+    from borges_ray.ops.graph import redirect_resolve
+
+    N = 4_000_000
+    T0 = time.time()
+
+    def mk_edges(df):
+        d = df["id"].to_numpy(np.int64)
+        m = d % 100000
+        is_src = (m == 777) | (m == 778) | (d % 256 != 0)
+        d = d[is_src]
+        dst = np.where(d % 100000 == 777, d + 1, d - 1)
+        return pd.DataFrame({"src": d, "dst": dst})
+
+    edges = rd.range(N).map_batches(
+        lambda df: pd.DataFrame({"id": df["id"]}), batch_format="pandas"
+    ).map_batches(mk_edges, batch_format="pandas")
+
+    out = redirect_resolve(edges, max_rounds=8)
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["src"].to_numpy(np.int64)
+        # trapped: descent passes the cycle pair (777/778 within the same
+        # 100000-block) before reaching a multiple of 256.  The pair sits
+        # at block+777/778; ids in (block+777, block+778+?]: any src whose
+        # path [i - i%256, i] contains 778 is trapped, plus 777 itself.
+        blk = (s // 100000) * 100000
+        c778 = blk + 778
+        lo = s - (s % 256)
+        trapped = ((s % 100000) == 777) | ((c778 >= lo) & (c778 <= s)
+                                           & ((s % 100000) != 777))
+        exp_final = np.where(trapped, -1, s - (s % 256))
+        exp_hops = np.where(trapped, -1, s % 256)
+        ok = ((df["final_id"].to_numpy(np.int64) == exp_final)
+              & (df["hops"].to_numpy(np.int64) == exp_hops)
+              & (df["resolved"].to_numpy(bool) == ~trapped))
+        return pd.DataFrame({"rows": [len(df)], "bad": [int((~ok).sum())],
+                             "unresolved": [int(trapped.sum())]})
+
+    agg = out.map_batches(check, batch_format="pandas").to_pandas().sum()
+    dt = time.time() - T0
+    print(f"REDIRECT 4M edges: {dt:.1f}s ({N / dt:.0f} edges/s); "
+          f"rows={agg['rows']} bad={agg['bad']} "
+          f"unresolved={agg['unresolved']}", flush=True)
+    # every source row must come back exactly once (cycle ids are never
+    # multiples of 256 — 777 is odd, 778 mod 32 != 0 — so sources are
+    # exactly the non-multiples)
+    n_src = N - N // 256
+    assert agg["rows"] == n_src, (agg["rows"], n_src)
+    return 0 if agg["bad"] == 0 else 1
+
+
 if __name__ == "__main__":
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=32, include_dashboard=False,
@@ -341,6 +405,8 @@ if __name__ == "__main__":
         rc = main_exact_substr("--planted" in sys.argv, fr)
     elif "--filter-chain" in sys.argv:
         rc = main_filter_chain()
+    elif "--redirects" in sys.argv:
+        rc = main_redirects()
     else:
         rc = main("--planted" in sys.argv)
     ray.shutdown()
