@@ -72,3 +72,44 @@ def test_url_features_batch():
     assert out["n_params"].tolist() == [2, 0, 0, 0, 1]
     assert out["host_digits"].tolist() == [1, 1, 1, 0, 0]
     assert out["url_len"].tolist() == [46, 33, 25, 28, 29]
+
+
+def test_url_features_batch_vs_urlsplit_reference():
+    """Seeded-random URLs: the vectorized regex kernels must agree with
+    a pure urllib.urlsplit-based reference on every feature."""
+    from urllib.parse import urlsplit
+
+    import numpy as np
+    import pandas as pd
+
+    from borges_ray.canonical import url_features_batch
+
+    rng = np.random.default_rng(11)
+    schemes = ["http", "https", "HTTP", "Https"]
+    hosts = ["a.example.com", "x9.y.example.net", "WWW.Site3.ORG",
+             "h0st-1.example.com", "plain"]
+    urls = []
+    for _ in range(400):
+        sch = schemes[rng.integers(len(schemes))]
+        host = hosts[rng.integers(len(hosts))]
+        port = ["", ":80", ":8080"][rng.integers(3)]
+        segs = ["seg%d" % rng.integers(100)
+                for _ in range(rng.integers(0, 5))]
+        path = "/" + "/".join(segs) if segs else ["", "/"][rng.integers(2)]
+        nq = int(rng.integers(0, 4))
+        q = "&".join(f"k{j}=v{rng.integers(10)}" for j in range(nq))
+        urls.append(sch + "://" + host + port + path + ("?" + q if q else ""))
+
+    out = url_features_batch(pd.Series(urls))
+    for i, u in enumerate(urls):
+        p = urlsplit(u)
+        segs = [s for s in p.path.split("/") if s]
+        host = p.hostname or ""
+        assert out["scheme"].iat[i] == p.scheme.lower(), u
+        assert out["host"].iat[i] == host, u
+        assert out["host_len"].iat[i] == len(host), u
+        assert out["host_digits"].iat[i] == sum(c.isdigit() for c in host), u
+        assert out["path_depth"].iat[i] == len(segs), u
+        nq = len(p.query.split("&")) if p.query else 0
+        assert out["n_params"].iat[i] == nq, u
+        assert out["url_len"].iat[i] == len(u), u

@@ -1524,6 +1524,12 @@ def test_redirect_resolve_pointer_doubling():
     edges[402] = 400
     # 3-cycle
     edges[500], edges[501], edges[502] = 501, 502, 500
+    # random functional DAG (seeded): 300 nodes each pointing to a
+    # strictly smaller random id — arbitrary in-degree fan-in, shared
+    # sub-chains, chain lengths ~O(log n) (well under 2^6 - 1)
+    rng = np.random.default_rng(7)
+    for i in range(10001, 10301):
+        edges[i] = int(rng.integers(10000, i))
 
     def pure(src):
         cur, hops = edges[src], 1
