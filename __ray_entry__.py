@@ -1278,6 +1278,34 @@ def _q_pagerank(sf_dir: str):
                     iters=2, damping=0.85, round_to=6)
 
 
+def _q_trustrank(sf_dir: str):
+    """TrustRank (Gyöngyi et al. 2004): PageRank with the teleport mass
+    restricted to a trusted whitelist (suppliers ≡ 0 mod 7), so rank
+    propagates outward from the trusted set and unreachable spam decays
+    to zero.  Same partitioned-edge machinery as ``pagerank``; the
+    whitelist is broadcast once via ray.put, never joined."""
+    from borges_ray.ops.graph import pagerank
+    from borges_ray.ops.relational import distinct, load
+
+    li = load(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": "s" + df["l_suppkey"].astype(str),
+            "dst": "p" + df["l_partkey"].astype(str)})
+
+    def to_trusted(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.loc[df["l_suppkey"] % 7 == 0, "l_suppkey"]
+        return pd.DataFrame({"node": "s" + keep.astype(str)})
+
+    trusted = distinct(
+        li.map_batches(to_trusted, batch_format="pandas"),
+        ["node"]).to_pandas()  # whitelist: curated-small by construction
+    return pagerank(li.map_batches(to_edges, batch_format="pandas"),
+                    iters=2, damping=0.85, round_to=6,
+                    trusted=set(trusted["node"]))
+
+
 def _q_hits(sf_dir: str):
     """Fixed-iteration HITS hubs/authorities over the same supplier→part
     link graph as ``pagerank`` (Kleinberg 1999; L1-normalized half-steps
@@ -2300,6 +2328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_attribution": _q_interval_attribution,
         "dsir_weights": _q_dsir_weights,
         "pagerank": _q_pagerank,
+        "trustrank": _q_trustrank,
         "hits": _q_hits,
         "crawl_budget": _q_crawl_budget,
         "minhash_incremental": _q_minhash_incremental,
@@ -3532,6 +3561,46 @@ def oracle_sql() -> dict[str, str]:
                           0.15 / (SELECT n FROM n)
                           + 0.85 * coalesce(c2.c, 0) AS rank
                    FROM nodes LEFT JOIN c2 USING (node))
+            SELECT node, round(rank, 6) AS rank FROM r2
+        """,
+        "trustrank": """
+            WITH e AS (
+              SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                     'p' || CAST(l_partkey AS VARCHAR) AS dst
+              FROM lineitem
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+            ),
+            t AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS node
+                  FROM lineitem WHERE l_suppkey % 7 = 0),
+            nt AS (SELECT count(*) AS nt FROM t),
+            deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+            r0 AS (SELECT nodes.node,
+                          CASE WHEN t.node IS NOT NULL
+                               THEN 1.0 / (SELECT nt FROM nt)
+                               ELSE 0.0 END AS rank
+                   FROM nodes LEFT JOIN t USING (node)),
+            c1 AS (SELECT e.dst AS node, sum(r0.rank / deg.deg) AS c
+                   FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src
+                   GROUP BY 1),
+            r1 AS (SELECT nodes.node,
+                          CASE WHEN t.node IS NOT NULL
+                               THEN 0.15 / (SELECT nt FROM nt)
+                               ELSE 0.0 END
+                          + 0.85 * coalesce(c1.c, 0) AS rank
+                   FROM nodes LEFT JOIN t USING (node)
+                              LEFT JOIN c1 USING (node)),
+            c2 AS (SELECT e.dst AS node, sum(r1.rank / deg.deg) AS c
+                   FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src
+                   GROUP BY 1),
+            r2 AS (SELECT nodes.node,
+                          CASE WHEN t.node IS NOT NULL
+                               THEN 0.15 / (SELECT nt FROM nt)
+                               ELSE 0.0 END
+                          + 0.85 * coalesce(c2.c, 0) AS rank
+                   FROM nodes LEFT JOIN t USING (node)
+                              LEFT JOIN c2 USING (node))
             SELECT node, round(rank, 6) AS rank FROM r2
         """,
         "dsir_weights": r"""

@@ -22,4 +22,8 @@ Modules:
 - :mod:`borges_ray.ops.pack`       — token-budget shard + sequence packing
 - :mod:`borges_ray.ops.index`      — hive-partitioned inverted token index,
   pruned conjunctive search, BM25
+- :mod:`borges_ray.ops.graph`      — partitioned-edge PageRank, HITS,
+  anchor-text aggregation, pointer-doubling redirect resolution
+- :mod:`borges_ray.ops.sched`      — crawl-budget apportionment and
+  recrawl planning
 """

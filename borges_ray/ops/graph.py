@@ -73,6 +73,7 @@ def pagerank(
     damping: float = 0.85,
     round_to: int = 6,
     n_buckets: int = 16,
+    trusted: "frozenset | set | None" = None,
 ) -> rd.Dataset:
     """Fixed-iteration PageRank over an edge Dataset.
 
@@ -80,7 +81,17 @@ def pagerank(
     twice — matches the SQL twin's plain joins).  Returns
     ``(node, rank float round-`round_to`)`` for every node appearing as
     a source or destination.
+
+    ``trusted``: TRUSTRANK mode (Gyöngyi et al. 2004) — the teleport
+    mass is restricted to this whitelist: seed and teleport are
+    ``1/|T|`` on trusted nodes and 0 elsewhere, so rank flows outward
+    from the trusted set and spam islands unreachable from it decay to
+    zero.  The whitelist is a SMALL curated set by construction — it is
+    broadcast once via ``ray.put`` and membership-tested per batch, not
+    joined.  ``None`` (default) is classic uniform-teleport PageRank.
     """
+    import ray
+
     from .relational import grouped_agg, spill_point
 
     # edges partitioned by source hash ONCE; never shuffled again
@@ -100,7 +111,12 @@ def pagerank(
         grouped_agg(srcs.union(dsts), ["node"], {"cnt": ("count", "node")})
         .select_columns(["node"]), "pr_nodes")
     n_nodes = int(nodes.count())  # scalar N — the only driver value
-    teleport = (1.0 - damping) / n_nodes
+    tref = ray.put(frozenset(trusted)) if trusted is not None else None
+    n_seed = len(trusted) if trusted is not None else n_nodes
+    seed_mass = 1.0 / n_seed
+    # division form (not reciprocal-multiply) to match the SQL twin's
+    # 0.15/|T| rounding exactly
+    teleport = (1.0 - damping) / n_seed
 
     def zero_rows(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": df["node"],
@@ -109,8 +125,11 @@ def pagerank(
     zeros = nodes.map_batches(zero_rows, batch_format="pandas")
 
     def seed(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": df["node"],
-                             "rank": np.full(len(df), 1.0 / n_nodes)})
+        if tref is None:
+            r = np.full(len(df), seed_mass)
+        else:
+            r = np.where(df["node"].isin(ray.get(tref)), seed_mass, 0.0)
+        return pd.DataFrame({"node": df["node"], "rank": r})
 
     ranks = nodes.map_batches(seed, batch_format="pandas")
 
@@ -152,9 +171,13 @@ def pagerank(
                              {"c": ("sum", "c")})
 
         def damp(df: pd.DataFrame, _t=teleport, _d=damping) -> pd.DataFrame:
+            if tref is None:
+                tele = _t
+            else:
+                tele = np.where(df["node"].isin(ray.get(tref)), _t, 0.0)
             return pd.DataFrame({
                 "node": df["node"],
-                "rank": _t + _d * df["c"].to_numpy(np.float64)})
+                "rank": tele + _d * df["c"].to_numpy(np.float64)})
 
         ranks = summed.map_batches(damp, batch_format="pandas")
 

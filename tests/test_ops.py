@@ -1548,3 +1548,36 @@ def test_redirect_resolve_pointer_doubling():
     got = {int(r.src): (int(r.final_id), int(r.hops), bool(r.resolved))
            for r in out.itertuples()}
     assert got == expected
+
+
+def test_trustrank_biased_teleport(ray_session):
+    """TrustRank vs a dense numpy reference: teleport restricted to the
+    trusted set; a spam island unreachable from it decays to exactly 0,
+    and a node reachable only FROM spam gets rank only via walk mass."""
+    from borges_ray.ops.graph import pagerank
+
+    E = [("t1", "a"), ("t2", "a"), ("a", "b"), ("b", "t1"),
+         ("spam1", "spam2"), ("spam2", "spam1"), ("spam1", "b")]
+    df = pd.DataFrame(E, columns=["src", "dst"])
+    trusted = {"t1", "t2"}
+
+    out = (pagerank(rd.from_pandas(df).repartition(2), iters=3,
+                    damping=0.85, round_to=6, n_buckets=4, trusted=trusted)
+           .to_pandas().set_index("node")["rank"])
+
+    nodes = sorted(set(df.src) | set(df.dst))
+    idx = {n: i for i, n in enumerate(nodes)}
+    deg = df.groupby("src").size()
+    r = np.array([1.0 / len(trusted) if n in trusted else 0.0
+                  for n in nodes])
+    for _ in range(3):
+        nxt = np.array([0.15 / len(trusted) if n in trusted else 0.0
+                        for n in nodes])
+        for s, d in E:
+            nxt[idx[d]] += 0.85 * r[idx[s]] / deg[s]
+        r = nxt
+    for n in nodes:
+        assert out[n] == pytest.approx(round(r[idx[n]], 6), abs=1e-6)
+    # the 2-cycle spam island never receives teleport or walk mass
+    assert out["spam1"] == 0.0 and out["spam2"] == 0.0
+    assert out["t1"] > out["b"] > 0
