@@ -233,3 +233,33 @@ def parse_sitemap(xml_text: str) -> list[dict]:
                 px10 = -1
         out.append({"loc": loc, "lastmod": lastmod, "priority_x10": px10})
     return out
+
+
+def parse_sitemap_index(xml_text: str) -> list[str]:
+    """Parse a sitemap INDEX document (``<sitemapindex><sitemap><loc>``,
+    sitemaps.org 0.9) into its child sitemap URLs, in document order.
+    Large hosts shard their sitemaps behind one index — seed discovery
+    follows robots.txt ``Sitemap:`` → (possibly) an index → leaf
+    sitemaps → ``parse_sitemap``.  Namespace-tolerant like
+    :func:`parse_sitemap`; malformed XML or a non-index document yields
+    [] (callers fall back to treating the URL as a leaf sitemap)."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError:
+        return []
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    if local(root.tag) != "sitemapindex":
+        return []
+    out: list[str] = []
+    for el in root.iter():
+        if local(el.tag) != "sitemap":
+            continue
+        for ch in el:
+            if local(ch.tag) == "loc" and ch.text and ch.text.strip():
+                out.append(ch.text.strip())
+    return out

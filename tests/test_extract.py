@@ -88,3 +88,20 @@ def test_parse_sitemap():
         "<url><loc>v</loc><priority>high</priority></url></urlset>") == [
         {"loc": "u", "lastmod": None, "priority_x10": 10},
         {"loc": "v", "lastmod": None, "priority_x10": -1}]
+
+
+def test_parse_sitemap_index():
+    from borges_ray.extract import parse_sitemap_index
+
+    xml = ('<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+           '<sitemap><loc>https://a.com/sm1.xml</loc>'
+           '<lastmod>2026-01-01</lastmod></sitemap>'
+           '<sitemap><loc> https://a.com/sm2.xml </loc></sitemap>'
+           '<sitemap></sitemap>'  # no loc: dropped
+           '</sitemapindex>')
+    assert parse_sitemap_index(xml) == [
+        "https://a.com/sm1.xml", "https://a.com/sm2.xml"]
+    # a LEAF sitemap is not an index: [] so callers fall back
+    assert parse_sitemap_index(
+        "<urlset><url><loc>u</loc></url></urlset>") == []
+    assert parse_sitemap_index("<bad") == []
