@@ -389,6 +389,12 @@ def redirect_resolve(
 
     ptr = spill_point(edges.map_batches(init, batch_format="pandas"),
                       "redirect0")
+    if not ptr.count():  # empty redirect map: nothing to resolve
+        return rd.from_pandas(pd.DataFrame({
+            "src": pd.Series(dtype="int64"),
+            "final_id": pd.Series(dtype="int64"),
+            "hops": pd.Series(dtype="int64"),
+            "resolved": pd.Series(dtype="bool")}))
 
     for rnd in range(max_rounds):
         # right side of the self-join: the same table keyed by src

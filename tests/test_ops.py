@@ -1522,8 +1522,9 @@ def test_redirect_resolve_pointer_doubling():
     # 2-cycle and a feeder into it
     edges[400], edges[401] = 401, 400
     edges[402] = 400
-    # 3-cycle
+    # 3-cycle, and a degenerate 1-cycle (self-loop)
     edges[500], edges[501], edges[502] = 501, 502, 500
+    edges[600] = 600
     # random functional DAG (seeded): 300 nodes each pointing to a
     # strictly smaller random id — arbitrary in-degree fan-in, shared
     # sub-chains, chain lengths ~O(log n) (well under 2^6 - 1)
@@ -1548,6 +1549,10 @@ def test_redirect_resolve_pointer_doubling():
     got = {int(r.src): (int(r.final_id), int(r.hops), bool(r.resolved))
            for r in out.itertuples()}
     assert got == expected
+    # empty redirect map: typed empty result, no crash
+    empty = rd.from_pandas(pd.DataFrame({"src": pd.Series(dtype="int64"),
+                                         "dst": pd.Series(dtype="int64")}))
+    assert len(redirect_resolve(empty, max_rounds=2).to_pandas()) == 0
 
 
 def test_trustrank_biased_teleport(ray_session):
