@@ -387,6 +387,49 @@ def main_redirects() -> int:
     return 0 if agg["bad"] == 0 else 1
 
 
+def main_pagerank() -> int:
+    """Partitioned-edge PageRank at 2M nodes / 2M edges with an EXACT
+    analytic check: on a directed ring (every node's out-degree and
+    in-degree are exactly 1) the uniform vector 1/N is a fixed point of
+    the damped iteration, so after any number of iterations every rank
+    must equal round(1/N, 9) exactly.  Any mass mis-routing in the
+    bucket exchange (dropped contributions, double counts, wrong
+    out-degrees) breaks uniformity immediately and is counted
+    distributed — the driver sees only (rows, bad)."""
+    import ray.data as rd
+
+    from borges_ray.ops.graph import pagerank
+
+    N = 2_000_000
+    T0 = time.time()
+
+    def mk_ring(df):
+        d = df["id"].to_numpy(np.int64)
+        return pd.DataFrame({"src": d, "dst": (d + 1) % N})
+
+    edges = rd.range(N).map_batches(mk_ring, batch_format="pandas")
+    out = pagerank(edges, iters=2, damping=0.85, round_to=9, n_buckets=32)
+
+    # every node's arithmetic is bitwise identical on the ring, so
+    # replicate the engine's float sequence exactly (1/N is a fixed
+    # point only up to ulp)
+    r = 1.0 / N
+    for _ in range(2):
+        r = (1.0 - 0.85) / N + 0.85 * r
+    expect = round(r, 9)
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        bad = int((df["rank"].to_numpy(np.float64) != expect).sum())
+        return pd.DataFrame({"rows": [len(df)], "bad": [bad]})
+
+    agg = out.map_batches(check, batch_format="pandas").to_pandas().sum()
+    dt = time.time() - T0
+    print(f"PAGERANK ring 2M nodes: {dt:.1f}s ({N / dt:.0f} nodes/s); "
+          f"rows={agg['rows']} bad={agg['bad']}", flush=True)
+    assert agg["rows"] == N, agg
+    return 0 if agg["bad"] == 0 else 1
+
+
 if __name__ == "__main__":
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=32, include_dashboard=False,
@@ -407,6 +450,8 @@ if __name__ == "__main__":
         rc = main_filter_chain()
     elif "--redirects" in sys.argv:
         rc = main_redirects()
+    elif "--pagerank" in sys.argv:
+        rc = main_pagerank()
     else:
         rc = main("--planted" in sys.argv)
     ray.shutdown()
