@@ -205,8 +205,12 @@ def _init_ray(num_cpus: int) -> None:
     import ray
 
     if not ray.is_initialized():
+        # log_to_driver=False: raylet/worker WARNINGs stream to the driver's
+        # stdout otherwise (observed: "(raylet) WARNING: 36 PYTHON worker
+        # processes...") and corrupt the one-JSON-line stdout contract
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
+                 ignore_reinit_error=True, logging_level="ERROR",
+                 log_to_driver=False)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
