@@ -1428,7 +1428,8 @@ def _q_hist_quantiles(sf_dir: str):
 def _q_robots_parse(sf_dir: str):
     """T5 raw robots.txt parsing, golden-reconstruction oracle: both sides
     derive a robots.txt BODY from doc_id (UA groups incl. a specific-agent
-    override of ``*``, multiple/empty Disallow lines, inline comments,
+    override of ``*``, multiple/empty Disallow lines, Allow carve-outs
+    with RFC 9309 longest-match precedence, inline comments,
     case-insensitive directives, fractional Crawl-delay); the engine must
     parse the actual text to match the oracle's arithmetic rebuild."""
     from borges_ray.ops.relational import load
@@ -1443,14 +1444,17 @@ def _q_robots_parse(sf_dir: str):
             [v == 0, v == 1, v == 2],
             [
                 "User-agent: *\nDisallow: /private" + (d % 7).astype(str)
-                + "/\nCrawl-delay: " + (1 + d % 5).astype(str) + "\n",
-                "User-agent: *\nDisallow: /all/\nUser-agent: borges\nDisallow: /only"
+                + "/\nAllow: /private" + (d % 7).astype(str) + "/pub/"
+                + "\nCrawl-delay: " + (1 + d % 5).astype(str) + "\n",
+                "User-agent: *\nDisallow: /all/\nAllow: /all/except/"
+                + "\nUser-agent: borges\nDisallow: /only"
                 + (d % 3).astype(str) + "/\nCrawl-delay: " + (2 + d % 3).astype(str) + ".0\n",
                 "User-agent: *\nDisallow: /a" + (d % 5).astype(str)
                 + "/\nDisallow: /b" + (d % 11).astype(str) + "/\nDisallow:\n",
             ],
             default="# note\nUSER-AGENT: *\ndisallow: /x" + (d % 9).astype(str)
-            + "/ # inline\ncrawl-DELAY: " + (d % 6).astype(str) + "\n",
+            + "/ # inline\nALLOW: /x" + (d % 9).astype(str)
+            + "/ok/\ncrawl-DELAY: " + (d % 6).astype(str) + "\n",
         ), index=df.index)
         return pd.DataFrame({"host": d, "robots_txt": txt})
 
@@ -1460,6 +1464,7 @@ def _q_robots_parse(sf_dir: str):
         return pd.DataFrame({
             "doc_id": df["host"],
             "disallow": ["|".join(p) for p in df["disallow_prefixes"]],
+            "allow": ["|".join(p) for p in df["allow_prefixes"]],
             "crawl_delay_ms": df["crawl_delay_ms"],
         })
 
@@ -3695,6 +3700,12 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 2 THEN '/a' || (doc_id % 5) || '/|/b' || (doc_id % 11) || '/'
                 ELSE '/x' || (doc_id % 9) || '/'
               END AS disallow,
+              CASE doc_id % 4
+                WHEN 0 THEN '/private' || (doc_id % 7) || '/pub/'
+                WHEN 1 THEN ''
+                WHEN 2 THEN ''
+                ELSE '/x' || (doc_id % 9) || '/ok/'
+              END AS allow,
               CAST(CASE doc_id % 4
                 WHEN 0 THEN (1 + doc_id % 5) * 1000
                 WHEN 1 THEN (2 + doc_id % 3) * 1000

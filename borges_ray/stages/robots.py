@@ -14,9 +14,12 @@ Supported subset (documented, deterministic):
   follows; a UA line after rules starts a new group.
 - Group selection: a group naming OUR agent exactly (case-insensitive)
   beats ``*``; no matching group → allow all.
-- ``Disallow``: empty value = allow-all (ignored); non-empty values are
-  path prefixes (no wildcard expansion — a prefix match is what the gate
-  implements, ``stages/links.py``).
+- ``Disallow`` / ``Allow``: empty value = ignored; non-empty values are
+  path prefixes (no wildcard expansion).  Per-path precedence is RFC
+  9309 §2.2.2 longest-match-wins with Allow winning length ties
+  (:func:`robots_allowed`); the crawl gate (``stages/links.py``)
+  consumes the disallow side with an empty allow list, where the rule
+  reduces to plain prefix blocking.
 - ``Crawl-delay``: seconds (int or float) → ms; absent → ``default_delay_ms``.
 - Comments (``#`` to end of line), unknown directives, and blank lines are
   ignored (blank lines do NOT end a group — grouping is UA-line driven).
@@ -33,22 +36,28 @@ DEFAULT_DELAY_MS = 1000
 
 
 def parse_robots_text(text: str, user_agent: str,
-                      default_delay_ms: int = DEFAULT_DELAY_MS) -> tuple[list[str], int]:
-    """One robots.txt body → (sorted disallow prefixes, crawl_delay_ms)
-    for ``user_agent``."""
+                      default_delay_ms: int = DEFAULT_DELAY_MS,
+                      ) -> tuple[list[str], list[str], int]:
+    """One robots.txt body → (sorted disallow prefixes, sorted allow
+    prefixes, crawl_delay_ms) for ``user_agent``.  ``Allow`` (RFC 9309
+    §2.2.2) carves exceptions out of disallowed subtrees; precedence is
+    decided per-path by :func:`robots_allowed` (longest match wins,
+    allow wins length ties).  An empty Allow value is ignored like an
+    empty Disallow."""
     ua = user_agent.lower()
-    # groups: list of (set of agents, disallows, delay_ms or None)
-    groups: list[tuple[list[str], list[str], int | None]] = []
+    # groups: list of (agents, disallows, allows, delay_ms or None)
+    groups: list[tuple[list[str], list[str], list[str], int | None]] = []
     agents: list[str] = []
     rules: list[str] = []
+    allows: list[str] = []
     delay: int | None = None
     in_rules = False
 
     def flush():
-        nonlocal agents, rules, delay, in_rules
+        nonlocal agents, rules, allows, delay, in_rules
         if agents:
-            groups.append((agents, rules, delay))
-        agents, rules, delay, in_rules = [], [], None, False
+            groups.append((agents, rules, allows, delay))
+        agents, rules, allows, delay, in_rules = [], [], [], None, False
 
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -65,6 +74,10 @@ def parse_robots_text(text: str, user_agent: str,
             in_rules = True
             if val:
                 rules.append(val)
+        elif key == "allow":
+            in_rules = True
+            if val:
+                allows.append(val)
         elif key == "crawl-delay":
             in_rules = True
             try:
@@ -73,18 +86,34 @@ def parse_robots_text(text: str, user_agent: str,
                 pass
     flush()
 
-    chosen: tuple[list[str], int | None] | None = None
-    star: tuple[list[str], int | None] | None = None
-    for agents_, rules_, delay_ in groups:
+    chosen = star = None
+    for agents_, rules_, allows_, delay_ in groups:
         if ua in agents_ and chosen is None:
-            chosen = (rules_, delay_)
+            chosen = (rules_, allows_, delay_)
         if "*" in agents_ and star is None:
-            star = (rules_, delay_)
+            star = (rules_, allows_, delay_)
     pick = chosen if chosen is not None else star
     if pick is None:
-        return [], default_delay_ms
-    dis, dly = pick
-    return sorted(set(dis)), dly if dly is not None else default_delay_ms
+        return [], [], default_delay_ms
+    dis, alw, dly = pick
+    return (sorted(set(dis)), sorted(set(alw)),
+            dly if dly is not None else default_delay_ms)
+
+
+def robots_allowed(path: str, disallows: "list[str] | tuple",
+                   allows: "list[str] | tuple" = ()) -> bool:
+    """RFC 9309 §2.2.2 rule precedence for one path: among all matching
+    rules (prefix match), the LONGEST one wins; on a length tie the
+    Allow rule wins (least-restrictive, per the RFC's recommendation);
+    no matching rule → allowed.  With ``allows`` empty this reduces to
+    the plain any-disallow-prefix gate the crawl loop uses."""
+    best_dis = max((len(p) for p in disallows if path.startswith(p)),
+                   default=-1)
+    if best_dis < 0:
+        return True
+    best_alw = max((len(p) for p in allows if path.startswith(p)),
+                   default=-1)
+    return best_alw >= best_dis
 
 
 def parse_robots(ds: rd.Dataset, user_agent: str, *,
@@ -92,7 +121,7 @@ def parse_robots(ds: rd.Dataset, user_agent: str, *,
                  default_delay_ms: int = DEFAULT_DELAY_MS) -> rd.Dataset:
     """(host, robots_txt) rows → the structured policy table the crawl
     gate consumes: (host, disallow_prefixes: list<string>,
-    crawl_delay_ms: int64)."""
+    allow_prefixes: list<string>, crawl_delay_ms: int64)."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         parsed = [parse_robots_text(t or "", user_agent, default_delay_ms)
@@ -100,7 +129,8 @@ def parse_robots(ds: rd.Dataset, user_agent: str, *,
         return pd.DataFrame({
             host_col: df[host_col].to_numpy(),
             "disallow_prefixes": [p[0] for p in parsed],
-            "crawl_delay_ms": pd.Series([p[1] for p in parsed], dtype="int64"),
+            "allow_prefixes": [p[1] for p in parsed],
+            "crawl_delay_ms": pd.Series([p[2] for p in parsed], dtype="int64"),
         })
 
     return ds.map_batches(fn, batch_format="pandas")

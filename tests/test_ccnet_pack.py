@@ -568,14 +568,37 @@ def test_parse_robots_text():
            "User-agent: *\nDisallow: /star/\nCrawl-delay: 9\n"
            "User-agent: borges\nDisallow: /mine/\nDisallow: /mine2/\n"
            "Crawl-delay: 1.5\n")
-    assert parse_robots_text(txt, "Borges") == (["/mine/", "/mine2/"], 1500)
-    assert parse_robots_text(txt, "b") == (["/shared/"], 1000)       # no delay in group
-    assert parse_robots_text(txt, "zzz") == (["/star/"], 9000)       # falls to *
-    assert parse_robots_text("", "borges") == ([], 1000)             # empty → allow
+    assert parse_robots_text(txt, "Borges") == (["/mine/", "/mine2/"], [], 1500)
+    assert parse_robots_text(txt, "b") == (["/shared/"], [], 1000)   # no delay in group
+    assert parse_robots_text(txt, "zzz") == (["/star/"], [], 9000)   # falls to *
+    assert parse_robots_text("", "borges") == ([], [], 1000)         # empty → allow
     # comments, case, empty Disallow, junk lines
     messy = ("# top\nUSER-AGENT: *  # trailing\nDISALLOW:\n"
              "disallow: /p/ # inline\nnoise line\ncrawl-delay: oops\n")
-    assert parse_robots_text(messy, "x") == (["/p/"], 1000)
+    assert parse_robots_text(messy, "x") == (["/p/"], [], 1000)
+    # Allow carve-outs: collected per group, empty values ignored
+    carve = ("User-agent: *\nDisallow: /docs/\nAllow: /docs/public/\n"
+             "ALLOW:\nAllow: /a/\n")
+    assert parse_robots_text(carve, "x") == (
+        ["/docs/"], ["/a/", "/docs/public/"], 1000)
+
+
+def test_robots_allowed_longest_match():
+    """RFC 9309 §2.2.2 precedence: longest matching rule wins; allow
+    wins length ties; no match → allowed."""
+    from borges_ray.stages.robots import robots_allowed
+
+    dis, alw = ["/docs/"], ["/docs/public/"]
+    assert not robots_allowed("/docs/secret", dis, alw)
+    assert robots_allowed("/docs/public/x", dis, alw)
+    assert robots_allowed("/free", dis, alw)
+    # length tie -> allow wins
+    assert robots_allowed("/p/x", ["/p/"], ["/p/"])
+    # longer disallow beats shorter allow
+    assert not robots_allowed("/a/b/c", ["/a/b/"], ["/a/"])
+    # empty allow list reduces to plain prefix blocking (the crawl gate)
+    assert not robots_allowed("/docs/x", ["/docs/"], [])
+    assert robots_allowed("/x", [], [])
 
 
 def test_warc_roundtrip_adversarial_payload(ray_session, tmp_path):
