@@ -2232,6 +2232,25 @@ def _q_seed_discovery(sf_dir: str):
     return ds.map_batches(discover, batch_format="pandas")
 
 
+def _q_profile_table(sf_dir: str):
+    """Per-column data-validation profile of the documents table
+    (row/null/exact-distinct counts, stringified min/max) — the
+    admission check a corpus passes before joining a training mix.
+    Nulls are planted (every doc_id%11==3 lang nulled) so the null and
+    distinct paths discriminate."""
+    from borges_ray.ops.relational import load, profile_columns
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def plant_nulls(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out.loc[out["doc_id"] % 11 == 3, "lang"] = None
+        return out
+
+    return profile_columns(ds.map_batches(plant_nulls, batch_format="pandas"),
+                           ["doc_id", "lang", "source"])
+
+
 def _q_url_features(sf_dir: str):
     """URL structure features for frontier prioritization / spam demotion
     (path depth, query-param count, digit-heavy hosts) over four
@@ -2269,6 +2288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirect_resolve": _q_redirect_resolve,
         "sitemap_extract": _q_sitemap_extract,
         "seed_discovery": _q_seed_discovery,
+        "profile_table": _q_profile_table,
         "url_features": _q_url_features,
         "bpe_tokens": _q_bpe_tokens,
         "oversized_payloads": _q_oversized_payloads,
@@ -2673,6 +2693,28 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS priority_x10
             FROM documents d,
                  UNNEST(generate_series(0, d.doc_id % 5)) AS t(j)
+        """,
+        "profile_table": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 3 THEN NULL ELSE lang END AS lang,
+                     source
+              FROM documents
+            ), u AS (
+              SELECT 'doc_id' AS "column",
+                     CAST(doc_id AS VARCHAR) AS v FROM base
+              UNION ALL
+              SELECT 'lang', lang FROM base
+              UNION ALL
+              SELECT 'source', source FROM base
+            )
+            SELECT "column",
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) - count(v) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+                   min(v) AS min_str,
+                   max(v) AS max_str
+            FROM u GROUP BY 1
         """,
         "seed_discovery": r"""
             SELECT d.doc_id,

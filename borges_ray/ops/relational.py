@@ -1215,3 +1215,70 @@ def top_frac_per_group(ds: rd.Dataset, keys: list[str], score_col: str,
         return df[rn < quota].reset_index(drop=True)
 
     return groupby_buckets(ds, keys, prune)
+
+
+def profile_columns(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """Per-column table profile — the standard pre-training data
+    validation pass (row count, null count, exact distinct count,
+    min/max) run before a corpus is admitted to a training mix.
+
+    Scale shape: ONE streamed pass computes per-batch partials for
+    n / n_null / min / max (reduced through a tiny keys-only
+    ``grouped_agg`` — at most one row per column per block moves), plus
+    one keys-only distinct-count exchange PER COLUMN for the exact ndv
+    (documented alternative: :func:`borges_ray.ops.sketch.hll_count_by`
+    for a single-pass estimate when C exchanges are too many).  min/max
+    compare on the stringified value so heterogeneous columns profile
+    uniformly and a SQL twin can CAST the same way.  Returns one row per
+    column: (column, n, n_null, n_distinct, min_str, max_str).
+    """
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            s = df[c]
+            nn = int(s.isna().sum())
+            sv = s.dropna().astype(str)
+            rows.append({
+                "column": c,
+                "n": len(s),
+                "n_null": nn,
+                "min_str": sv.min() if len(sv) else None,
+                "max_str": sv.max() if len(sv) else None,
+            })
+        return pd.DataFrame(rows)
+
+    base = grouped_agg(
+        ds.map_batches(partials, batch_format="pandas"), ["column"],
+        {"n": ("sum", "n"), "n_null": ("sum", "n_null"),
+         "min_str": ("min", "min_str"), "max_str": ("max", "max_str")})
+
+    # exact ndv: one keys-only distinct per column, reduced to a count
+    nd_parts = []
+    for c in cols:
+        def keys(df: pd.DataFrame, _c=c) -> pd.DataFrame:
+            return pd.DataFrame({"v": df[_c].dropna().astype(str)})
+
+        d = grouped_agg(ds.map_batches(keys, batch_format="pandas"),
+                        ["v"], {"one": ("count", "v")})
+        nd_parts.append(d.map_batches(
+            lambda df, _c=c: pd.DataFrame({"column": [_c] * (1 if len(df) else 0),
+                                           "nd": [len(df)] if len(df) else []}),
+            batch_format="pandas"))
+    nd = grouped_agg(union_all(nd_parts), ["column"],
+                     {"n_distinct": ("sum", "nd")})
+
+    out = hash_join(base, nd, on=["column"], join_type="left_outer")
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "column": df["column"],
+            "n": df["n"].astype("int64"),
+            "n_null": df["n_null"].astype("int64"),
+            "n_distinct": pd.to_numeric(df["n_distinct"], errors="coerce")
+                            .fillna(0).astype("int64"),
+            "min_str": df["min_str"],
+            "max_str": df["max_str"],
+        })
+
+    return out.map_batches(fin, batch_format="pandas")

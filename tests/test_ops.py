@@ -1586,3 +1586,25 @@ def test_trustrank_biased_teleport(ray_session):
     # the 2-cycle spam island never receives teleport or walk mass
     assert out["spam1"] == 0.0 and out["spam2"] == 0.0
     assert out["t1"] > out["b"] > 0
+
+
+def test_profile_columns(ray_session):
+    """profile_columns vs pandas: exact n/null/ndv and stringified
+    min/max, including an all-null column and duplicate values."""
+    from borges_ray.ops.relational import profile_columns
+
+    df = pd.DataFrame({
+        "a": [3, 1, 1, 2, None],
+        "b": ["x", None, "x", "zz", None],
+        "c": [None] * 5,
+    })
+    out = (profile_columns(rd.from_pandas(df).repartition(3),
+                           ["a", "b", "c"])
+           .to_pandas().set_index("column"))
+    assert out.loc["a", "n"] == 5 and out.loc["a", "n_null"] == 1
+    assert out.loc["a", "n_distinct"] == 3
+    assert out.loc["a", "min_str"] == "1.0" and out.loc["a", "max_str"] == "3.0"
+    assert out.loc["b", "n_null"] == 2 and out.loc["b", "n_distinct"] == 2
+    assert out.loc["b", "min_str"] == "x" and out.loc["b", "max_str"] == "zz"
+    assert out.loc["c", "n_null"] == 5 and out.loc["c", "n_distinct"] == 0
+    assert pd.isna(out.loc["c", "min_str"])
