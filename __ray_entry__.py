@@ -2251,6 +2251,16 @@ def _q_profile_table(sf_dir: str):
                            ["doc_id", "lang", "source"])
 
 
+def _q_rollup_census(sf_dir: str):
+    """GROUP BY ROLLUP(source, lang) census over documents in ONE
+    streamed combiner pass (every level emitted per batch, one keys-only
+    merge) — the reporting-rollup shape without one groupby per level."""
+    from borges_ray.ops.relational import load, rollup_counts
+
+    ds = load(sf_dir, "documents", columns=["source", "lang"])
+    return rollup_counts(ds, ["source", "lang"])
+
+
 def _q_url_features(sf_dir: str):
     """URL structure features for frontier prioritization / spam demotion
     (path depth, query-param count, digit-heavy hosts) over four
@@ -2289,6 +2299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_extract": _q_sitemap_extract,
         "seed_discovery": _q_seed_discovery,
         "profile_table": _q_profile_table,
+        "rollup_census": _q_rollup_census,
         "url_features": _q_url_features,
         "bpe_tokens": _q_bpe_tokens,
         "oversized_payloads": _q_oversized_payloads,
@@ -2693,6 +2704,13 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS priority_x10
             FROM documents d,
                  UNNEST(generate_series(0, d.doc_id % 5)) AS t(j)
+        """,
+        "rollup_census": r"""
+            SELECT coalesce(source, '__all__') AS source,
+                   coalesce(lang, '__all__') AS lang,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents
+            GROUP BY ROLLUP(source, lang)
         """,
         "profile_table": r"""
             WITH base AS (

@@ -1282,3 +1282,36 @@ def profile_columns(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
         })
 
     return out.map_batches(fin, batch_format="pandas")
+
+
+def rollup_counts(ds: rd.Dataset, keys: list[str],
+                  total_label: str = "__all__") -> rd.Dataset:
+    """SQL ``GROUP BY ROLLUP(keys...)`` as one streamed pass: every
+    aggregation level — (k1..kn), (k1..kn-1), …, grand total — is
+    emitted by the same per-batch combiner (aggregated-out key columns
+    take ``total_label``), then ONE keys-only exchange merges partials.
+    The exchange is bounded by the sum of distinct group counts across
+    levels, never row count — the reporting-rollup shape (per-source ×
+    per-lang × total censuses) without one groupby per level.
+
+    Keys must not contain ``total_label`` as a real value (the label
+    marks aggregated-out positions, mirroring SQL's NULL-with-COALESCE
+    convention).  Returns (keys..., n).
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for lvl in range(len(keys), -1, -1):
+            kept = keys[:lvl]
+            if kept:
+                g = (df.groupby(kept, sort=False, dropna=False)
+                     .size().reset_index(name="n"))
+            else:
+                g = pd.DataFrame({"n": [len(df)]})
+            for c in keys[lvl:]:
+                g[c] = total_label
+            outs.append(g[keys + ["n"]])
+        return pd.concat(outs, ignore_index=True)
+
+    return grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                       keys, {"n": ("sum", "n")})

@@ -1608,3 +1608,23 @@ def test_profile_columns(ray_session):
     assert out.loc["b", "min_str"] == "x" and out.loc["b", "max_str"] == "zz"
     assert out.loc["c", "n_null"] == 5 and out.loc["c", "n_distinct"] == 0
     assert pd.isna(out.loc["c", "min_str"])
+
+
+def test_rollup_counts(ray_session):
+    """rollup_counts vs pandas at every level, including a grand total
+    and a key whose groups split across blocks."""
+    from borges_ray.ops.relational import rollup_counts
+
+    df = pd.DataFrame({
+        "s": ["a", "a", "a", "b", "b", "c"],
+        "l": ["en", "en", "fr", "en", "fr", "fr"],
+    })
+    out = rollup_counts(rd.from_pandas(df).repartition(3), ["s", "l"]) \
+        .to_pandas()
+    got = {(r.s, r.l): int(r.n) for r in out.itertuples()}
+    assert got[("a", "en")] == 2 and got[("a", "fr")] == 1
+    assert got[("a", "__all__")] == 3 and got[("b", "__all__")] == 2
+    assert got[("c", "fr")] == 1 and got[("c", "__all__")] == 1
+    assert got[("__all__", "__all__")] == 6
+    # level counts: 5 leaf groups + 3 per-s + 1 total
+    assert len(got) == 9
