@@ -2251,6 +2251,29 @@ def _q_profile_table(sf_dir: str):
                            ["doc_id", "lang", "source"])
 
 
+def _q_dedup_keep_best(sf_dir: str):
+    """Exact dedup keeping the BEST copy per content group (highest
+    n_chars, ties to min doc_id — the FineWeb keep-the-best-quality-
+    duplicate convention).  Duplicate variants are planted with altered
+    scores so the argmax path discriminates from min-id dedup; the
+    exchange moves (hash, packed score+id) keys only."""
+    from borges_ray.ops.dedup import exact_dedup_keep_best
+    from borges_ray.ops.relational import load, union_all
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[df["doc_id"] % 6 == 1].copy()  # same text, higher score
+        v["doc_id"] = v["doc_id"] + 1000000
+        v["n_chars"] = v["n_chars"] + 100
+        w = df[df["doc_id"] % 12 == 1].copy()  # same text, same score
+        w["doc_id"] = w["doc_id"] + 2000000    # ...loses the id tiebreak
+        return pd.concat([v, w], ignore_index=True)
+
+    aug = union_all([ds, ds.map_batches(variants, batch_format="pandas")])
+    return exact_dedup_keep_best(aug, "text", "doc_id", "n_chars")
+
+
 def _q_rollup_census(sf_dir: str):
     """GROUP BY ROLLUP(source, lang) census over documents in ONE
     streamed combiner pass (every level emitted per batch, one keys-only
@@ -2300,6 +2323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seed_discovery": _q_seed_discovery,
         "profile_table": _q_profile_table,
         "rollup_census": _q_rollup_census,
+        "dedup_keep_best": _q_dedup_keep_best,
         "url_features": _q_url_features,
         "bpe_tokens": _q_bpe_tokens,
         "oversized_payloads": _q_oversized_payloads,
@@ -2704,6 +2728,27 @@ def oracle_sql() -> dict[str, str]:
                         END AS BIGINT) AS priority_x10
             FROM documents d,
                  UNNEST(generate_series(0, d.doc_id % 5)) AS t(j)
+        """,
+        "dedup_keep_best": r"""
+            WITH aug AS (
+              SELECT doc_id, text, n_chars FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text, n_chars + 100
+              FROM documents WHERE doc_id % 6 = 1
+              UNION ALL
+              SELECT doc_id + 2000000, text, n_chars
+              FROM documents WHERE doc_id % 12 = 1
+            ), ranked AS (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY text
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                     count(*) OVER (PARTITION BY text) AS n_dups
+              FROM aug
+            )
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(n_dups AS BIGINT) AS n_dups
+            FROM ranked WHERE rn = 1
         """,
         "rollup_census": r"""
             SELECT coalesce(source, '__all__') AS source,

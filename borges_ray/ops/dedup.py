@@ -148,6 +148,54 @@ def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
     return groupby_buckets(hashed, ["__h"], winner)
 
 
+def exact_dedup_keep_best(ds: rd.Dataset, text_col: str, id_col: str,
+                          score_col: str) -> rd.Dataset:
+    """Exact dedup where the WINNER per content group is the
+    highest-``score_col`` row (ties break to min id) — the FineWeb/CCNet
+    convention of keeping the best-quality copy of duplicated content
+    rather than an arbitrary one.
+
+    Same 100 TB shape as :func:`exact_dedup`: the exchange moves
+    ``(content-hash u64, score, id)`` keys only, never the payload; the
+    winner is an exact-integer lexicographic argmax so a SQL window twin
+    (ORDER BY score DESC, id ASC) reproduces it bit-for-bit.  Returns
+    ``(id_col, score_col, n_dups)``.
+    """
+    from .relational import grouped_agg
+    from .textops import fingerprint_batch
+
+    SHIFT = np.int64(1) << np.int64(40)  # id must fit in 40 bits
+
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy("int64")
+        sc = df[score_col].to_numpy("int64")
+        if (ids < 0).any() or (ids >= SHIFT).any():
+            raise ValueError(f"{id_col} must be in [0, 2^40) for the "
+                             "packed argmax encoding")
+        if (sc < 0).any() or (sc >= (np.int64(1) << np.int64(23))).any():
+            raise ValueError(f"{score_col} must be in [0, 2^23) so "
+                             "score*2^40 fits in int64")
+        # argmax(score, then MIN id): pack as score*2^40 + (2^40-1-id)
+        return pd.DataFrame({
+            "__h": fingerprint_batch(df[text_col]).astype(np.uint64),
+            "__r": sc * SHIFT + (SHIFT - np.int64(1) - ids),
+            "__s": sc,
+        })
+
+    agg = grouped_agg(ds.map_batches(keys, batch_format="pandas"), ["__h"],
+                      {"__r": ("max", "__r"), "n_dups": ("count", "__r")})
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["__r"].to_numpy("int64")
+        return pd.DataFrame({
+            id_col: (SHIFT - np.int64(1)) - (r % SHIFT),
+            score_col: r // SHIFT,
+            "n_dups": df["n_dups"].astype("int64"),
+        })
+
+    return agg.map_batches(fin, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -1628,3 +1628,28 @@ def test_rollup_counts(ray_session):
     assert got[("__all__", "__all__")] == 6
     # level counts: 5 leaf groups + 3 per-s + 1 total
     assert len(got) == 9
+
+
+def test_exact_dedup_keep_best(ray_session):
+    """Winner per content group = max score, ties to MIN id; score and
+    id round-trip exactly through the packed argmax; guards reject
+    out-of-range ids/scores."""
+    import pytest as _pytest
+
+    from borges_ray.ops.dedup import exact_dedup_keep_best
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 10, 11, 20],
+        "text":   ["aa", "aa", "aa", "bb", "bb", "cc"],
+        "score":  [5, 9, 9, 4, 4, 0],
+    })
+    out = (exact_dedup_keep_best(rd.from_pandas(df).repartition(3),
+                                 "text", "doc_id", "score")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # aa: max score 9, tie between ids 2 and 3 -> 2; bb: tie 10/11 -> 10
+    assert out[["doc_id", "score", "n_dups"]].values.tolist() == [
+        [2, 9, 3], [10, 4, 2], [20, 0, 1]]
+    bad = pd.DataFrame({"doc_id": [1], "text": ["x"], "score": [1 << 40]})
+    with _pytest.raises(Exception):
+        exact_dedup_keep_best(rd.from_pandas(bad), "text", "doc_id",
+                              "score").to_pandas()
