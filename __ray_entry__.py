@@ -2274,6 +2274,48 @@ def _q_dedup_keep_best(sf_dir: str):
     return exact_dedup_keep_best(aug, "text", "doc_id", "n_chars")
 
 
+def _q_spider_traps(sf_dir: str):
+    """Spider-trap detection: URL candidates grouped by (host, digit-
+    collapsed path template); a template holding a STRICT MAJORITY of
+    its host's URLs (2*n > host_total, exact integers) is flagged — the
+    calendar/session-id infinite-URL-space signature a crawl scheduler
+    must budget-cap.  One planted trap host emits 8 calendar URLs per
+    doc; two keys-only exchanges (template census, host totals) plus a
+    small hash join."""
+    from borges_ray.canonical import url_template_batch
+    from borges_ray.ops.relational import grouped_agg, hash_join, load
+
+    ds = load(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_urls(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64")
+        h = (d % 20).astype(str)
+        base = "https://host" + h + ".example.com"
+        urls = list(base + "/page/" + d.astype(str))
+        urls += list(base + "/about")
+        trap = d[d % 20 == 7]
+        for j in range(8):
+            urls += list("https://host7.example.com/cal/"
+                         + trap.astype(str) + "/"
+                         + ((trap * 3 + j) % 97).astype(str))
+        return url_template_batch(pd.Series(urls))
+
+    tpl = ds.map_batches(mk_urls, batch_format="pandas")
+    census = grouped_agg(tpl, ["host", "template"],
+                         {"n_urls": ("count", "template")})
+    totals = grouped_agg(tpl, ["host"], {"host_total": ("count", "host")})
+    joined = hash_join(census, totals, on=["host"])
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["n_urls"] = out["n_urls"].astype("int64")
+        out["host_total"] = out["host_total"].astype("int64")
+        out["trap"] = 2 * out["n_urls"] > out["host_total"]
+        return out
+
+    return joined.map_batches(flag, batch_format="pandas")
+
+
 def _q_rollup_census(sf_dir: str):
     """GROUP BY ROLLUP(source, lang) census over documents in ONE
     streamed combiner pass (every level emitted per batch, one keys-only
@@ -2323,6 +2365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seed_discovery": _q_seed_discovery,
         "profile_table": _q_profile_table,
         "rollup_census": _q_rollup_census,
+        "spider_traps": _q_spider_traps,
         "dedup_keep_best": _q_dedup_keep_best,
         "url_features": _q_url_features,
         "bpe_tokens": _q_bpe_tokens,
@@ -2749,6 +2792,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
                    CAST(n_dups AS BIGINT) AS n_dups
             FROM ranked WHERE rn = 1
+        """,
+        "spider_traps": r"""
+            WITH u AS (
+              SELECT 'host' || (doc_id % 20) || '.example.com' AS host,
+                     '/page/N' AS template
+              FROM documents
+              UNION ALL
+              SELECT 'host' || (doc_id % 20) || '.example.com', '/about'
+              FROM documents
+              UNION ALL
+              SELECT 'host7.example.com', '/cal/N/N'
+              FROM documents, UNNEST(generate_series(0, 7)) AS t(j)
+              WHERE doc_id % 20 = 7
+            ), census AS (
+              SELECT host, template,
+                     CAST(count(*) AS BIGINT) AS n_urls
+              FROM u GROUP BY 1, 2
+            ), totals AS (
+              SELECT host, CAST(count(*) AS BIGINT) AS host_total
+              FROM u GROUP BY 1
+            )
+            SELECT c.host, c.template, c.n_urls, t.host_total,
+                   (2 * c.n_urls > t.host_total) AS trap
+            FROM census c JOIN totals t USING (host)
         """,
         "rollup_census": r"""
             SELECT coalesce(source, '__all__') AS source,

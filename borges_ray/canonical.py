@@ -149,3 +149,26 @@ def url_features_batch(urls) -> "pd.DataFrame":  # noqa: F821
         "n_params": nparams,
         "url_len": s.str.len().astype("int64"),
     })
+
+
+def url_template_batch(urls) -> "pd.DataFrame":  # noqa: F821
+    """URL → (host, path template) with digit runs collapsed to ``N`` —
+    the classic spider-trap / infinite-URL-space detector input
+    (calendar pages, session ids, pagination: one template generating
+    unbounded distinct URLs).  Grouping crawl candidates by template and
+    counting exposes traps as templates whose URL count explodes
+    relative to the rest of the host; the crawl scheduler caps budget
+    per template instead of per URL.  Vectorized str kernels; query
+    strings are dropped (trap params are normalized away by
+    ``canonicalize``'s sort + this collapse)."""
+    import pandas as pd
+
+    s = pd.Series(urls).fillna("").astype(str)
+    rest = s.str.replace(r"^[A-Za-z][A-Za-z0-9+.-]*://", "", regex=True)
+    host = (rest.str.extract(r"^([^/?#]*)", expand=False).fillna("")
+            .str.replace(r":\d+$", "", regex=True).str.lower())
+    path = (rest.str.replace(r"^[^/?#]*", "", regex=True)
+            .str.extract(r"^([^?#]*)", expand=False).fillna(""))
+    tpl = path.str.replace(r"[0-9]+", "N", regex=True)
+    tpl = tpl.where(tpl != "", "/")
+    return pd.DataFrame({"host": host, "template": tpl})

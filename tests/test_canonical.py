@@ -113,3 +113,19 @@ def test_url_features_batch_vs_urlsplit_reference():
         nq = len(p.query.split("&")) if p.query else 0
         assert out["n_params"].iat[i] == nq, u
         assert out["url_len"].iat[i] == len(u), u
+
+
+def test_url_template_batch():
+    import pandas as pd
+
+    from borges_ray.canonical import url_template_batch
+
+    out = url_template_batch(pd.Series([
+        "https://a.com/cal/2026/08/19?x=1",
+        "http://b.com:8080/page/421",
+        "https://a.com",
+        "https://c.com/v2/item09x7/",
+    ]))
+    assert out["host"].tolist() == ["a.com", "b.com", "a.com", "c.com"]
+    assert out["template"].tolist() == [
+        "/cal/N/N/N", "/page/N", "/", "/vN/itemNxN/"]
