@@ -2274,6 +2274,36 @@ def _q_dedup_keep_best(sf_dir: str):
     return exact_dedup_keep_best(aug, "text", "doc_id", "n_chars")
 
 
+def _q_payload_kinds(sf_dir: str):
+    """Magic-byte content triage of fetched binary payloads: doc_id-
+    derived payloads cycle through PDF/gzip/zip/PNG/HTML-with-leading-
+    whitespace/other/empty shapes; the engine must sniff actual bytes to
+    match the oracle's arithmetic kind + a per-kind census."""
+    from borges_ray.extract import sniff_kind_batch
+    from borges_ray.ops.relational import grouped_agg, load
+
+    ds = load(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_and_sniff(df: pd.DataFrame) -> pd.DataFrame:
+        kinds = []
+        for d in df["doc_id"].astype("int64"):
+            v = int(d) % 7
+            payload = [b"%PDF-1.4 " + str(d).encode(),
+                       b"\x1f\x8b" + str(d).encode(),
+                       b"PK\x03\x04" + str(d).encode(),
+                       b"\x89PNG" + str(d).encode(),
+                       b"  \t\n<html>" + str(d).encode(),
+                       str(d).encode(),
+                       b""][v]
+            kinds.append(payload)
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                            "kind": sniff_kind_batch(kinds)})
+        return out
+
+    kinds = ds.map_batches(mk_and_sniff, batch_format="pandas")
+    return grouped_agg(kinds, ["kind"], {"n": ("count", "kind")})
+
+
 def _q_spider_traps(sf_dir: str):
     """Spider-trap detection: URL candidates grouped by (host, digit-
     collapsed path template); a template holding a STRICT MAJORITY of
@@ -2366,6 +2396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_table": _q_profile_table,
         "rollup_census": _q_rollup_census,
         "spider_traps": _q_spider_traps,
+        "payload_kinds": _q_payload_kinds,
         "dedup_keep_best": _q_dedup_keep_best,
         "url_features": _q_url_features,
         "bpe_tokens": _q_bpe_tokens,
@@ -2792,6 +2823,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
                    CAST(n_dups AS BIGINT) AS n_dups
             FROM ranked WHERE rn = 1
+        """,
+        "payload_kinds": r"""
+            SELECT CASE doc_id % 7
+                     WHEN 0 THEN 'pdf' WHEN 1 THEN 'gzip'
+                     WHEN 2 THEN 'zip' WHEN 3 THEN 'png'
+                     WHEN 4 THEN 'html' WHEN 5 THEN 'other'
+                     ELSE 'empty'
+                   END AS kind,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
         """,
         "spider_traps": r"""
             WITH u AS (

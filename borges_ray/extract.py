@@ -263,3 +263,38 @@ def parse_sitemap_index(xml_text: str) -> list[str]:
             if local(ch.tag) == "loc" and ch.text and ch.text.strip():
                 out.append(ch.text.strip())
     return out
+
+
+def sniff_kind_batch(payloads: "list[bytes] | np.ndarray") -> list[str]:
+    """Magic-byte content-kind sniffing for fetched binary payloads —
+    the triage step that routes a crawl's responses (Content-Type
+    headers lie; the reference trusts file EXTENSIONS at
+    ``IOP/scripts/upload_to_mongodb.py``, which lies too).  Deterministic
+    prefix rules, first match wins:
+
+    - ``pdf``   ``%PDF-``
+    - ``gzip``  ``1f 8b``
+    - ``zip``   ``PK\\x03\\x04``
+    - ``png``   ``\\x89PNG``
+    - ``html``  first non-whitespace byte is ``<``
+    - ``empty`` zero-length
+    - ``other`` anything else
+    """
+    out = []
+    for p in payloads:
+        b = bytes(p or b"")
+        if not b:
+            out.append("empty")
+        elif b.startswith(b"%PDF-"):
+            out.append("pdf")
+        elif b.startswith(b"\x1f\x8b"):
+            out.append("gzip")
+        elif b.startswith(b"PK\x03\x04"):
+            out.append("zip")
+        elif b.startswith(b"\x89PNG"):
+            out.append("png")
+        elif b.lstrip(b" \t\r\n").startswith(b"<"):
+            out.append("html")
+        else:
+            out.append("other")
+    return out

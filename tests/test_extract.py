@@ -105,3 +105,14 @@ def test_parse_sitemap_index():
     assert parse_sitemap_index(
         "<urlset><url><loc>u</loc></url></urlset>") == []
     assert parse_sitemap_index("<bad") == []
+
+
+def test_sniff_kind_batch():
+    from borges_ray.extract import sniff_kind_batch
+
+    assert sniff_kind_batch([
+        b"%PDF-1.4", b"\x1f\x8b\x08", b"PK\x03\x04", b"\x89PNG\r\n",
+        b"  \t\r\n<!DOCTYPE html>", b"<svg>", b"%PD", b"PK\x05\x06",
+        b"", None,
+    ]) == ["pdf", "gzip", "zip", "png", "html", "html", "other",
+           "other", "empty", "empty"]
