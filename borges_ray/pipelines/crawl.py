@@ -376,8 +376,12 @@ def run_crawl(
 
     delays = delays_from_robots(robots_df, cfg.default_delay_ms)
     delays_ref = ray.put(delays)
+    _alw = (robots_df["allow_prefixes"]
+            if "allow_prefixes" in robots_df.columns
+            else [()] * len(robots_df))
     robots_ref = ray.put(
-        {h: tuple(p) for h, p in zip(robots_df["host"], robots_df["disallow_prefixes"])}
+        {h: (tuple(p), tuple(a)) for h, p, a in
+         zip(robots_df["host"], robots_df["disallow_prefixes"], _alw)}
     )
 
     timing = bool(os.environ.get("BORGES_CRAWL_TIMING"))

@@ -78,14 +78,16 @@ def gate_candidates(cands: rd.Dataset, seen_shards: list,
             out = df.copy()
             out["blocked"] = pd.Series(dtype=bool)
             return out
-        robots = ray.get(robots_ref)  # host -> tuple(disallow prefixes)
+        from ..stages.robots import robots_allowed
+
+        robots = ray.get(robots_ref)  # host -> (disallows, allows)
         new_mask = seen_check_and_add(seen_shards, df["url"].tolist(), rnd)
         out = df[new_mask].copy()
         blocked = []
         for u, h in zip(out["url"], out["host"]):
-            prefixes = robots.get(h, ())
+            dis, alw = robots.get(h, ((), ()))
             path = u.split(h, 1)[1] if h in u else "/"
-            blocked.append(any(path.startswith(p) for p in prefixes))
+            blocked.append(not robots_allowed(path, dis, alw))
         out["blocked"] = blocked
         return out
 

@@ -232,6 +232,11 @@ def synth_robots(seed: int, n_pages: int, allow_all: bool = False) -> pa.Table:
     return pa.table({
         "host": pa.array(plan.hosts, pa.string()),
         "disallow_prefixes": pa.array(dis, pa.list_(pa.string())),
+        # RFC 9309 Allow carve-outs: none in the standard web (the gate
+        # reduces to plain prefix blocking); conformance tests inject
+        # carve-outs by overriding this column
+        "allow_prefixes": pa.array([[] for _ in plan.hosts],
+                                   pa.list_(pa.string())),
         "crawl_delay_ms": pa.array(delay, pa.int64()),
         "user_agent": pa.array([USER_AGENT] * len(plan.hosts), pa.string()),
     })

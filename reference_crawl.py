@@ -75,11 +75,20 @@ class CrawlResult:
 
 
 def _robots_blocked(url: str, host: str, robots: dict[str, dict]) -> bool:
+    """RFC 9309 longest-match: the longest matching rule wins; an Allow
+    rule wins length ties; no matching rule -> not blocked.  Policies
+    without an allow_prefixes key behave as before (disallow-only)."""
     pol = robots.get(host)
     if pol is None:
         return False
     path = url.split(host, 1)[1] if host in url else "/"
-    return any(path.startswith(p) for p in pol["disallow_prefixes"])
+    dis = pol["disallow_prefixes"]
+    alw = pol.get("allow_prefixes") or ()
+    best_dis = max((len(p) for p in dis if path.startswith(p)), default=-1)
+    if best_dis < 0:
+        return False
+    best_alw = max((len(p) for p in alw if path.startswith(p)), default=-1)
+    return best_alw < best_dis
 
 
 def _delay_ms(host: str, robots: dict[str, dict], cfg: CrawlConfig) -> int:

@@ -326,3 +326,57 @@ def test_render_resource_timeout_partial(web, ray_session):
     m = wide.merge(tight, on="url", suffixes=("_w", "_t"))
     assert (m["status_w"] == m["status_t"]).all()
     assert m["html_w"].equals(m["html_t"])
+
+
+def test_robots_allow_carveout_conformance(web, ray_session, tmp_path):
+    """RFC 9309 Allow carve-outs are LOAD-BEARING in the engine loop:
+    one /private/ URL per disallowing host is carved back in via an
+    Allow rule; engine and oracle must agree exactly on which URLs are
+    fetched vs blocked (status 999), and the carved-in URL must flip
+    from blocked to fetched relative to the plain run."""
+    import pyarrow as pa
+
+    pages, seeds, robots, pages_root, _ = web
+
+    # carve /private/176 (a real page on host-0.example) back in
+    tbl = robots.to_pydict()
+    carved = "http://host-0.example/private/176"
+    allow = [["/private/176"] if h == "host-0.example" else []
+             for h in tbl["host"]]
+    tbl["allow_prefixes"] = pa.array(allow, pa.list_(pa.string()))
+    robots2 = pa.table(tbl)
+
+    seed_list = list(zip(seeds["url"].to_pylist(),
+                         seeds["priority"].to_pylist()))
+    pages_map = dict(zip(pages["url"].to_pylist(),
+                         pages["html"].to_pylist()))
+    robots_map = {
+        r["host"]: {"disallow_prefixes": r["disallow_prefixes"],
+                    "allow_prefixes": r["allow_prefixes"],
+                    "crawl_delay_ms": r["crawl_delay_ms"]}
+        for r in robots2.to_pylist()
+    }
+    oracle = crawl(pages_map, seed_list, robots_map,
+                   CrawlConfig(max_rounds=6, num_partitions=8))
+
+    cfg = EngineConfig(max_rounds=6, num_partitions=8, num_buckets=4,
+                       num_seen_shards=2)
+    ckpt = os.path.join(str(tmp_path), "ckpt_allow")
+    run_crawl(pages_root, seeds, robots2.to_pandas(), cfg, ckpt,
+              resume=False)
+    eng = collect_crawled(ckpt).to_pandas()
+
+    odf = pd.DataFrame(oracle.crawled)
+    assert set(eng["url"]) == set(odf["url"])
+    m = (eng[["url", "status"]]
+         .merge(odf[["url", "status"]], on="url", suffixes=("_e", "_o")))
+    assert (m["status_e"] == m["status_o"]).all()
+    # the carved-in URL is fetched (200); every OTHER discovered
+    # /private/ URL on the carve-out host stays blocked (999)
+    st = eng.set_index("url")["status"]
+    assert st[carved] == 200
+    # ...and the carve-out does not leak: every other discovered
+    # /private/ URL (this host or any other disallowing host) stays 999
+    sibs = [u for u in st.index if "/private/" in u and u != carved]
+    assert sibs, "no other /private/ URLs discovered"
+    assert all(st[u] == 999 for u in sibs)
