@@ -29,6 +29,8 @@ Pure per-row parsing — no shuffle; runs as a vectorized-batch map stage.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 import ray.data as rd
 
@@ -100,18 +102,43 @@ def parse_robots_text(text: str, user_agent: str,
             dly if dly is not None else default_delay_ms)
 
 
+_RULE_RE_CACHE: dict[str, "re.Pattern"] = {}
+
+
+def _rule_matches(path: str, pattern: str) -> bool:
+    """One robots rule against one path.  Plain patterns are prefix
+    matches; ``*`` matches any char run and a trailing ``$`` anchors the
+    end (RFC 9309 §2.2.3 special characters, the widely-deployed
+    wildcard extension).  Compiled regexes are cached per pattern —
+    robots tables are small and hot."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        return path.startswith(pattern)
+    rx = _RULE_RE_CACHE.get(pattern)
+    if rx is None:
+        pat = pattern
+        anchor_end = pat.endswith("$")
+        if anchor_end:
+            pat = pat[:-1]
+        body = ".*".join(re.escape(part) for part in pat.split("*"))
+        rx = _RULE_RE_CACHE[pattern] = re.compile(
+            "^" + body + ("$" if anchor_end else ""))
+    return rx.match(path) is not None
+
+
 def robots_allowed(path: str, disallows: "list[str] | tuple",
                    allows: "list[str] | tuple" = ()) -> bool:
     """RFC 9309 §2.2.2 rule precedence for one path: among all matching
-    rules (prefix match), the LONGEST one wins; on a length tie the
-    Allow rule wins (least-restrictive, per the RFC's recommendation);
-    no matching rule → allowed.  With ``allows`` empty this reduces to
-    the plain any-disallow-prefix gate the crawl loop uses."""
-    best_dis = max((len(p) for p in disallows if path.startswith(p)),
+    rules, the LONGEST (most octets in the pattern) wins; on a length
+    tie the Allow rule wins (least-restrictive, per the RFC's
+    recommendation); no matching rule → allowed.  Rules may use the
+    §2.2.3 special characters (``*`` wildcard, ``$`` end anchor); plain
+    rules are prefix matches, so with ``allows`` empty and no wildcards
+    this reduces to the any-disallow-prefix gate the crawl loop uses."""
+    best_dis = max((len(p) for p in disallows if _rule_matches(path, p)),
                    default=-1)
     if best_dis < 0:
         return True
-    best_alw = max((len(p) for p in allows if path.startswith(p)),
+    best_alw = max((len(p) for p in allows if _rule_matches(path, p)),
                    default=-1)
     return best_alw >= best_dis
 

@@ -824,3 +824,20 @@ def test_robots_sitemaps_global_directive():
         "https://a.com/sitemap.xml", "https://a.com/s2.xml",
         "https://a.com/s3.xml"]
     assert robots_sitemaps("User-agent: *\nDisallow:\n") == []
+
+
+def test_robots_wildcard_rules():
+    """RFC 9309 §2.2.3 special characters: * wildcard and $ end anchor,
+    with longest-PATTERN precedence; plain prefixes unchanged."""
+    from borges_ray.stages.robots import robots_allowed
+
+    assert not robots_allowed("/filename.php", ["/*.php"], [])
+    assert not robots_allowed("/folder/any.php.file", ["/*.php"], [])
+    assert robots_allowed("/x.php5", ["/*.php$"], [])
+    assert not robots_allowed("/x.php", ["/*.php$"], [])
+    assert not robots_allowed("/fish/salmon", ["/fish*"], [])
+    # wildcard disallow + longer allow carve-out
+    assert robots_allowed("/a/keep.php", ["/*.php"], ["/a/keep.php$"])
+    # regex metacharacters in rules are literal (only * and $ special)
+    assert not robots_allowed("/q?x=1", ["/q?x"], [])
+    assert robots_allowed("/qax=1", ["/q?x"], [])
