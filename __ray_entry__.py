@@ -2274,6 +2274,35 @@ def _q_dedup_keep_best(sf_dir: str):
     return exact_dedup_keep_best(aug, "text", "doc_id", "n_chars")
 
 
+def _q_decode_fallback(sf_dir: str):
+    """Encoding-aware decode ladder (the reference's utf-8 / cp1252
+    split, ``upload_to_mongodb.py:80-94``): payloads cycle pure-ASCII /
+    valid-multibyte-UTF-8 / bare-cp1252-byte shapes; the engine must
+    actually attempt the decodes — the oracle rebuilds (encoding,
+    n_chars) arithmetically from the construction."""
+    from borges_ray.extract import decode_payload
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_and_decode(df: pd.DataFrame) -> pd.DataFrame:
+        encs, lens = [], []
+        for d in df["doc_id"].astype("int64"):
+            v = int(d) % 3
+            tag = str(d).encode()
+            payload = [b"doc " + tag,
+                       "café ".encode("utf-8") + tag,
+                       b"caf\xe9 " + tag][v]
+            text, enc = decode_payload(payload)
+            encs.append(enc)
+            lens.append(len(text))
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "encoding": encs,
+                             "n_chars": pd.Series(lens, dtype="int64")})
+
+    return ds.map_batches(mk_and_decode, batch_format="pandas")
+
+
 def _q_payload_kinds(sf_dir: str):
     """Magic-byte content triage of fetched binary payloads: doc_id-
     derived payloads cycle through PDF/gzip/zip/PNG/HTML-with-leading-
@@ -2397,6 +2426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_census": _q_rollup_census,
         "spider_traps": _q_spider_traps,
         "payload_kinds": _q_payload_kinds,
+        "decode_fallback": _q_decode_fallback,
         "dedup_keep_best": _q_dedup_keep_best,
         "url_features": _q_url_features,
         "bpe_tokens": _q_bpe_tokens,
@@ -2823,6 +2853,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
                    CAST(n_dups AS BIGINT) AS n_dups
             FROM ranked WHERE rn = 1
+        """,
+        "decode_fallback": r"""
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 2 THEN 'cp1252'
+                        ELSE 'utf-8' END AS encoding,
+                   CAST(CASE doc_id % 3
+                          WHEN 0 THEN 4 + length(CAST(doc_id AS VARCHAR))
+                          ELSE 5 + length(CAST(doc_id AS VARCHAR))
+                        END AS BIGINT) AS n_chars
+            FROM documents
         """,
         "payload_kinds": r"""
             SELECT CASE doc_id % 7

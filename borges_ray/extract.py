@@ -298,3 +298,20 @@ def sniff_kind_batch(payloads: "list[bytes] | np.ndarray") -> list[str]:
         else:
             out.append("other")
     return out
+
+
+def decode_payload(payload: bytes) -> tuple[str, str]:
+    """Encoding-aware payload decode with the reference's fallback
+    ladder (``IOP/scripts/upload_to_mongodb.py:80-94`` decodes XML as
+    utf-8 and HTML as windows-1252; real crawls cannot trust either, so
+    we try strict utf-8 first and FALL BACK to cp1252 — which maps every
+    byte, so the ladder is total and deterministic).  Returns
+    ``(text, encoding)`` where encoding ∈ {"utf-8", "cp1252", "empty"}.
+    """
+    b = bytes(payload or b"")
+    if not b:
+        return "", "empty"
+    try:
+        return b.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        return b.decode("cp1252", errors="replace"), "cp1252"

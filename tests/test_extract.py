@@ -116,3 +116,17 @@ def test_sniff_kind_batch():
         b"", None,
     ]) == ["pdf", "gzip", "zip", "png", "html", "html", "other",
            "other", "empty", "empty"]
+
+
+def test_decode_payload_ladder():
+    from borges_ray.extract import decode_payload
+
+    assert decode_payload(b"plain") == ("plain", "utf-8")
+    assert decode_payload("café".encode("utf-8")) == ("café", "utf-8")
+    # bare 0xE9 is invalid utf-8 -> cp1252 gives the same text
+    assert decode_payload(b"caf\xe9") == ("café", "cp1252")
+    assert decode_payload(b"") == ("", "empty")
+    assert decode_payload(None) == ("", "empty")
+    # cp1252-undefined byte replaces rather than raising (total ladder)
+    txt, enc = decode_payload(b"\x81x")
+    assert enc == "cp1252" and txt.endswith("x")
