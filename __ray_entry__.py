@@ -2375,6 +2375,40 @@ def _q_spider_traps(sf_dir: str):
     return joined.map_batches(flag, batch_format="pandas")
 
 
+def _q_template_budget(sf_dir: str):
+    """Per-template crawl-budget capping — ACTING on the spider-trap
+    signal: at most k=3 URLs survive per (host, digit-collapsed
+    template), keep-first by url order (deterministic).  Combiner-
+    bounded top-k per group: at most k rows per group leave each block,
+    so a trap template emitting millions of URLs costs k rows in the
+    exchange, not millions."""
+    from borges_ray.canonical import url_template_batch
+    from borges_ray.ops.relational import load, topk_per_group
+
+    ds = load(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_urls(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64")
+        h = (d % 20).astype(str)
+        base = "https://host" + h + ".example.com"
+        urls = list(base + "/page/" + d.astype(str))
+        trap = d[d % 20 == 7]
+        for j in range(8):
+            urls += list("https://host7.example.com/cal/"
+                         + trap.astype(str) + "/"
+                         + ((trap * 3 + j) % 97).astype(str))
+        out = url_template_batch(pd.Series(urls))
+        out["url"] = urls
+        out["__g"] = out["host"] + "\x1f" + out["template"]
+        return out
+
+    tpl = ds.map_batches(mk_urls, batch_format="pandas")
+    kept = topk_per_group(tpl, "__g", ["url"], 3, descending=False)
+    return kept.map_batches(
+        lambda df: df[["host", "template", "url"]].copy(),
+        batch_format="pandas")
+
+
 def _q_rollup_census(sf_dir: str):
     """GROUP BY ROLLUP(source, lang) census over documents in ONE
     streamed combiner pass (every level emitted per batch, one keys-only
@@ -2425,6 +2459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_table": _q_profile_table,
         "rollup_census": _q_rollup_census,
         "spider_traps": _q_spider_traps,
+        "template_budget": _q_template_budget,
         "payload_kinds": _q_payload_kinds,
         "decode_fallback": _q_decode_fallback,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2873,6 +2908,27 @@ def oracle_sql() -> dict[str, str]:
                    END AS kind,
                    CAST(count(*) AS BIGINT) AS n
             FROM documents GROUP BY 1
+        """,
+        "template_budget": r"""
+            WITH u AS (
+              SELECT 'host' || (doc_id % 20) || '.example.com' AS host,
+                     '/page/N' AS template,
+                     'https://host' || (doc_id % 20)
+                       || '.example.com/page/' || doc_id AS url
+              FROM documents
+              UNION ALL
+              SELECT 'host7.example.com', '/cal/N/N',
+                     'https://host7.example.com/cal/' || doc_id || '/'
+                       || ((doc_id * 3 + t.j) % 97)
+              FROM documents, UNNEST(generate_series(0, 7)) AS t(j)
+              WHERE doc_id % 20 = 7
+            ), ranked AS (
+              SELECT host, template, url,
+                     row_number() OVER (
+                       PARTITION BY host, template ORDER BY url) AS rn
+              FROM u
+            )
+            SELECT host, template, url FROM ranked WHERE rn <= 3
         """,
         "spider_traps": r"""
             WITH u AS (
