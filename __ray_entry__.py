@@ -2274,6 +2274,31 @@ def _q_dedup_keep_best(sf_dir: str):
     return exact_dedup_keep_best(aug, "text", "doc_id", "n_chars")
 
 
+def _q_site_chrome(sf_dir: str):
+    """Per-host boilerplate (site chrome) removal: a NAV line on 100% of
+    each host's docs must be dropped; a PROMO line on ~33% must survive
+    the 40% threshold (5*n_docs > 2*host_docs, exact ints); unique body
+    lines always survive.  Keys-only frequency exchanges + one bucketed
+    text reassembly."""
+    from borges_ray.ops.ccnet import site_chrome_clean
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mk_docs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].astype("int64")
+        h = "h" + (d % 10).astype(str)
+        nav = "NAV " + h + " | home | login"
+        body = "body " + d.astype(str) + " " + df["text"].fillna("")
+        promo = "PROMO " + h + " special"
+        txt = nav + "\n" + body
+        txt = txt.where(d % 3 != 0, txt + "\n" + promo)
+        return pd.DataFrame({"doc_id": d, "host": h, "text": txt})
+
+    docs = ds.map_batches(mk_docs, batch_format="pandas")
+    return site_chrome_clean(docs, num=2, den=5)
+
+
 def _q_decode_fallback(sf_dir: str):
     """Encoding-aware decode ladder (the reference's utf-8 / cp1252
     split, ``upload_to_mongodb.py:80-94``): payloads cycle pure-ASCII /
@@ -2462,6 +2487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "template_budget": _q_template_budget,
         "payload_kinds": _q_payload_kinds,
         "decode_fallback": _q_decode_fallback,
+        "site_chrome": _q_site_chrome,
         "dedup_keep_best": _q_dedup_keep_best,
         "url_features": _q_url_features,
         "bpe_tokens": _q_bpe_tokens,
@@ -2888,6 +2914,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
                    CAST(n_dups AS BIGINT) AS n_dups
             FROM ranked WHERE rn = 1
+        """,
+        "site_chrome": r"""
+            WITH base AS (
+              SELECT doc_id, 'h' || (doc_id % 10) AS host,
+                     coalesce(text, '') AS t
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, host, 0 AS lidx,
+                     'NAV ' || host || ' | home | login' AS line FROM base
+              UNION ALL
+              SELECT doc_id, host, 1, 'body ' || doc_id || ' ' || t
+              FROM base
+              UNION ALL
+              SELECT doc_id, host, 2, 'PROMO ' || host || ' special'
+              FROM base WHERE doc_id % 3 = 0
+            ), counts AS (
+              SELECT host, line, count(DISTINCT doc_id) AS nd
+              FROM lines GROUP BY 1, 2
+            ), tot AS (
+              SELECT host, count(DISTINCT doc_id) AS hd
+              FROM lines GROUP BY 1
+            ), chrome AS (
+              SELECT c.host, c.line
+              FROM counts c JOIN tot USING (host)
+              WHERE 5 * c.nd > 2 * hd
+            ), doc_tot AS (
+              SELECT doc_id, count(*) AS n_all FROM lines GROUP BY 1
+            ), kept AS (
+              SELECT l.* FROM lines l
+              WHERE NOT EXISTS (SELECT 1 FROM chrome ch
+                                WHERE ch.host = l.host
+                                  AND ch.line = l.line)
+            )
+            SELECT k.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(any_value(dt.n_all) - count(*) AS BIGINT)
+                     AS n_chrome,
+                   string_agg(k.line, chr(10) ORDER BY k.lidx) AS text
+            FROM kept k JOIN doc_tot dt USING (doc_id)
+            GROUP BY k.doc_id
         """,
         "decode_fallback": r"""
             SELECT doc_id,

@@ -460,3 +460,96 @@ def exact_substr_rewrite(ds: rd.Dataset, id_col: str = "doc_id",
                          id_col, id_col, splice, empty=empty_out,
                          tag="xsubstr", n_buckets=n_buckets,
                          require_both=False)
+
+
+def site_chrome_clean(ds: rd.Dataset, id_col: str = "doc_id",
+                      host_col: str = "host", text_col: str = "text",
+                      num: int = 3, den: int = 10,
+                      n_buckets: int = 32) -> rd.Dataset:
+    """Per-HOST boilerplate (site chrome) removal — the RefinedWeb /
+    trafilatura line-frequency rule: a line occurring on more than
+    ``num/den`` of a host's documents (strict: ``den·n_docs_with_line >
+    num·host_docs``, exact integers) is navigation/footer chrome and is
+    dropped from every document of that host.  Distinct from
+    :func:`paragraph_dedup` (global first-wins): chrome removal keeps NO
+    copy, is host-scoped, and is frequency-thresholded.
+
+    Scale shape: line occurrences explode per batch; per-(host, line-fp,
+    doc) distinct then per-(host, fp) doc counts are keys-only
+    exchanges; host doc totals likewise.  The chrome set joins back to
+    the line rows by (host, fp) — a hash join where the chrome side is
+    tiny (frequent lines only) — and surviving lines reassemble per
+    document through ONE bucketed text exchange on ``id_col``.
+    Returns (id_col, n_kept, n_chrome, text_col).
+    """
+    from .relational import grouped_agg, groupby_buckets, hash_join
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, hosts, lidx, lines = [], [], [], []
+        for i, h, t in zip(df[id_col].to_numpy(np.int64), df[host_col],
+                           df[text_col].fillna("")):
+            for j, ln in enumerate(t.split("\n")):
+                ids.append(i)
+                hosts.append(h)
+                lidx.append(j)
+                lines.append(ln)
+        out = pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                            host_col: hosts,
+                            "lidx": pd.Series(lidx, dtype="int64"),
+                            "line": lines})
+        out["__fp"] = fingerprint_batch(out["line"]).astype("int64")
+        return out
+
+    lines = ds.map_batches(explode, batch_format="pandas")
+
+    # distinct (host, fp, doc) -> count docs per (host, fp): keys-only
+    per_doc = grouped_agg(
+        lines.map_batches(
+            lambda df: df[[host_col, "__fp", id_col]].drop_duplicates(),
+            batch_format="pandas"),
+        [host_col, "__fp", id_col], {"one": ("count", "__fp")})
+    counts = grouped_agg(per_doc, [host_col, "__fp"],
+                         {"n_docs": ("count", "__fp")})
+    totals = grouped_agg(
+        ds.map_batches(lambda df: df[[host_col, id_col]].drop_duplicates(),
+                       batch_format="pandas"),
+        [host_col], {"host_docs": ("count", host_col)})
+    joined = hash_join(counts, totals, on=[host_col])
+    chrome = joined.map_batches(
+        lambda df: df.loc[den * df["n_docs"].astype("int64")
+                          > num * df["host_docs"].astype("int64"),
+                          [host_col, "__fp"]].assign(__chrome=True),
+        batch_format="pandas")
+
+    marked = hash_join(lines, chrome, on=[host_col, "__fp"],
+                       join_type="left_outer")
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        ch = df["__chrome"].astype("boolean").fillna(False).to_numpy(bool)
+        out = df.loc[~ch, [id_col, "lidx", "line"]].copy()
+        out["__dropped"] = 0
+        drops = df.loc[ch, [id_col]].copy()
+        drops["lidx"] = -1
+        drops["line"] = ""
+        drops["__dropped"] = 1
+        return pd.concat([out, drops], ignore_index=True)
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "n_kept": pd.Series(dtype="int64"),
+                                 "n_chrome": pd.Series(dtype="int64"),
+                                 text_col: pd.Series(dtype="object")})
+        df = df.sort_values([id_col, "lidx"], kind="mergesort")
+        g = df.groupby(id_col, sort=False)
+        out = pd.DataFrame({
+            "n_kept": g["__dropped"].apply(lambda s: int((s == 0).sum())),
+            "n_chrome": g["__dropped"].sum().astype("int64"),
+            text_col: df[df["__dropped"] == 0].groupby(id_col, sort=False)
+            ["line"].agg("\n".join),
+        }).reset_index()
+        out[text_col] = out[text_col].fillna("")
+        return out[[id_col, "n_kept", "n_chrome", text_col]]
+
+    return groupby_buckets(marked.map_batches(keep, batch_format="pandas"),
+                           [id_col], rebuild, n_buckets=n_buckets)

@@ -841,3 +841,38 @@ def test_robots_wildcard_rules():
     # regex metacharacters in rules are literal (only * and $ special)
     assert not robots_allowed("/q?x=1", ["/q?x"], [])
     assert robots_allowed("/qax=1", ["/q?x"], [])
+
+
+def test_site_chrome_clean(ray_session):
+    """Host-scoped frequency threshold: 100%-frequency NAV dropped,
+    50%-frequency promo dropped at >40%, 25% line kept, unique bodies
+    kept; a doc that is ALL chrome survives with empty text."""
+    import ray.data as rd
+
+    from borges_ray.ops.ccnet import site_chrome_clean
+
+    rows = []
+    for i in range(8):  # host A: nav on all, promo on half, body unique
+        t = "NAV A\nbody A" + str(i)
+        if i % 2 == 0:
+            t += "\npromo A"
+        rows.append({"doc_id": i, "host": "A", "text": t})
+    for i in range(8, 16):  # host B: same NAV TEXT but B-scoped; 25% line
+        t = "NAV A\nbody B" + str(i)
+        if i % 4 == 0:
+            t += "\nquarter B"
+        rows.append({"doc_id": i, "host": "B", "text": t})
+    rows.append({"doc_id": 99, "host": "A", "text": "NAV A"})  # all chrome
+
+    out = (site_chrome_clean(rd.from_pandas(pd.DataFrame(rows))
+                             .repartition(3), num=2, den=5)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert len(out) == 17
+    # host A: NAV (9/9) and promo (4/9 = 44% > 40%) dropped
+    assert out.loc[0, "text"] == "body A0" and out.loc[0, "n_chrome"] == 2
+    assert out.loc[1, "text"] == "body A1" and out.loc[1, "n_chrome"] == 1
+    # host B: NAV dropped (host-scoped count, 8/8), quarter (2/8) kept
+    assert out.loc[8, "text"] == "body B8\nquarter B"
+    assert out.loc[9, "text"] == "body B9"
+    # the all-chrome doc survives with empty text
+    assert out.loc[99, "text"] == "" and out.loc[99, "n_kept"] == 0
