@@ -1306,6 +1306,64 @@ def _q_trustrank(sf_dir: str):
                     trusted=set(trusted["node"]))
 
 
+def _q_crawl_depth(sf_dir: str):
+    """Minimum-hop BFS from seed suppliers over the supplier↔part
+    co-purchase graph (crawl-depth labeling: the batch audit of the
+    frontier's round structure — seed → hop 1 → hop 2, the per-page
+    depth prior every crawl scheduler keeps).  Nodes packed into one
+    int64 space (2p for parts, 2s+1 for suppliers); edges bucket-spilled
+    once, each hop exchanges only frontier node ids."""
+    from borges_ray.ops.graph import bfs_depths
+    from borges_ray.ops.relational import load
+
+    li = load(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        s = 2 * df["l_suppkey"].to_numpy("int64") + 1
+        p = 2 * df["l_partkey"].to_numpy("int64")
+        return pd.DataFrame({"src": np.concatenate([s, p]),
+                             "dst": np.concatenate([p, s])})
+
+    def to_seeds(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.loc[df["l_suppkey"] % 97 == 0, "l_suppkey"]
+        return pd.DataFrame(
+            {"node": 2 * keep.to_numpy("int64") + 1})
+
+    from borges_ray.ops.relational import distinct
+    seeds = distinct(li.map_batches(to_seeds, batch_format="pandas"),
+                     ["node"]).to_pandas()  # seed list: curated-small
+    return bfs_depths(li.map_batches(to_edges, batch_format="pandas"),
+                      seeds["node"].tolist(), max_hops=3)
+
+
+def _q_mirror_detect(sf_dir: str):
+    """Mirror-host detection over the documents corpus: hosts (doc_id mod
+    61) are compared by their sets of 4-token chunk fingerprints
+    (md5 lower-64, bit-identical to DuckDB md5_number_lower); host pairs
+    sharing ≥2 chunks rank by content Jaccard.  Stop-fingerprints (on
+    >64 hosts) drop per Bharat-Broder; all exchanges keys-only."""
+    from borges_ray.ops.dedup import _md5_u64
+    from borges_ray.ops.graph import mirror_hosts
+    from borges_ray.ops.relational import load
+
+    docs = load(sf_dir, "documents", columns=["doc_id", "text"])
+    W = 4
+
+    def featurize(df: pd.DataFrame) -> pd.DataFrame:
+        hosts, fps = [], []
+        for did, text in zip(df["doc_id"].to_numpy("int64"), df["text"]):
+            toks = text.split()
+            h = f"h{did % 61}"
+            for j in range(len(toks) // W):
+                fps.append(_md5_u64(" ".join(toks[j * W:(j + 1) * W])))
+                hosts.append(h)
+        return pd.DataFrame({"host": pd.Series(hosts, dtype="object"),
+                             "fp": np.array(fps, dtype="uint64")})
+
+    pages = docs.map_batches(featurize, batch_format="pandas")
+    return mirror_hosts(pages, max_fp_hosts=64, min_shared=2)
+
+
 def _q_hits(sf_dir: str):
     """Fixed-iteration HITS hubs/authorities over the same supplier→part
     link graph as ``pagerank`` (Kleinberg 1999; L1-normalized half-steps
@@ -2554,6 +2612,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "pagerank": _q_pagerank,
         "trustrank": _q_trustrank,
+        "crawl_depth": _q_crawl_depth,
+        "mirror_detect": _q_mirror_detect,
         "hits": _q_hits,
         "crawl_budget": _q_crawl_budget,
         "minhash_incremental": _q_minhash_incremental,
@@ -3982,6 +4042,55 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes LEFT JOIN t USING (node)
                               LEFT JOIN c2 USING (node))
             SELECT node, round(rank, 6) AS rank FROM r2
+        """,
+        "crawl_depth": """
+            WITH RECURSIVE e AS (
+              SELECT 2 * l_suppkey + 1 AS src, 2 * l_partkey AS dst
+              FROM lineitem
+              UNION ALL
+              SELECT 2 * l_partkey, 2 * l_suppkey + 1 FROM lineitem
+            ), seeds AS (
+              SELECT DISTINCT 2 * l_suppkey + 1 AS node FROM lineitem
+              WHERE l_suppkey % 97 = 0
+            ), walk(node, depth) AS (
+              SELECT node, 0 FROM seeds
+              UNION
+              SELECT e.dst, w.depth + 1
+              FROM walk w JOIN e ON e.src = w.node
+              WHERE w.depth < 3
+            )
+            SELECT node, CAST(min(depth) AS BIGINT) AS depth
+            FROM walk GROUP BY node
+        """,
+        "mirror_detect": r"""
+            WITH toks AS (
+              SELECT 'h' || CAST(doc_id % 61 AS VARCHAR) AS host,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), hf AS (
+              SELECT DISTINCT host,
+                     md5_number_lower(array_to_string(
+                       list_slice(t, j * 4 + 1, j * 4 + 4), ' ')) AS fp
+              FROM toks,
+                   LATERAL (SELECT unnest(range(len(t) // 4)) AS j) u
+            ), ok AS (
+              SELECT fp FROM hf GROUP BY fp
+              HAVING count(*) BETWEEN 2 AND 64
+            ), p AS (
+              SELECT a.host AS host_a, b.host AS host_b,
+                     count(*) AS shared
+              FROM hf a JOIN hf b USING (fp) JOIN ok USING (fp)
+              WHERE a.host < b.host
+              GROUP BY 1, 2
+              HAVING count(*) >= 2
+            ), sz AS (SELECT host, count(*) AS n FROM hf GROUP BY host)
+            SELECT host_a, host_b, CAST(shared AS BIGINT) AS shared,
+                   round(shared / CAST(sa.n + sb.n - shared AS DOUBLE),
+                         6) AS jaccard
+            FROM p
+            JOIN sz sa ON sa.host = p.host_a
+            JOIN sz sb ON sb.host = p.host_b
         """,
         "dsir_weights": r"""
             WITH toks AS (

@@ -442,3 +442,182 @@ def redirect_resolve(
         })
 
     return ptr.map_batches(finalize, batch_format="pandas")
+
+
+def bfs_depths(
+    edges: rd.Dataset,
+    seeds: list[int],
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 4,
+    n_buckets: int = 16,
+) -> rd.Dataset:
+    """Minimum-hop BFS labeling from a seed set over a directed link
+    graph — the batch replay of the crawl frontier's round structure
+    (the reference reaches article pages seed → issue list → article in
+    fixed hop counts, Borges/spiders/*/paper_scraper.py; labeling a
+    finished crawl's pages by seed distance is the standard audit of
+    that traversal and the classic crawl-depth prior for quality
+    weighting).
+
+    Level-synchronous BSP BFS: the EDGE list is hash-bucketed by source
+    ONCE and never moves again.  Per hop, only the FRONTIER (node ids,
+    keys-only) is bucket-exchanged by the same hash; one task per
+    bucket expands its local adjacency; candidates then pass one
+    keys-only anti-join against the visited table so every node keeps
+    the FIRST (minimum) depth it was reached at.  Driver state: the
+    per-hop frontier row count (a scalar) — node and edge tables stay
+    Datasets end-to-end.
+
+    Returns ``(node int64, depth int64)`` for every node within
+    ``max_hops`` of a seed, seeds at depth 0.  Unreachable nodes are
+    absent (the SQL twin mirrors this).  Early-exits when a hop adds no
+    new nodes.
+    """
+    from .relational import distinct, hash_semi_join, spill_point
+
+    visited = rd.from_pandas(pd.DataFrame({
+        "node": pd.Series(sorted(set(int(s) for s in seeds)), dtype="int64"),
+        "depth": np.int64(0)}))
+    frontier = visited.select_columns(["node"])
+
+    edir = _bucket_write(edges.select_columns([src_col, dst_col]),
+                         src_col, n_buckets, "bfs_e")
+    ebkts = _bucket_dirs(edir)
+
+    for hop in range(1, max_hops + 1):
+        fdir = _bucket_write(frontier, "node", n_buckets, f"bfs_f{hop}")
+        fbkts = _bucket_dirs(fdir)
+        work = sorted(set(ebkts) & set(fbkts))
+        if not work:
+            break
+        paths = rd.from_items(
+            [{"e": ebkts[b], "f": fbkts[b]} for b in work])
+
+        def expand(df: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for e_dir, f_dir in zip(df["e"], df["f"]):
+                e = pq.read_table(e_dir).to_pandas()
+                f = pq.read_table(f_dir).to_pandas()
+                if not len(e) or not len(f):
+                    continue
+                hit = e[e[src_col].isin(set(f["node"].tolist()))]
+                outs.append(pd.DataFrame(
+                    {"node": hit[dst_col].unique().astype("int64")}))
+            if not outs:
+                return pd.DataFrame({"node": pd.Series(dtype="int64")})
+            return pd.concat(outs, ignore_index=True)
+
+        cand = paths.repartition(max(1, len(work))).map_batches(
+            expand, batch_format="pandas")
+        new = hash_semi_join(distinct(cand, ["node"]), visited,
+                             on=["node"], anti=True)
+        new = spill_point(new.map_batches(
+            lambda df, _h=hop: pd.DataFrame(
+                {"node": df["node"].astype("int64"),
+                 "depth": np.full(len(df), _h, dtype="int64")}),
+            batch_format="pandas"), f"bfs_new{hop}")
+        if not new.count():
+            break
+        visited = spill_point(visited.union(new), f"bfs_v{hop}")
+        frontier = new.select_columns(["node"])
+
+    return visited
+
+
+def mirror_hosts(
+    pages: rd.Dataset,
+    *,
+    host_col: str = "host",
+    fp_col: str = "fp",
+    max_fp_hosts: int = 64,
+    min_shared: int = 2,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """Mirror-site detection: host pairs whose content-fingerprint SETS
+    overlap (Bharat & Broder 1999, "A comparison of techniques to find
+    mirrored hosts" — the standard crawl-side dedup of whole mirrored
+    sites BEFORE page-level near-dup runs, since a mirror farm inflates
+    every downstream frequency statistic).
+
+    Input: one row per (host, fingerprint) observation — the caller
+    fingerprints page content (e.g. token-window hashes).  Pipeline, all
+    keys-only exchanges (host string + u64 fp):
+
+    1. DISTINCT (host, fp) — per-host content set.
+    2. per-host set sizes via combiner-bounded ``grouped_agg``.
+    3. bucketed groupby on fp spawns host PAIRS per shared fingerprint —
+       one lexsort + run-length segments per bucket block (the MinHash
+       band-spawn shape).  Fingerprints on more than ``max_fp_hosts``
+       hosts are DROPPED, not capped: a chunk present on hundreds of
+       hosts is boilerplate (a stop-fingerprint), carries no mirror
+       signal, and would spawn O(hosts²) pairs — the Bharat-Broder
+       stop-list rule, applied identically in the SQL twin.
+    4. pair counts sum through one combiner-bounded shuffle; pairs
+       under ``min_shared`` drop.
+    5. two hash-joins attach set sizes; Jaccard = shared/(|A|+|B|-shared).
+
+    Returns ``(host_a, host_b, shared int64, jaccard float)`` with
+    host_a < host_b.  No driver state at any step — at web scale hosts
+    number 10^8+, so even the size table stays a Dataset.
+    """
+    from .relational import distinct, grouped_agg, groupby_buckets, hash_join
+
+    hf = distinct(pages, [host_col, fp_col])
+    sizes = grouped_agg(hf, [host_col], {"n": ("count", fp_col)})
+
+    def spawn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"host_a": pd.Series(dtype="object"),
+                              "host_b": pd.Series(dtype="object"),
+                              "shared": pd.Series(dtype="int64")})
+        if not len(df):
+            return empty
+        order = np.lexsort((df[host_col].to_numpy(),
+                            df[fp_col].to_numpy()))
+        fps = df[fp_col].to_numpy()[order]
+        hosts = df[host_col].to_numpy()[order]
+        cut = np.flatnonzero(fps[1:] != fps[:-1]) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(fps)]))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > max_fp_hosts:
+                continue  # singleton or stop-fingerprint
+            hs = hosts[s:e]  # already sorted, distinct by construction
+            ia, ib = np.triu_indices(m, k=1)
+            out_a.append(hs[ia])
+            out_b.append(hs[ib])
+        if not out_a:
+            return empty
+        pairs = pd.DataFrame({"host_a": np.concatenate(out_a),
+                              "host_b": np.concatenate(out_b)})
+        g = pairs.groupby(["host_a", "host_b"], sort=False).size()
+        return g.rename("shared").reset_index()
+
+    partial = groupby_buckets(hf, [fp_col], spawn)
+    counts = grouped_agg(partial, ["host_a", "host_b"],
+                         {"shared": ("sum", "shared")})
+    counts = counts.map_batches(
+        lambda df: df[df["shared"] >= min_shared],
+        batch_format="pandas")
+
+    sz_a = sizes.map_batches(
+        lambda df: pd.DataFrame({"host_a": df[host_col], "n_a": df["n"]}),
+        batch_format="pandas")
+    sz_b = sizes.map_batches(
+        lambda df: pd.DataFrame({"host_b": df[host_col], "n_b": df["n"]}),
+        batch_format="pandas")
+    j = hash_join(hash_join(counts, sz_a, on=["host_a"]),
+                  sz_b, on=["host_b"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        sh = df["shared"].to_numpy("int64")
+        un = (df["n_a"].to_numpy("int64") + df["n_b"].to_numpy("int64") - sh)
+        return pd.DataFrame({
+            "host_a": df["host_a"], "host_b": df["host_b"],
+            "shared": sh,
+            "jaccard": np.round(sh / un.astype("float64"), round_to)})
+
+    return j.map_batches(finish, batch_format="pandas")

@@ -1653,3 +1653,57 @@ def test_exact_dedup_keep_best(ray_session):
     with _pytest.raises(Exception):
         exact_dedup_keep_best(rd.from_pandas(bad), "text", "doc_id",
                               "score").to_pandas()
+
+
+def test_bfs_depths_min_hop(ray_session):
+    """bfs_depths vs a pure-python BFS over a graph with a cycle, a
+    diamond (two paths of different length to one node), an unreachable
+    island, and a max_hops cutoff."""
+    from borges_ray.ops.graph import bfs_depths
+
+    # 0->1->2->3->4 chain; 0->3 shortcut (diamond: 3 at depth 1 not 3);
+    # 4->0 closes a cycle; 9->10 unreachable island
+    e = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (4, 0), (9, 10)]
+    edges = rd.from_pandas(pd.DataFrame(
+        {"src": [a for a, _ in e], "dst": [b for _, b in e]})).repartition(3)
+    out = bfs_depths(edges, [0], max_hops=3).to_pandas()
+    got = dict(zip(out["node"], out["depth"]))
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}
+
+    # max_hops large enough: 4 reached at 2, nothing deeper exists
+    out2 = bfs_depths(edges, [0, 9], max_hops=10).to_pandas()
+    got2 = dict(zip(out2["node"], out2["depth"]))
+    assert got2 == {0: 0, 9: 0, 1: 1, 3: 1, 10: 1, 2: 2, 4: 2}
+
+    # seeds with no outgoing edges: just the seed row
+    out3 = bfs_depths(edges, [10], max_hops=2).to_pandas()
+    assert dict(zip(out3["node"], out3["depth"])) == {10: 0}
+
+
+def test_mirror_hosts_jaccard(ray_session):
+    """mirror_hosts vs hand-computed set Jaccard: stop-fingerprint
+    dropped, min_shared enforced, pair ordering host_a < host_b."""
+    from borges_ray.ops.graph import mirror_hosts
+
+    rows = []
+    # h1 = {1,2,3,4}; h2 = {2,3,4,5}; h3 = {1,9}; plus fp 7 on ALL hosts
+    for h, fps in [("h1", [1, 2, 3, 4, 7]), ("h2", [2, 3, 4, 5, 7]),
+                   ("h3", [1, 9, 7]), ("h4", [7]), ("h5", [7])]:
+        rows += [{"host": h, "fp": np.uint64(f)} for f in fps]
+    # duplicate observations must not inflate counts
+    rows.append({"host": "h1", "fp": np.uint64(2)})
+    pages = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+
+    out = mirror_hosts(pages, max_fp_hosts=4, min_shared=2).to_pandas()
+    # fp 7 is on 5 hosts > max_fp_hosts=4: dropped. h1∩h2 = {2,3,4},
+    # sizes (with fp 7 still counted in the per-host set size) 5 and 5.
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["host_a"], r["host_b"], r["shared"]) == ("h1", "h2", 3)
+    assert r["jaccard"] == round(3 / (5 + 5 - 3), 6)
+
+    # min_shared=1 also surfaces the single-shared pair h1-h3 ({1})
+    out2 = mirror_hosts(pages, max_fp_hosts=4, min_shared=1).to_pandas()
+    pairs = {(a, b): s for a, b, s in
+             zip(out2["host_a"], out2["host_b"], out2["shared"])}
+    assert pairs == {("h1", "h2"): 3, ("h1", "h3"): 1}
