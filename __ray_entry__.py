@@ -1804,6 +1804,34 @@ def _token_index_dir(sf_dir: str) -> str:
     return idx_dir
 
 
+_PHRASE = ["big", "order", "scan"]
+
+
+def _q_phrase_search(sf_dir: str):
+    """Exact-phrase retrieval over a POSITIONAL hive-partitioned index
+    (positional-intersection plan): postings (doc, term, pos) for the
+    phrase's terms only are read via partition pruning; each posting
+    votes for anchor pos-slot, anchors with all slots voting are
+    occurrences.  Oracle recomputes occurrences by direct list indexing
+    over the whitespace split."""
+    import hashlib
+    import tempfile
+
+    from borges_ray.ops import index as _index_mod
+    from borges_ray.ops.index import build_positional_index, phrase_search
+    from borges_ray.ops.relational import load
+
+    h = hashlib.blake2b(sf_dir.encode(), digest_size=6)
+    with open(_index_mod.__file__, "rb") as fp:
+        h.update(fp.read())
+    idx_dir = f"{tempfile.gettempdir()}/borges_posidx_{h.hexdigest()}"
+    if not os.path.isdir(idx_dir):
+        ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+        build_positional_index(ds, idx_dir)
+    out, _stats = phrase_search(idx_dir, _PHRASE)
+    return out
+
+
 def _q_bm25_search(sf_dir: str):
     """Okapi BM25 ranked retrieval over the pruned inverted index: every
     doc matching ≥1 query term scored with term-order-fixed IEEE-exact
@@ -2554,6 +2582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": _q_sequence_pack,
         "model_score": _q_model_score,
         "token_search": _q_token_search,
+        "phrase_search": _q_phrase_search,
         "bm25_search": _q_bm25_search,
         "cosine_neardup": _q_cosine_neardup,
         "cosine_neardup_lsh": _q_cosine_neardup_lsh,
@@ -4339,6 +4368,20 @@ def oracle_sql() -> dict[str, str]:
                         w -> list_contains(['the','a','an','and','or','of','to','in','on','for','with','at','by','from','as','is','are','was','were','be','been','it','this','that'], w))) AS DOUBLE)
                         / greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1), 6) AS stopword_frac
             FROM documents
+        """,
+        "phrase_search": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+            FROM toks,
+                 LATERAL (SELECT unnest(range(len(t) - 2)) AS i) u
+            WHERE t[i + 1] = 'big' AND t[i + 2] = 'order'
+              AND t[i + 3] = 'scan'
+            GROUP BY doc_id
         """,
         "bm25_search": r"""
             WITH toks AS (

@@ -61,6 +61,110 @@ def build_token_index(ds: rd.Dataset, index_dir: str, *,
         index_dir, partition_cols=["tp"])
 
 
+def build_positional_index(ds: rd.Dataset, index_dir: str, *,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           num_parts: int = 16) -> None:
+    """(id, text) → hive-partitioned POSITIONAL postings ``tp=<p>/`` of
+    (id, term, pos) rows — one row per token OCCURRENCE (0-based
+    whitespace position), not per distinct (doc, token).  Phrase and
+    proximity queries need positions; membership/BM25 use the lighter
+    :func:`build_token_index`.  Same physical layout, so a phrase query
+    still reads only its terms' partitions."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, terms, poss = [], [], []
+        for i, text in zip(df[id_col].to_numpy("int64"),
+                           df[text_col].fillna("")):
+            toks = text.split()
+            ids.append(np.full(len(toks), i, dtype=np.int64))
+            terms.extend(toks)
+            poss.append(np.arange(len(toks), dtype=np.int64))
+        if not terms:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "term": pd.Series(dtype="object"),
+                                 "pos": pd.Series(dtype="int64"),
+                                 "tp": pd.Series(dtype="int64")})
+        out = pd.DataFrame({id_col: np.concatenate(ids),
+                            "term": pd.Series(terms, dtype="object"),
+                            "pos": np.concatenate(poss)})
+        out["tp"] = [_token_part(t, num_parts) for t in out["term"]]
+        return out
+
+    ds.map_batches(explode, batch_format="pandas").write_parquet(
+        index_dir, partition_cols=["tp"])
+
+
+def phrase_search(index_dir: str, phrase: list[str], *,
+                  id_col: str = "doc_id",
+                  num_parts: int = 16) -> tuple[rd.Dataset, dict]:
+    """Exact-phrase query over the positional index: documents containing
+    ``phrase`` as CONSECUTIVE tokens, with per-doc occurrence counts.
+
+    Classic positional-intersection (the standard IR phrase plan): read
+    ONLY the phrase terms' ``tp=`` partitions with a term predicate; a
+    posting (doc, term, pos) votes for anchor ``base = pos - slot`` for
+    every slot the term occupies in the phrase (repeated phrase terms —
+    "buffalo buffalo" — mean several slots per posting, handled
+    vectorized); an anchor where all ``len(phrase)`` DISTINCT slots voted
+    is a match.  Distinct + count are keys-only (doc, base) exchanges of
+    the MATCHING postings only; the corpus is never touched.
+
+    Returns (Dataset of ``(id_col, n_matches)``, bytes-read stats)."""
+    from .relational import distinct, grouped_agg
+
+    k = len(phrase)
+    slots: dict[str, list[int]] = {}
+    for i, t in enumerate(phrase):
+        slots.setdefault(t, []).append(i)
+    want = sorted(slots)
+    parts = sorted({_token_part(t, num_parts) for t in want})
+    dirs = [os.path.join(index_dir, f"tp={p}") for p in parts
+            if os.path.isdir(os.path.join(index_dir, f"tp={p}"))]
+    stats = {"bytes_read": sum(_dir_bytes(d) for d in dirs),
+             "bytes_total": _dir_bytes(index_dir),
+             "partitions_read": len(dirs), "partitions_total": num_parts}
+    import pyarrow as pa
+
+    if not dirs:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n_matches": pa.array([], pa.int64())})
+        return rd.from_arrow(empty), stats
+    import pyarrow.compute as pc
+
+    files = sorted(os.path.join(d, f) for d in dirs for f in os.listdir(d)
+                   if f.endswith(".parquet"))
+    postings = rd.read_parquet(files, columns=[id_col, "term", "pos"],
+                               filter=pc.field("term").isin(want))
+
+    def vote(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for t, sl in slots.items():
+            sub = df[df["term"] == t]
+            if not len(sub):
+                continue
+            for i in sl:
+                outs.append(pd.DataFrame({
+                    id_col: sub[id_col].to_numpy("int64"),
+                    "base": sub["pos"].to_numpy("int64") - i,
+                    "slot": np.int64(i)}))
+        if not outs:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "base": pd.Series(dtype="int64"),
+                                 "slot": pd.Series(dtype="int64")})
+        out = pd.concat(outs, ignore_index=True)
+        return out[out["base"] >= 0]
+
+    votes = distinct(postings.map_batches(vote, batch_format="pandas"),
+                     [id_col, "base", "slot"])
+    anchors = grouped_agg(votes, [id_col, "base"],
+                          {"n_slots": ("count", "slot")})
+    full = anchors.map_batches(
+        lambda df: df.loc[df["n_slots"] == k, [id_col, "base"]],
+        batch_format="pandas")
+    hits = grouped_agg(full, [id_col], {"n_matches": ("count", "base")})
+    return hits, stats
+
+
 def _dir_bytes(path: str) -> int:
     return sum(os.path.getsize(os.path.join(dp, f))
                for dp, _dn, fs in os.walk(path) for f in fs)

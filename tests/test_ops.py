@@ -1707,3 +1707,35 @@ def test_mirror_hosts_jaccard(ray_session):
     pairs = {(a, b): s for a, b, s in
              zip(out2["host_a"], out2["host_b"], out2["shared"])}
     assert pairs == {("h1", "h2"): 3, ("h1", "h3"): 1}
+
+
+def test_phrase_search_positions(ray_session, tmp_path):
+    """phrase_search vs hand counts: overlapping matches, repeated-term
+    phrases (slot voting), absent phrase, and partition pruning stats."""
+    from borges_ray.ops.index import build_positional_index, phrase_search
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b a b a b",        # "a b a" at 0 and 2 (overlap)
+                 "x x x y",            # "x x" at 0,1; "x x x" at 0
+                 "a b c",
+                 "b a"],
+    })
+    idx = str(tmp_path / "pos_idx")
+    build_positional_index(rd.from_pandas(docs).repartition(2), idx)
+
+    out, stats = phrase_search(idx, ["a", "b", "a"])
+    got = dict(zip(*(out.to_pandas()[c] for c in ["doc_id", "n_matches"])))
+    assert got == {1: 2}
+    assert 0 < stats["partitions_read"] <= 2  # 'a','b' hash to ≤2 parts
+    assert stats["bytes_read"] < stats["bytes_total"]
+
+    out2, _ = phrase_search(idx, ["x", "x"])
+    assert dict(zip(*(out2.to_pandas()[c]
+                      for c in ["doc_id", "n_matches"]))) == {2: 2}
+
+    out3, _ = phrase_search(idx, ["c", "a"])
+    assert len(out3.to_pandas()) == 0
+
+    out4, _ = phrase_search(idx, ["zzz", "a"])  # term absent entirely
+    assert len(out4.to_pandas()) == 0
