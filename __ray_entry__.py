@@ -627,6 +627,19 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, "doc_id", threshold=0.3)
 
 
+def _q_containment(sf_dir: str):
+    """Asymmetric containment near-dup (Broder 1997: c(A,B) =
+    |S(A)∩S(B)|/|S(A)|): catches quote inclusion / partial copies that
+    symmetric Jaccard misses.  Stop-shingles (>64 docs) dropped per
+    Bharat-Broder; oracle recomputes the identical md5-lower-64 shingle
+    sets and both containment directions."""
+    from borges_ray.ops.dedup import containment_pairs
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    return containment_pairs(ds, width=4, min_containment=0.5)
+
+
 def _q_minhash_dedup_survivors(sf_dir: str):
     """Full near-dup dedup, DATASET END-TO-END: MinHash-LSH pairs →
     distributed connected components (tree forest merge) → survivors via a
@@ -2590,6 +2603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "minhash_neardup": _q_minhash_neardup,
         "ngram_jaccard": _q_ngram_jaccard,
+        "containment_docs": _q_containment,
         "minhash_dedup_survivors": _q_minhash_dedup_survivors,
         "simhash_signatures": _q_simhash,
         "simhash_neardup": _q_simhash_neardup,
@@ -3367,6 +3381,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_neardup": _MINHASH_PAIRS_SQL + """
             SELECT id_a, id_b, jaccard FROM jpairs
+        """,
+        "containment_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), hf AS (
+              SELECT DISTINCT doc_id,
+                     md5_number_lower(array_to_string(
+                       list_slice(t, i + 1, i + 4), ' ')) AS fp
+              FROM toks,
+                   LATERAL (SELECT unnest(range(greatest(len(t) - 3, 0)))
+                            AS i) u
+            ), ok AS (
+              SELECT fp FROM hf GROUP BY fp
+              HAVING count(*) BETWEEN 2 AND 64
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS shared
+              FROM hf a JOIN hf b USING (fp) JOIN ok USING (fp)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), sz AS (SELECT doc_id, count(*) AS n FROM hf GROUP BY 1),
+            c AS (
+              SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+                     round(shared / CAST(sa.n AS DOUBLE), 6) AS cont_a,
+                     round(shared / CAST(sb.n AS DOUBLE), 6) AS cont_b
+              FROM p
+              JOIN sz sa ON sa.doc_id = p.id_a
+              JOIN sz sb ON sb.doc_id = p.id_b
+            )
+            SELECT * FROM c WHERE greatest(cont_a, cont_b) >= 0.5
         """,
         "ngram_jaccard": _jaccard_pairs_sql(0.3) + """
             SELECT id_a, id_b, jaccard FROM jpairs

@@ -1288,3 +1288,112 @@ def dup_cluster_size_hist(docs: rd.Dataset, pairs: rd.Dataset,
     out["cluster_size"] = out["cluster_size"].astype("int64")
     out["n_clusters"] = out["n_clusters"].astype("int64")
     return out.sort_values("cluster_size", ignore_index=True)
+
+
+def containment_pairs(
+    docs: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 4,
+    min_containment: float = 0.5,
+    max_fp_docs: int = 64,
+    round_to: int = 6,
+) -> rd.Dataset:
+    """ASYMMETRIC near-dup: document pairs where one side's shingle set is
+    largely CONTAINED in the other's — Broder's containment measure
+    c(A,B) = |S(A)∩S(B)| / |S(A)| (Broder 1997 §2).  Resemblance
+    (Jaccard) misses quote inclusion: a paragraph lifted verbatim into a
+    10× longer page scores near-zero Jaccard but containment ≈ 1 — the
+    partial-copy / quotation case every web dedup audit needs alongside
+    the symmetric MinHash family.
+
+    Shape (all keys-only exchanges): per-doc DISTINCT sliding ``width``-
+    token shingles hashed md5-lower-64 (bit-identical to DuckDB
+    ``md5_number_lower`` so the SQL twin recomputes them exactly); per-doc
+    set sizes via combiner-bounded ``grouped_agg``; a bucketed fp-group
+    pair spawn (lexsort + run-length, the MinHash band shape) with the
+    Bharat-Broder stop rule — shingles on more than ``max_fp_docs`` docs
+    are boilerplate and DROPPED identically in the SQL twin; shared
+    counts reduce keys-only; two hash-joins attach |S(A)|,|S(B)|.
+
+    Returns ``(id_a < id_b, shared, cont_a, cont_b)`` for pairs where
+    max(cont_a, cont_b) ≥ ``min_containment`` — cont_a = shared/|S(A)|
+    (how much of A sits inside B).
+    """
+    from .relational import distinct, grouped_agg, groupby_buckets, hash_join
+
+    def featurize(df: pd.DataFrame) -> pd.DataFrame:
+        ids, fps = [], []
+        for did, text in zip(df[id_col].to_numpy("int64"),
+                             df[text_col].fillna("")):
+            toks = text.split()
+            seen = {_md5_u64(" ".join(toks[i:i + width]))
+                    for i in range(max(len(toks) - width + 1, 0))}
+            ids.append(np.full(len(seen), did, dtype=np.int64))
+            fps.append(np.fromiter(seen, dtype=np.uint64, count=len(seen)))
+        if not ids:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "fp": pd.Series(dtype="uint64")})
+        return pd.DataFrame({id_col: np.concatenate(ids),
+                             "fp": np.concatenate(fps)})
+
+    hf = distinct(docs.map_batches(featurize, batch_format="pandas"),
+                  [id_col, "fp"])
+    sizes = grouped_agg(hf, [id_col], {"n": ("count", "fp")})
+
+    def spawn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "shared": pd.Series(dtype="int64")})
+        if not len(df):
+            return empty
+        order = np.lexsort((df[id_col].to_numpy(), df["fp"].to_numpy()))
+        fps = df["fp"].to_numpy()[order]
+        ids = df[id_col].to_numpy()[order]
+        cut = np.flatnonzero(fps[1:] != fps[:-1]) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(fps)]))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > max_fp_docs:
+                continue  # singleton or stop-shingle
+            grp = ids[s:e]  # sorted, distinct by construction
+            ia, ib = np.triu_indices(m, k=1)
+            out_a.append(grp[ia])
+            out_b.append(grp[ib])
+        if not out_a:
+            return empty
+        pairs = pd.DataFrame({"id_a": np.concatenate(out_a),
+                              "id_b": np.concatenate(out_b)})
+        g = pairs.groupby(["id_a", "id_b"], sort=False).size()
+        return g.rename("shared").reset_index()
+
+    partial = groupby_buckets(hf, ["fp"], spawn)
+    from .relational import schema_anchor
+    counts = schema_anchor(
+        grouped_agg(partial, ["id_a", "id_b"], {"shared": ("sum", "shared")}),
+        pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                      "id_b": pd.Series(dtype="int64"),
+                      "shared": pd.Series(dtype="int64")}))
+
+    sz_a = sizes.map_batches(
+        lambda df: pd.DataFrame({"id_a": df[id_col], "n_a": df["n"]}),
+        batch_format="pandas")
+    sz_b = sizes.map_batches(
+        lambda df: pd.DataFrame({"id_b": df[id_col], "n_b": df["n"]}),
+        batch_format="pandas")
+    j = hash_join(hash_join(counts, sz_a, on=["id_a"]), sz_b, on=["id_b"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        sh = df["shared"].to_numpy("int64")
+        ca = np.round(sh / df["n_a"].to_numpy("float64"), round_to)
+        cb = np.round(sh / df["n_b"].to_numpy("float64"), round_to)
+        keep = np.maximum(ca, cb) >= min_containment
+        return pd.DataFrame({
+            "id_a": df["id_a"].to_numpy("int64")[keep],
+            "id_b": df["id_b"].to_numpy("int64")[keep],
+            "shared": sh[keep], "cont_a": ca[keep], "cont_b": cb[keep]})
+
+    return j.map_batches(finish, batch_format="pandas")

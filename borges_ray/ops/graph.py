@@ -597,8 +597,13 @@ def mirror_hosts(
         return g.rename("shared").reset_index()
 
     partial = groupby_buckets(hf, [fp_col], spawn)
-    counts = grouped_agg(partial, ["host_a", "host_b"],
-                         {"shared": ("sum", "shared")})
+    from .relational import schema_anchor
+    counts = schema_anchor(
+        grouped_agg(partial, ["host_a", "host_b"],
+                    {"shared": ("sum", "shared")}),
+        pd.DataFrame({"host_a": pd.Series(dtype="object"),
+                      "host_b": pd.Series(dtype="object"),
+                      "shared": pd.Series(dtype="int64")}))
     counts = counts.map_batches(
         lambda df: df[df["shared"] >= min_shared],
         batch_format="pandas")

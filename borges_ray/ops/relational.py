@@ -390,6 +390,16 @@ BROADCAST_MAX_ROWS = 5_000_000
 BROADCAST_MAX_BYTES = 256 << 20
 
 
+def schema_anchor(ds: rd.Dataset, template: pd.DataFrame) -> rd.Dataset:
+    """Union a ZERO-ROW typed block in front of ``ds`` so the plan keeps a
+    schema even when every upstream block is empty.  A ``sort`` over zero
+    rows emits a dataset with NO blocks (``schema() is None``), which
+    breaks schema-dependent consumers like :func:`hash_join`; the anchor
+    costs one empty block and pins the dtypes from ``template`` (only its
+    columns/dtypes are used, rows are ignored)."""
+    return rd.from_pandas(template.iloc[0:0]).union(ds)
+
+
 def _frame_bytes(df: pd.DataFrame) -> int:
     """Estimated deep size of a frame: exact shallow usage plus object-column
     payloads extrapolated from a bounded sample (deep=True over the whole

@@ -1739,3 +1739,38 @@ def test_phrase_search_positions(ray_session, tmp_path):
 
     out4, _ = phrase_search(idx, ["zzz", "a"])  # term absent entirely
     assert len(out4.to_pandas()) == 0
+
+
+def test_containment_pairs_quote_inclusion(ray_session):
+    """containment_pairs vs hand-computed Broder containment: a short doc
+    quoted verbatim inside a long one scores cont_short ~1 while Jaccard
+    is small; unrelated docs don't pair; stop-shingles drop."""
+    from borges_ray.ops.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"          # 6 toks, 3 shingles
+    long_doc = ("x1 x2 x3 x4 x5 x6 x7 x8 " + quote +
+                " y1 y2 y3 y4 y5 y6 y7 y8")
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [quote, long_doc, "p q r s t u v w"],
+    })
+    out = (containment_pairs(rd.from_pandas(docs).repartition(2),
+                             width=4, min_containment=0.5)
+           .to_pandas())
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["shared"] == 3          # the 3 shingles fully inside doc 2
+    assert r["cont_a"] == 1.0        # quote fully contained
+    assert r["cont_b"] < 0.2         # long doc barely contained in quote
+
+    # same corpus but the quote shingles planted on 70 docs: stop rule
+    many = pd.DataFrame({
+        "doc_id": range(10, 80),
+        "text": [quote] * 70,
+    })
+    both = pd.concat([docs, many], ignore_index=True)
+    out2 = (containment_pairs(rd.from_pandas(both).repartition(4),
+                              width=4, min_containment=0.5, max_fp_docs=64)
+            .to_pandas())
+    assert len(out2) == 0  # every shared shingle now exceeds max_fp_docs
