@@ -1196,6 +1196,62 @@ def _q_c4_filter(sf_dir: str):
     return exact_dedup(gated, "text", "doc_id").select_columns(["doc_id"])
 
 
+def _q_pipeline_funnel(sf_dir: str):
+    """Filter-funnel AUDIT of the C4-style cleanup chain: per-stage
+    survivor counts (total → lang gate → length window → punctuation cap
+    → exact dedup) computed in ONE streamed scan — each batch reduces to
+    a single partial-counts row (cumulative stage booleans summed
+    vectorized), so the exchange is O(#blocks) rows; the dedup stage adds
+    one keys-only distinct-fingerprint count over stage-4 survivors.
+    The per-stage funnel is the observability artifact every production
+    cleanup run ships with (what fraction died where)."""
+    import re as _re
+
+    from borges_ray.ops.relational import distinct, grouped_agg, load
+    from borges_ray.ops.textops import fingerprint_batch
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def stage_flags(df: pd.DataFrame):
+        texts = df["text"].fillna("")
+        words = texts.str.split().str.len().fillna(0)
+        n_punct = texts.str.count(r"[^\w\s]", flags=_re.ASCII)
+        n_chars = texts.str.len().clip(lower=1)
+        s2 = (df["lang"] == "en").to_numpy()
+        s3 = s2 & (words >= 20).to_numpy() & (words <= 80).to_numpy()
+        s4 = s3 & (n_punct / n_chars < 0.1).to_numpy()
+        return texts, s2, s3, s4
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        _, s2, s3, s4 = stage_flags(df)
+        return pd.DataFrame({
+            "__one": [1], "c1": [len(df)], "c2": [int(s2.sum())],
+            "c3": [int(s3.sum())], "c4": [int(s4.sum())]})
+
+    counts = grouped_agg(
+        ds.map_batches(partial_counts, batch_format="pandas"),
+        ["__one"], {"c1": ("sum", "c1"), "c2": ("sum", "c2"),
+                    "c3": ("sum", "c3"), "c4": ("sum", "c4")}).to_pandas()
+
+    def survivor_fps(df: pd.DataFrame) -> pd.DataFrame:
+        texts, _s2, _s3, s4 = stage_flags(df)
+        return pd.DataFrame({
+            "fp": fingerprint_batch(texts[s4]).to_numpy()
+            if s4.any() else np.array([], dtype=np.uint64)})
+
+    n_dedup = distinct(
+        ds.map_batches(survivor_fps, batch_format="pandas"),
+        ["fp"]).count()
+
+    names = ["total", "lang_en", "len_20_80", "punct_lt_0.1", "exact_dedup"]
+    vals = [int(counts["c1"].iloc[0]), int(counts["c2"].iloc[0]),
+            int(counts["c3"].iloc[0]), int(counts["c4"].iloc[0]),
+            int(n_dedup)]
+    return pd.DataFrame({"stage": pd.Series(range(1, 6), dtype="int64"),
+                         "stage_name": names,
+                         "n_rows": pd.Series(vals, dtype="int64")})
+
+
 def _q_join_full_outer(sf_dir: str):
     """Full-outer hash join with unmatched rows surviving on BOTH sides
     (rich customers without urgent orders; urgent-order customers below
@@ -1842,6 +1898,29 @@ def _q_phrase_search(sf_dir: str):
         ds = load(sf_dir, "documents", columns=["doc_id", "text"])
         build_positional_index(ds, idx_dir)
     out, _stats = phrase_search(idx_dir, _PHRASE)
+    return out
+
+
+def _q_proximity_search(sf_dir: str):
+    """Proximity retrieval ('hash' within 3 tokens of 'join') over the
+    positional index: pruned two-term partition read, doc-keyed bucket
+    exchange, per-doc sorted-merge nearest-position scan (O(n log n),
+    not the oracle's cross join)."""
+    import hashlib
+    import tempfile
+
+    from borges_ray.ops import index as _index_mod
+    from borges_ray.ops.index import build_positional_index, proximity_search
+    from borges_ray.ops.relational import load
+
+    h = hashlib.blake2b(sf_dir.encode(), digest_size=6)
+    with open(_index_mod.__file__, "rb") as fp:
+        h.update(fp.read())
+    idx_dir = f"{tempfile.gettempdir()}/borges_posidx_{h.hexdigest()}"
+    if not os.path.isdir(idx_dir):
+        ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+        build_positional_index(ds, idx_dir)
+    out, _stats = proximity_search(idx_dir, "hash", "join", max_dist=3)
     return out
 
 
@@ -2596,6 +2675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_score": _q_model_score,
         "token_search": _q_token_search,
         "phrase_search": _q_phrase_search,
+        "proximity_search": _q_proximity_search,
         "bm25_search": _q_bm25_search,
         "cosine_neardup": _q_cosine_neardup,
         "cosine_neardup_lsh": _q_cosine_neardup_lsh,
@@ -2646,6 +2726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "rank_quantities": _q_rank_quantities,
         "c4_filter": _q_c4_filter,
+        "pipeline_funnel": _q_pipeline_funnel,
         "pivot_counts": _q_pivot_counts,
         "melt_counts": _q_melt_counts,
         "tfidf_terms": _q_tfidf_terms,
@@ -3835,6 +3916,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
                   < CAST(floor(((CAST(substr(source, 4) AS BIGINT) % 3 + 1) / 10.0) * 65536) AS BIGINT)
         """,
+        "pipeline_funnel": r"""
+            WITH f AS (
+              SELECT doc_id, text, lang,
+                     len(list_filter(regexp_split_to_array(text, '\s+'),
+                                     x -> x <> '')) AS n_words,
+                     CAST(length(regexp_replace(text, '[\w\s]', '', 'g'))
+                          AS DOUBLE) / greatest(length(text), 1) AS pdens
+              FROM documents
+            ), s AS (
+              SELECT text,
+                     (lang = 'en') AS s2,
+                     (lang = 'en' AND n_words BETWEEN 20 AND 80) AS s3,
+                     (lang = 'en' AND n_words BETWEEN 20 AND 80
+                      AND pdens < 0.1) AS s4
+              FROM f
+            )
+            SELECT CAST(1 AS BIGINT) AS stage, 'total' AS stage_name,
+                   CAST(count(*) AS BIGINT) AS n_rows FROM s
+            UNION ALL
+            SELECT 2, 'lang_en',
+                   CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) FROM s
+            UNION ALL
+            SELECT 3, 'len_20_80',
+                   CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) FROM s
+            UNION ALL
+            SELECT 4, 'punct_lt_0.1',
+                   CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) FROM s
+            UNION ALL
+            SELECT 5, 'exact_dedup',
+                   CAST(count(DISTINCT text) AS BIGINT) FROM s WHERE s4
+        """,
         "c4_filter": r"""
             WITH gated AS (
               SELECT doc_id, text FROM documents
@@ -4415,6 +4527,24 @@ def oracle_sql() -> dict[str, str]:
                         w -> list_contains(['the','a','an','and','or','of','to','in','on','for','with','at','by','from','as','is','are','was','were','be','been','it','this','that'], w))) AS DOUBLE)
                         / greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1), 6) AS stopword_frac
             FROM documents
+        """,
+        "proximity_search": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, t[i + 1] AS tok, i
+              FROM toks,
+                   LATERAL (SELECT unnest(range(len(t))) AS i) u
+            ), a AS (SELECT doc_id, i FROM pos WHERE tok = 'hash'),
+            b AS (SELECT doc_id, i FROM pos WHERE tok = 'join')
+            SELECT a.doc_id,
+                   CAST(min(abs(a.i - b.i)) AS BIGINT) AS min_dist
+            FROM a JOIN b USING (doc_id)
+            GROUP BY a.doc_id
+            HAVING min(abs(a.i - b.i)) <= 3
         """,
         "phrase_search": r"""
             WITH toks AS (

@@ -184,6 +184,9 @@ QUERY_SUBSET = [
     # r04e additions: C4 line-level cleaning, near-dup cluster-size audit,
     # PMI collocations, normalized exact dedup
     "line_filter", "dup_cluster_sizes", "bigram_pmi", "norm_dedup",
+    # r04h additions: BFS crawl-depth labeling, mirror-host detection,
+    # positional phrase search, Broder containment pairs
+    "crawl_depth", "mirror_detect", "phrase_search", "containment_docs",
 ]
 
 

@@ -165,6 +165,75 @@ def phrase_search(index_dir: str, phrase: list[str], *,
     return hits, stats
 
 
+def proximity_search(index_dir: str, term_a: str, term_b: str, *,
+                     max_dist: int, id_col: str = "doc_id",
+                     num_parts: int = 16) -> tuple[rd.Dataset, dict]:
+    """Proximity query over the positional index: documents where
+    ``term_a`` and ``term_b`` co-occur within ``max_dist`` token
+    positions (unordered), with the per-doc MINIMUM distance — the
+    relevance primitive between exact phrase and bag-of-words AND.
+
+    Plan: pruned read of the two terms' ``tp=`` partitions, one bucketed
+    (doc-keyed) exchange of the matching postings, then a per-doc
+    sorted-merge nearest-position scan (``np.searchsorted`` of A's
+    positions into B's — O(na log nb) per doc, never the O(na·nb)
+    cross-join the SQL twin uses).  Returns (Dataset of
+    ``(id_col, min_dist)``, bytes-read stats)."""
+    from .relational import groupby_buckets
+
+    parts = sorted({_token_part(t, num_parts) for t in (term_a, term_b)})
+    dirs = [os.path.join(index_dir, f"tp={p}") for p in parts
+            if os.path.isdir(os.path.join(index_dir, f"tp={p}"))]
+    stats = {"bytes_read": sum(_dir_bytes(d) for d in dirs),
+             "bytes_total": _dir_bytes(index_dir),
+             "partitions_read": len(dirs), "partitions_total": num_parts}
+    import pyarrow as pa
+
+    if not dirs:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "min_dist": pa.array([], pa.int64())})
+        return rd.from_arrow(empty), stats
+    import pyarrow.compute as pc
+
+    files = sorted(os.path.join(d, f) for d in dirs for f in os.listdir(d)
+                   if f.endswith(".parquet"))
+    postings = rd.read_parquet(
+        files, columns=[id_col, "term", "pos"],
+        filter=pc.field("term").isin([term_a, term_b]))
+
+    def nearest(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              "min_dist": pd.Series(dtype="int64")})
+        if not len(df):
+            return empty
+        ids_out, dist_out = [], []
+        for did, grp in df.groupby(id_col, sort=False):
+            pa_ = np.sort(grp.loc[grp["term"] == term_a, "pos"]
+                          .to_numpy("int64"))
+            pb = np.sort(grp.loc[grp["term"] == term_b, "pos"]
+                         .to_numpy("int64"))
+            if not len(pa_) or not len(pb):
+                continue
+            # nearest pb neighbor of each pa via one sorted merge
+            idx = np.searchsorted(pb, pa_)
+            best = np.full(len(pa_), np.iinfo(np.int64).max)
+            right = idx < len(pb)
+            best[right] = pb[idx[right]] - pa_[right]
+            left = idx > 0
+            best[left] = np.minimum(best[left],
+                                    pa_[left] - pb[idx[left] - 1])
+            d = int(best.min())
+            if d <= max_dist:
+                ids_out.append(did)
+                dist_out.append(d)
+        if not ids_out:
+            return empty
+        return pd.DataFrame({id_col: pd.Series(ids_out, dtype="int64"),
+                             "min_dist": pd.Series(dist_out, dtype="int64")})
+
+    return groupby_buckets(postings, [id_col], nearest), stats
+
+
 def _dir_bytes(path: str) -> int:
     return sum(os.path.getsize(os.path.join(dp, f))
                for dp, _dn, fs in os.walk(path) for f in fs)

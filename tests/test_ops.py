@@ -1774,3 +1774,28 @@ def test_containment_pairs_quote_inclusion(ray_session):
                               width=4, min_containment=0.5, max_fp_docs=64)
             .to_pandas())
     assert len(out2) == 0  # every shared shingle now exceeds max_fp_docs
+
+
+def test_proximity_search_min_dist(ray_session, tmp_path):
+    """proximity_search vs hand distances: nearest-neighbor on both
+    sides, max_dist cutoff, docs missing one term excluded."""
+    from borges_ray.ops.index import build_positional_index, proximity_search
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a x x x b",        # dist 4
+                 "b a",              # dist 1 (b before a)
+                 "a x b x x a",      # min dist 2 (first a) ... b at 2, a at 0/5: min 2
+                 "a a a"],           # no b
+    })
+    idx = str(tmp_path / "prox_idx")
+    build_positional_index(rd.from_pandas(docs).repartition(2), idx)
+
+    out, stats = proximity_search(idx, "a", "b", max_dist=4)
+    got = dict(zip(*(out.to_pandas()[c] for c in ["doc_id", "min_dist"])))
+    assert got == {1: 4, 2: 1, 3: 2}
+    assert stats["bytes_read"] <= stats["bytes_total"]
+
+    out2, _ = proximity_search(idx, "a", "b", max_dist=1)
+    assert dict(zip(*(out2.to_pandas()[c]
+                      for c in ["doc_id", "min_dist"]))) == {2: 1}
