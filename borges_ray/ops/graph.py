@@ -511,8 +511,12 @@ def bfs_depths(
 
         cand = paths.repartition(max(1, len(work))).map_batches(
             expand, batch_format="pandas")
-        new = hash_semi_join(distinct(cand, ["node"]), visited,
-                             on=["node"], anti=True)
+        # anchor: a hop that expands to nothing leaves distinct's sort
+        # with zero blocks (schema None), which the anti-join can't probe
+        from .relational import schema_anchor
+        cand = schema_anchor(distinct(cand, ["node"]),
+                             pd.DataFrame({"node": pd.Series(dtype="int64")}))
+        new = hash_semi_join(cand, visited, on=["node"], anti=True)
         new = spill_point(new.map_batches(
             lambda df, _h=hop: pd.DataFrame(
                 {"node": df["node"].astype("int64"),

@@ -430,6 +430,45 @@ def main_pagerank() -> int:
     return 0 if agg["bad"] == 0 else 1
 
 
+def main_bfs() -> int:
+    """Level-synchronous BFS at 2M nodes / ~4M edges with an EXACT
+    analytic check: on the complete binary tree (i → 2i+1, 2i+2) the
+    depth of node i from root 0 is bit_length(i+1) - 1.  The frontier
+    DOUBLES every hop (final hop ~1M nodes), so the per-hop keys-only
+    exchange and the anti-join against visited run at real sizes; any
+    dropped frontier node, duplicate visit, or wrong-hop label breaks
+    the closed form and is counted distributed."""
+    import ray.data as rd
+
+    from borges_ray.ops.graph import bfs_depths
+
+    N = 2_000_000
+    T0 = time.time()
+
+    def mk_tree(df):
+        i = df["id"].to_numpy(np.int64)
+        src = np.concatenate([i, i])
+        dst = np.concatenate([2 * i + 1, 2 * i + 2])
+        keep = dst < N
+        return pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+
+    edges = rd.range(N).map_batches(mk_tree, batch_format="pandas")
+    out = bfs_depths(edges, [0], max_hops=21, n_buckets=32)
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        node = df["node"].to_numpy(np.int64)
+        want = np.int64(np.floor(np.log2(node + 1)))
+        bad = int((df["depth"].to_numpy(np.int64) != want).sum())
+        return pd.DataFrame({"rows": [len(df)], "bad": [bad]})
+
+    agg = out.map_batches(check, batch_format="pandas").to_pandas().sum()
+    dt = time.time() - T0
+    print(f"BFS binary tree 2M nodes: {dt:.1f}s ({N / dt:.0f} nodes/s); "
+          f"rows={agg['rows']} bad={agg['bad']}", flush=True)
+    assert agg["rows"] == N, agg
+    return 0 if agg["bad"] == 0 else 1
+
+
 if __name__ == "__main__":
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=32, include_dashboard=False,
@@ -452,6 +491,8 @@ if __name__ == "__main__":
         rc = main_redirects()
     elif "--pagerank" in sys.argv:
         rc = main_pagerank()
+    elif "--bfs" in sys.argv:
+        rc = main_bfs()
     else:
         rc = main("--planted" in sys.argv)
     ray.shutdown()
