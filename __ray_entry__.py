@@ -1405,6 +1405,27 @@ def _q_crawl_depth(sf_dir: str):
                       seeds["node"].tolist(), max_hops=3)
 
 
+def _q_triangle_census(sf_dir: str):
+    """Per-node triangle participation over a synthetic 16384-host link
+    graph (link-farm signal: spam cliques are triangle factories).
+    Degree-ordered orientation bounds every wedge task's fan-out
+    (Suri-Vassilvitskii); oracle recomputes via the ordered 3-way
+    self-join."""
+    from borges_ray.ops.graph import triangle_counts
+    from borges_ray.ops.relational import load
+
+    li = load(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        p = ((df["l_orderkey"].to_numpy("int64") * 7
+              + df["l_linenumber"].to_numpy("int64")) % 16384)
+        q = (df["l_partkey"].to_numpy("int64") * 13) % 16384
+        return pd.DataFrame({"src": p, "dst": q})
+
+    return triangle_counts(li.map_batches(to_edges, batch_format="pandas"))
+
+
 def _q_mirror_detect(sf_dir: str):
     """Mirror-host detection over the documents corpus: hosts (doc_id mod
     61) are compared by their sets of 4-token chunk fingerprints
@@ -2738,6 +2759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trustrank": _q_trustrank,
         "crawl_depth": _q_crawl_depth,
         "mirror_detect": _q_mirror_detect,
+        "triangle_census": _q_triangle_census,
         "hits": _q_hits,
         "crawl_budget": _q_crawl_budget,
         "minhash_incremental": _q_minhash_incremental,
@@ -4249,6 +4271,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(min(depth) AS BIGINT) AS depth
             FROM walk GROUP BY node
+        """,
+        "triangle_census": """
+            WITH raw AS (
+              SELECT (l_orderkey * 7 + l_linenumber) % 16384 AS p,
+                     (l_partkey * 13) % 16384 AS q
+              FROM lineitem
+            ), e AS (
+              SELECT DISTINCT least(p, q) AS u, greatest(p, q) AS v
+              FROM raw WHERE p <> q
+            ), t AS (
+              SELECT a.u AS x, a.v AS y, b.v AS z
+              FROM e a
+              JOIN e b ON b.u = a.v
+              JOIN e c ON c.u = a.u AND c.v = b.v
+            ), corners AS (
+              SELECT x AS node FROM t
+              UNION ALL SELECT y FROM t
+              UNION ALL SELECT z FROM t
+            )
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY node
         """,
         "mirror_detect": r"""
             WITH toks AS (

@@ -1799,3 +1799,44 @@ def test_proximity_search_min_dist(ray_session, tmp_path):
     out2, _ = proximity_search(idx, "a", "b", max_dist=1)
     assert dict(zip(*(out2.to_pandas()[c]
                       for c in ["doc_id", "min_dist"]))) == {2: 1}
+
+
+def test_triangle_counts_brute_force(ray_session):
+    """triangle_counts vs itertools brute force on a random graph fed as
+    a noisy DIRECTED multi-edge list (both directions + duplicates must
+    collapse); plus a planted clique and a triangle-free star."""
+    import itertools
+
+    from borges_ray.ops.graph import triangle_counts
+
+    rng = np.random.default_rng(11)
+    n, m = 80, 500
+    e = set()
+    while len(e) < m:
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            e.add((min(a, b), max(a, b)))
+    # planted 5-clique on 100..104 and a star center 200 (no triangles)
+    for a, b in itertools.combinations(range(100, 105), 2):
+        e.add((a, b))
+    for leaf in range(300, 320):
+        e.add((200, leaf))
+    e = sorted(e)
+    adj: dict[int, set] = {}
+    for a, b in e:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[int, int] = {}
+    for x in adj:
+        for y, z in itertools.combinations(sorted(adj[x]), 2):
+            if y > x and z in adj.get(y, ()):
+                for v in (x, y, z):
+                    want[v] = want.get(v, 0) + 1
+    df = pd.DataFrame({
+        "src": [a for a, _ in e] + [b for _, b in e] + [e[0][0]],
+        "dst": [b for _, b in e] + [a for a, _ in e] + [e[0][1]]})
+    out = triangle_counts(rd.from_pandas(df).repartition(4)).to_pandas()
+    got = dict(zip(out["node"], out["n_triangles"]))
+    assert got == want
+    assert got[100] == 6 + sum(1 for _ in ())  # C(4,2) clique triangles
+    assert 200 not in got  # star center: zero triangles
