@@ -1405,6 +1405,44 @@ def _q_crawl_depth(sf_dir: str):
                       seeds["node"].tolist(), max_hops=3)
 
 
+def _q_graph_components(sf_dir: str):
+    """Weakly-connected components as a first-class graph query (the
+    crawl-side host-cluster labeling), reusing the dedup family's tree
+    forest merge (`near_dup_labels_ds`): per-block spanning-forest
+    combiner → fixed fan-in merges → one labeling pass, labels stream
+    out as a Dataset.  Graph: per-order line chains hung off their
+    customer node (components = one star-of-chains per customer, so the
+    recursive-CTE oracle's state space stays bounded)."""
+    from borges_ray.ops.dedup import near_dup_labels_ds
+    from borges_ray.ops.relational import hash_join, load
+
+    li = load(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber"])
+    orders = load(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def chain_edges(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["l_orderkey"].to_numpy("int64")
+        ln = df["l_linenumber"].to_numpy("int64")
+        keep = ln > 1  # edge from line n-1 to line n within the order
+        return pd.DataFrame({"id_a": (ok * 8 + ln - 1)[keep],
+                             "id_b": (ok * 8 + ln)[keep]})
+
+    chains = li.map_batches(chain_edges, batch_format="pandas")
+
+    first = li.map_batches(
+        lambda df: df.loc[df["l_linenumber"] == 1, ["l_orderkey"]]
+        .rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas")
+    hooked = hash_join(first, orders, on=["o_orderkey"])
+    hooks = hooked.map_batches(
+        lambda df: pd.DataFrame({
+            "id_a": -df["o_custkey"].to_numpy("int64"),
+            "id_b": df["o_orderkey"].to_numpy("int64") * 8 + 1}),
+        batch_format="pandas")
+
+    return near_dup_labels_ds(chains.union(hooks))
+
+
 def _q_triangle_census(sf_dir: str):
     """Per-node triangle participation over a synthetic 16384-host link
     graph (link-farm signal: spam cliques are triangle factories).
@@ -2760,6 +2798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_depth": _q_crawl_depth,
         "mirror_detect": _q_mirror_detect,
         "triangle_census": _q_triangle_census,
+        "graph_components": _q_graph_components,
         "hits": _q_hits,
         "crawl_budget": _q_crawl_budget,
         "minhash_incremental": _q_minhash_incremental,
@@ -4271,6 +4310,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(min(depth) AS BIGINT) AS depth
             FROM walk GROUP BY node
+        """,
+        "graph_components": """
+            WITH RECURSIVE e0 AS (
+              SELECT l_orderkey * 8 + l_linenumber - 1 AS a,
+                     l_orderkey * 8 + l_linenumber AS b
+              FROM lineitem WHERE l_linenumber > 1
+              UNION ALL
+              SELECT -o.o_custkey, l.l_orderkey * 8 + 1
+              FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+              WHERE l.l_linenumber = 1
+            ), edges AS (
+              SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+            ), reach(id, r) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+            )
+            SELECT id, CAST(min(r) AS BIGINT) AS "group"
+            FROM reach GROUP BY id
         """,
         "triangle_census": """
             WITH raw AS (
