@@ -511,17 +511,30 @@ def bfs_depths(
 
         cand = paths.repartition(max(1, len(work))).map_batches(
             expand, batch_format="pandas")
-        # anchor: a hop that expands to nothing leaves distinct's sort
-        # with zero blocks (schema None), which the anti-join can't probe
-        from .relational import schema_anchor
-        cand = schema_anchor(distinct(cand, ["node"]),
-                             pd.DataFrame({"node": pd.Series(dtype="int64")}))
-        new = hash_semi_join(cand, visited, on=["node"], anti=True)
-        new = spill_point(new.map_batches(
-            lambda df, _h=hop: pd.DataFrame(
-                {"node": df["node"].astype("int64"),
-                 "depth": np.full(len(df), _h, dtype="int64")}),
-            batch_format="pandas"), f"bfs_new{hop}")
+        # dedup + anti-join against visited fused into ONE bucketed
+        # exchange: tag the two keys-only streams, co-locate by node,
+        # keep candidate nodes the visited side doesn't cover
+        tagged_c = cand.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"].astype("int64"),
+                                     "__side": np.int8(0)}),
+            batch_format="pandas")
+        tagged_v = visited.map_batches(
+            lambda df: pd.DataFrame({"node": df["node"].astype("int64"),
+                                     "__side": np.int8(1)}),
+            batch_format="pandas")
+
+        def fresh(df: pd.DataFrame, _h=hop) -> pd.DataFrame:
+            c = df.loc[df["__side"] == 0, "node"].unique()
+            v = df.loc[df["__side"] == 1, "node"]
+            nodes = c[~pd.Index(c).isin(v)] if len(c) else c
+            return pd.DataFrame(
+                {"node": nodes.astype("int64"),
+                 "depth": np.full(len(nodes), _h, dtype="int64")})
+
+        from .relational import groupby_buckets
+        new = spill_point(
+            groupby_buckets(tagged_c.union(tagged_v), ["node"], fresh),
+            f"bfs_new{hop}")
         if not new.count():
             break
         visited = spill_point(visited.union(new), f"bfs_v{hop}")
