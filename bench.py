@@ -187,6 +187,8 @@ QUERY_SUBSET = [
     # r04h additions: BFS crawl-depth labeling, mirror-host detection,
     # positional phrase search, Broder containment pairs
     "crawl_depth", "mirror_detect", "phrase_search", "containment_docs",
+    "proximity_search", "pipeline_funnel", "triangle_census",
+    "graph_components",
 ]
 
 
@@ -392,5 +394,15 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    res = run_scaling() if "--scaling" in sys.argv else run_bench()
+    # fd-level stdout guard: raylet warnings ("WARNING: N PYTHON worker
+    # processes...") are written straight to the driver's fd 1 by the log
+    # monitor and bypass log_to_driver=False, so point fd 1 at stderr for
+    # the duration and write the one JSON line to the saved real stdout.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    try:
+        res = run_scaling() if "--scaling" in sys.argv else run_bench()
+    finally:
+        os.dup2(real_stdout, 1)
     print(json.dumps(res))
+    sys.stdout.flush()
