@@ -1347,6 +1347,22 @@ def _q_pagerank(sf_dir: str):
                     iters=2, damping=0.85, round_to=6)
 
 
+def _q_degree_powerlaw(sf_dir: str):
+    """Power-law audit of the supplier→part link graph: least-squares
+    log-log slope of the out-degree histogram (Broder et al. 2000 —
+    slope drift is the smoke signal for spider traps / link farms).
+    Combiner-bounded keys-only exchanges end-to-end; the final reduce
+    moves five scalars per block."""
+    from borges_ray.ops.graph import degree_powerlaw
+    from borges_ray.ops.relational import load
+
+    li = load(sf_dir, "lineitem", columns=["l_suppkey"])
+    ids = li.map_batches(
+        lambda df: pd.DataFrame({"node": df["l_suppkey"].astype("int64")}),
+        batch_format="pandas")
+    return degree_powerlaw(ids)
+
+
 def _q_trustrank(sf_dir: str):
     """TrustRank (Gyöngyi et al. 2004): PageRank with the teleport mass
     restricted to a trusted whitelist (suppliers ≡ 0 mod 7), so rank
@@ -2794,6 +2810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_attribution": _q_interval_attribution,
         "dsir_weights": _q_dsir_weights,
         "pagerank": _q_pagerank,
+        "degree_powerlaw": _q_degree_powerlaw,
         "trustrank": _q_trustrank,
         "crawl_depth": _q_crawl_depth,
         "mirror_detect": _q_mirror_detect,
@@ -4251,6 +4268,17 @@ def oracle_sql() -> dict[str, str]:
                           + 0.85 * coalesce(c2.c, 0) AS rank
                    FROM nodes LEFT JOIN c2 USING (node))
             SELECT node, round(rank, 6) AS rank FROM r2
+        """,
+        "degree_powerlaw": """
+            WITH deg AS (
+              SELECT l_suppkey, count(*) AS deg FROM lineitem GROUP BY 1
+            ), hist AS (
+              SELECT deg, count(*) AS n FROM deg GROUP BY 1
+            )
+            SELECT round(regr_slope(ln(n), ln(deg)), 6) AS slope,
+                   round(regr_intercept(ln(n), ln(deg)), 6) AS intercept,
+                   count(*) AS n_points
+            FROM hist
         """,
         "trustrank": """
             WITH e AS (

@@ -769,3 +769,66 @@ def mirror_hosts(
             "jaccard": np.round(sh / un.astype("float64"), round_to)})
 
     return j.map_batches(finish, batch_format="pandas")
+
+
+def degree_powerlaw(ids: rd.Dataset, *, id_col: str = "node",
+                    round_to: int = 6) -> rd.Dataset:
+    """Log-log least-squares fit of the out-degree histogram — the
+    classic web-graph power-law audit (Broder et al. 2000, "Graph
+    structure in the Web": in/out-degree distributions follow
+    ``P(deg = k) ∝ k^slope`` with slope ≈ -2.1/-2.7).  A crawl whose
+    fitted slope drifts far from the expected exponent is the standard
+    smoke signal for frontier capture by spider traps or link farms.
+
+    ``ids`` is one row per edge carrying the source node in ``id_col``
+    (degree = row count per node).  Everything is combiner-bounded and
+    keys-only: per-node degree (``grouped_agg``), degree histogram
+    (``grouped_agg``, ≤ |distinct degrees| rows), then per-batch partial
+    sums of (1, x, y, xy, x²) over (x, y) = (ln deg, ln n) reduce through
+    ONE single-key exchange of five scalars per block — no histogram or
+    node table ever reaches the driver.
+
+    Returns one row ``(slope, intercept, n_points)`` with slope/intercept
+    rounded to ``round_to`` — bit-comparable to DuckDB's
+    ``regr_slope(ln(n), ln(deg))`` / ``regr_intercept`` over the same
+    histogram (both sides are plain float64 normal equations; a <2-point
+    or zero-variance histogram yields NaN like SQL's NULL).
+    """
+    from .relational import grouped_agg
+
+    deg = grouped_agg(ids, [id_col], {"deg": ("count", id_col)})
+    hist = grouped_agg(deg, ["deg"], {"n": ("count", "deg")})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"__k": pd.Series(dtype="int64"),
+                                 **{c: pd.Series(dtype="float64")
+                                    for c in ("pn", "sx", "sy", "sxy", "sxx")}})
+        x = np.log(df["deg"].to_numpy(np.float64))
+        y = np.log(df["n"].to_numpy(np.float64))
+        return pd.DataFrame({
+            "__k": np.int64(0), "pn": [float(len(x))],
+            "sx": [x.sum()], "sy": [y.sum()],
+            "sxy": [(x * y).sum()], "sxx": [(x * x).sum()]})
+
+    sums = grouped_agg(
+        hist.map_batches(partial, batch_format="pandas"), ["__k"],
+        {c: ("sum", c) for c in ("pn", "sx", "sy", "sxy", "sxx")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"slope": pd.Series(dtype="float64"),
+                                 "intercept": pd.Series(dtype="float64"),
+                                 "n_points": pd.Series(dtype="int64")})
+        n = df["pn"].to_numpy(np.float64)
+        sx, sy = df["sx"].to_numpy(np.float64), df["sy"].to_numpy(np.float64)
+        sxy, sxx = df["sxy"].to_numpy(np.float64), df["sxx"].to_numpy(np.float64)
+        den = n * sxx - sx * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.where(den != 0.0, (n * sxy - sx * sy) / den, np.nan)
+            intercept = np.where(n > 0, (sy - slope * sx) / n, np.nan)
+        return pd.DataFrame({"slope": np.round(slope, round_to),
+                             "intercept": np.round(intercept, round_to),
+                             "n_points": n.astype("int64")})
+
+    return sums.map_batches(finish, batch_format="pandas")

@@ -1840,3 +1840,34 @@ def test_triangle_counts_brute_force(ray_session):
     assert got == want
     assert got[100] == 6 + sum(1 for _ in ())  # C(4,2) clique triangles
     assert 200 not in got  # star center: zero triangles
+
+
+def test_degree_powerlaw_closed_form(ray_session):
+    """degree_powerlaw on a histogram that lies EXACTLY on a power law:
+    4 nodes of degree 1, 2 of degree 2, 1 of degree 4 → log-log points
+    (0, ln4), (ln2, ln2), (ln4, 0) → slope -1, intercept ln4.  Any
+    dropped histogram row, double-counted degree, or partial-sum mixup
+    moves the fit off the closed form."""
+    from borges_ray.ops.graph import degree_powerlaw
+
+    ids = (["a", "b", "c", "d"]          # degree 1
+           + ["e", "e", "f", "f"]        # degree 2
+           + ["g"] * 4)                  # degree 4
+    ds = rd.from_pandas(pd.DataFrame({"node": ids})).repartition(3)
+    out = degree_powerlaw(ds).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["n_points"] == 3
+    assert row["slope"] == pytest.approx(-1.0, abs=1e-6)
+    assert row["intercept"] == pytest.approx(np.log(4.0), abs=1e-6)
+
+
+def test_degree_powerlaw_degenerate(ray_session):
+    """A single-degree histogram has zero x-variance → NaN fit (matching
+    SQL regr_slope's NULL), with n_points still reported."""
+    from borges_ray.ops.graph import degree_powerlaw
+
+    ds = rd.from_pandas(pd.DataFrame({"node": ["a", "b", "c"]}))
+    out = degree_powerlaw(ds).to_pandas()
+    assert len(out) == 1 and out.iloc[0]["n_points"] == 1
+    assert np.isnan(out.iloc[0]["slope"])
