@@ -1363,6 +1363,24 @@ def _q_degree_powerlaw(sf_dir: str):
     return degree_powerlaw(ids)
 
 
+def _q_reciprocity(sf_dir: str):
+    """Link reciprocity of a synthetic 4096-node directed graph derived
+    from lineitem — the structural nepotism signal (organic hyperlinks
+    are asymmetric; link-exchange rings are not).  Distinct edges →
+    reversed semi-join → two-scalar-per-block reduce, keys-only."""
+    from borges_ray.ops.graph import reciprocity
+    from borges_ray.ops.relational import load
+
+    li = load(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": df["l_orderkey"].to_numpy("int64") % 4096,
+            "dst": (df["l_partkey"].to_numpy("int64") * 13) % 4096})
+
+    return reciprocity(li.map_batches(to_edges, batch_format="pandas"))
+
+
 def _q_trustrank(sf_dir: str):
     """TrustRank (Gyöngyi et al. 2004): PageRank with the teleport mass
     restricted to a trusted whitelist (suppliers ≡ 0 mod 7), so rank
@@ -2811,6 +2829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": _q_dsir_weights,
         "pagerank": _q_pagerank,
         "degree_powerlaw": _q_degree_powerlaw,
+        "reciprocity": _q_reciprocity,
         "trustrank": _q_trustrank,
         "crawl_depth": _q_crawl_depth,
         "mirror_detect": _q_mirror_detect,
@@ -4279,6 +4298,22 @@ def oracle_sql() -> dict[str, str]:
                    round(regr_intercept(ln(n), ln(deg)), 6) AS intercept,
                    count(*) AS n_points
             FROM hist
+        """,
+        "reciprocity": """
+            WITH e AS (
+              SELECT DISTINCT l_orderkey % 4096 AS src,
+                              (l_partkey * 13) % 4096 AS dst
+              FROM lineitem
+              WHERE l_orderkey % 4096 <> (l_partkey * 13) % 4096
+            ), r AS (
+              SELECT count(*) AS n_recip FROM e a
+              WHERE EXISTS (SELECT 1 FROM e b
+                            WHERE b.src = a.dst AND b.dst = a.src)
+            )
+            SELECT (SELECT count(*) FROM e) AS n_edges,
+                   (SELECT n_recip FROM r) AS n_recip,
+                   round((SELECT n_recip FROM r) * 1.0
+                         / (SELECT count(*) FROM e), 6) AS reciprocity
         """,
         "trustrank": """
             WITH e AS (

@@ -188,7 +188,7 @@ QUERY_SUBSET = [
     # positional phrase search, Broder containment pairs
     "crawl_depth", "mirror_detect", "phrase_search", "containment_docs",
     "proximity_search", "pipeline_funnel", "triangle_census",
-    "graph_components", "degree_powerlaw",
+    "graph_components", "degree_powerlaw", "reciprocity",
 ]
 
 

@@ -832,3 +832,78 @@ def degree_powerlaw(ids: rd.Dataset, *, id_col: str = "node",
                              "n_points": n.astype("int64")})
 
     return sums.map_batches(finish, batch_format="pandas")
+
+
+def reciprocity(edges: rd.Dataset, *, src_col: str = "src",
+                dst_col: str = "dst", round_to: int = 6) -> rd.Dataset:
+    """Link reciprocity of a directed graph: the fraction of distinct
+    non-loop edges u→v whose reverse v→u also exists.  On the web graph
+    reciprocity is a nepotism signal — organic hyperlinks are strongly
+    asymmetric, while link-exchange rings and mirror farms produce
+    near-symmetric subgraphs (the same intuition as Bharat-Broder mirror
+    detection, but purely structural).
+
+    Keys-only end-to-end: distinct edges (combiner + one bucketed
+    exchange), reversed copy, one semi-join co-locating each edge with
+    its reverse (``hash_semi_join``: build side reduced to distinct keys
+    before the shuffle), then per-batch (n_edges, n_recip) partials
+    reduce through a single-key exchange of two scalars per block.
+
+    Returns one row ``(n_edges, n_recip, reciprocity)``; an empty edge
+    set yields ``(0, 0, NaN)`` (SQL's NULL ratio).
+    """
+    from .relational import distinct, grouped_agg, hash_semi_join, spill_point
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[src_col].to_numpy() != df[dst_col].to_numpy()
+        return pd.DataFrame({"src": df[src_col].to_numpy("int64")[keep],
+                             "dst": df[dst_col].to_numpy("int64")[keep]})
+
+    from .relational import schema_anchor
+
+    # spill: e is consumed three times (probe side, reversed build side,
+    # edge tally) — without the pin the distinct exchange runs three times.
+    # anchor: a loop-only input leaves distinct with zero rows, whose
+    # exchange emits a schema-less dataset that breaks hash_semi_join.
+    e = schema_anchor(
+        spill_point(distinct(edges.map_batches(clean, batch_format="pandas"),
+                             ["src", "dst"]), "recip_e"),
+        pd.DataFrame({"src": pd.Series(dtype="int64"),
+                      "dst": pd.Series(dtype="int64")}))
+    rev = e.map_batches(
+        lambda df: pd.DataFrame({"src": df["dst"], "dst": df["src"]}),
+        batch_format="pandas")
+    recip = hash_semi_join(e, rev, on=["src", "dst"])
+
+    def tally(which: str):
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"__k": pd.Series(dtype="int64"),
+                                     "n_edges": pd.Series(dtype="int64"),
+                                     "n_recip": pd.Series(dtype="int64")})
+            n = len(df)
+            return pd.DataFrame({
+                "__k": np.int64(0),
+                "n_edges": [n if which == "e" else 0],
+                "n_recip": [n if which == "r" else 0]})
+        return part
+
+    parts = (e.map_batches(tally("e"), batch_format="pandas")
+             .union(recip.map_batches(tally("r"), batch_format="pandas")))
+    # zero-row anchor: an empty graph still yields the (0, 0, NaN) row
+    anchor = pd.DataFrame({"__k": [np.int64(0)], "n_edges": [np.int64(0)],
+                           "n_recip": [np.int64(0)]})
+    parts = rd.from_pandas(anchor).union(parts)
+    sums = grouped_agg(parts, ["__k"],
+                       {"n_edges": ("sum", "n_edges"),
+                        "n_recip": ("sum", "n_recip")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ne = df["n_edges"].to_numpy("int64")
+        nr = df["n_recip"].to_numpy("int64")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(ne > 0, nr / np.where(ne > 0, ne, 1), np.nan)
+        return pd.DataFrame({"n_edges": ne, "n_recip": nr,
+                             "reciprocity": np.round(ratio, round_to)})
+
+    return sums.map_batches(finish, batch_format="pandas")

@@ -1871,3 +1871,30 @@ def test_degree_powerlaw_degenerate(ray_session):
     out = degree_powerlaw(ds).to_pandas()
     assert len(out) == 1 and out.iloc[0]["n_points"] == 1
     assert np.isnan(out.iloc[0]["slope"])
+
+
+def test_reciprocity_known_graph(ray_session):
+    """reciprocity on a hand-checked multigraph: self-loops dropped,
+    duplicate edges collapse, and exactly the two mutual pairs (1↔2,
+    3↔4) count → 4 of 5 distinct non-loop edges reciprocal."""
+    from borges_ray.ops.graph import reciprocity
+
+    E = [(1, 2), (2, 1), (1, 3), (3, 4), (4, 3), (5, 5), (1, 2)]
+    ds = rd.from_pandas(pd.DataFrame(E, columns=["src", "dst"])).repartition(3)
+    out = reciprocity(ds).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row["n_edges"], row["n_recip"]) == (5, 4)
+    assert row["reciprocity"] == pytest.approx(0.8, abs=1e-9)
+
+
+def test_reciprocity_empty(ray_session):
+    """Self-loop-only input → the anchored (0, 0, NaN) row, not a
+    schema-less empty dataset."""
+    from borges_ray.ops.graph import reciprocity
+
+    ds = rd.from_pandas(pd.DataFrame({"src": [7, 8], "dst": [7, 8]}))
+    out = reciprocity(ds).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["n_edges"], out.iloc[0]["n_recip"]) == (0, 0)
+    assert np.isnan(out.iloc[0]["reciprocity"])
