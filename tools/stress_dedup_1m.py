@@ -469,6 +469,82 @@ def main_bfs() -> int:
     return 0 if agg["bad"] == 0 else 1
 
 
+def main_reciprocity() -> int:
+    """Link reciprocity at 4M nodes / 3M distinct edges with an EXACT
+    combinatorial check: nodes pair up (2p, 2p+1); even pairs link BOTH
+    ways, odd pairs forward only, every edge is emitted twice and every
+    node adds a self-loop — so distinct must collapse 10M raw rows to
+    exactly 3M edges of which exactly 2M are reciprocal (ratio 2/3).
+    Any duplicate surviving distinct, any self-loop leaking, or any
+    semi-join probe mis-bucketing moves one of the three integers."""
+    import ray.data as rd
+
+    from borges_ray.ops.graph import reciprocity
+
+    N = 4_000_000
+    T0 = time.time()
+
+    def mk_edges(df):
+        i = df["id"].to_numpy(np.int64)
+        ev = i[i % 2 == 0]
+        fwd_src, fwd_dst = ev, ev + 1                      # every pair: fwd
+        mut = ev[(ev // 2) % 2 == 0]                       # even pairs: back
+        back_src, back_dst = mut + 1, mut
+        src = np.concatenate([fwd_src, back_src, fwd_src, back_src, i])
+        dst = np.concatenate([fwd_dst, back_dst, fwd_dst, back_dst, i])
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    edges = rd.range(N).map_batches(mk_edges, batch_format="pandas")
+    out = reciprocity(edges).to_pandas()
+    dt = time.time() - T0
+    row = out.iloc[0]
+    n_edges, n_recip = int(row["n_edges"]), int(row["n_recip"])
+    print(f"RECIPROCITY 4M nodes: {dt:.1f}s ({n_edges / dt:.0f} edges/s); "
+          f"n_edges={n_edges} n_recip={n_recip} r={row['reciprocity']}",
+          flush=True)
+    ok = (n_edges == 3_000_000 and n_recip == 2_000_000
+          and float(row["reciprocity"]) == round(2 / 3, 6))
+    return 0 if ok else 1
+
+
+def main_powerlaw() -> int:
+    """Degree power-law fit at ~2.1M edge rows with an EXACT closed
+    form: for k = 0..10, 4^(10-k) nodes carry degree 2^k, so the
+    log-log histogram points (k ln2, (10-k) ln4) are perfectly
+    collinear — slope EXACTLY -2, intercept 10 ln4, 11 points.  Any
+    dropped histogram row, double-counted degree, or partial-sum mixup
+    in the five-scalar reduce bends the line."""
+    import ray.data as rd
+
+    from borges_ray.ops.graph import degree_powerlaw
+
+    K = 10
+    rows_k = np.array([4 ** K >> k for k in range(K + 1)], dtype=np.int64)
+    row_start = np.concatenate(([0], np.cumsum(rows_k)))
+    node_base = np.concatenate(
+        ([0], np.cumsum([4 ** (K - k) for k in range(K + 1)]))).astype(np.int64)
+    total = int(row_start[-1])
+    T0 = time.time()
+
+    def mk_ids(df):
+        r = df["id"].to_numpy(np.int64)
+        k = np.searchsorted(row_start, r, side="right") - 1
+        node = node_base[k] + ((r - row_start[k]) >> k)
+        return pd.DataFrame({"node": node})
+
+    ids = rd.range(total).map_batches(mk_ids, batch_format="pandas")
+    out = degree_powerlaw(ids).to_pandas()
+    dt = time.time() - T0
+    row = out.iloc[0]
+    print(f"POWERLAW {total} rows: {dt:.1f}s ({total / dt:.0f} rows/s); "
+          f"slope={row['slope']} intercept={row['intercept']} "
+          f"n_points={int(row['n_points'])}", flush=True)
+    ok = (int(row["n_points"]) == K + 1
+          and float(row["slope"]) == -2.0
+          and float(row["intercept"]) == round(K * np.log(4.0), 6))
+    return 0 if ok else 1
+
+
 if __name__ == "__main__":
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=32, include_dashboard=False,
@@ -493,6 +569,10 @@ if __name__ == "__main__":
         rc = main_pagerank()
     elif "--bfs" in sys.argv:
         rc = main_bfs()
+    elif "--reciprocity" in sys.argv:
+        rc = main_reciprocity()
+    elif "--powerlaw" in sys.argv:
+        rc = main_powerlaw()
     else:
         rc = main("--planted" in sys.argv)
     ray.shutdown()
