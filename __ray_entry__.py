@@ -1363,6 +1363,27 @@ def _q_degree_powerlaw(sf_dir: str):
     return degree_powerlaw(ids)
 
 
+def _q_clustering_coeff(sf_dir: str):
+    """Watts-Strogatz local clustering coefficient over the same 16384-host
+    link graph as ``triangle_census`` — the (deg, cc) scatter separates
+    spam cliques (cc ≈ 1) from organic hubs (cc ≈ 0).  Triangle table
+    left-joined onto the degree table, ratio vectorized per batch."""
+    from borges_ray.ops.graph import clustering_coefficient
+    from borges_ray.ops.relational import load
+
+    li = load(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        p = ((df["l_orderkey"].to_numpy("int64") * 7
+              + df["l_linenumber"].to_numpy("int64")) % 16384)
+        q = (df["l_partkey"].to_numpy("int64") * 13) % 16384
+        return pd.DataFrame({"src": p, "dst": q})
+
+    return clustering_coefficient(li.map_batches(to_edges,
+                                                 batch_format="pandas"))
+
+
 def _q_reciprocity(sf_dir: str):
     """Link reciprocity of a synthetic 4096-node directed graph derived
     from lineitem — the structural nepotism signal (organic hyperlinks
@@ -2830,6 +2851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "degree_powerlaw": _q_degree_powerlaw,
         "reciprocity": _q_reciprocity,
+        "clustering_coeff": _q_clustering_coeff,
         "trustrank": _q_trustrank,
         "crawl_depth": _q_crawl_depth,
         "mirror_detect": _q_mirror_detect,
@@ -4298,6 +4320,37 @@ def oracle_sql() -> dict[str, str]:
                    round(regr_intercept(ln(n), ln(deg)), 6) AS intercept,
                    count(*) AS n_points
             FROM hist
+        """,
+        "clustering_coeff": """
+            WITH raw AS (
+              SELECT (l_orderkey * 7 + l_linenumber) % 16384 AS p,
+                     (l_partkey * 13) % 16384 AS q
+              FROM lineitem
+            ), e AS (
+              SELECT DISTINCT least(p, q) AS u, greatest(p, q) AS v
+              FROM raw WHERE p <> q
+            ), deg AS (
+              SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY 1
+            ), t AS (
+              SELECT a.u AS x, a.v AS y, b.v AS z
+              FROM e a
+              JOIN e b ON b.u = a.v
+              JOIN e c ON c.u = a.u AND c.v = b.v
+            ), corners AS (
+              SELECT x AS node FROM t
+              UNION ALL SELECT y FROM t
+              UNION ALL SELECT z FROM t
+            ), tc AS (
+              SELECT node, count(*) AS n_tri FROM corners GROUP BY node
+            )
+            SELECT d.node,
+                   CAST(coalesce(tc.n_tri, 0) AS BIGINT) AS n_triangles,
+                   round(2.0 * coalesce(tc.n_tri, 0)
+                         / (d.deg * (d.deg - 1.0)), 6) AS cc
+            FROM deg d LEFT JOIN tc USING (node)
+            WHERE d.deg >= 2
         """,
         "reciprocity": """
             WITH e AS (

@@ -1898,3 +1898,19 @@ def test_reciprocity_empty(ray_session):
     assert len(out) == 1
     assert (out.iloc[0]["n_edges"], out.iloc[0]["n_recip"]) == (0, 0)
     assert np.isnan(out.iloc[0]["reciprocity"])
+
+
+def test_clustering_coefficient_known_graph(ray_session):
+    """clustering_coefficient on triangle(a,b,c) + pendant edge c-d, fed
+    as noisy directed multi-edges: a and b close their only wedge
+    (cc = 1), c has one triangle over three wedges (cc = 1/3), and the
+    degree-1 node d is excluded."""
+    from borges_ray.ops.graph import clustering_coefficient
+
+    E = [(1, 2), (2, 3), (3, 1), (3, 4), (2, 1), (1, 1)]  # dup + loop noise
+    ds = rd.from_pandas(pd.DataFrame(E, columns=["src", "dst"])).repartition(2)
+    out = (clustering_coefficient(ds).to_pandas()
+           .sort_values("node", ignore_index=True))
+    assert out["node"].tolist() == [1, 2, 3]
+    assert out["n_triangles"].tolist() == [1, 1, 1]
+    assert out["cc"].tolist() == pytest.approx([1.0, 1.0, 0.333333], abs=1e-6)
