@@ -1402,6 +1402,51 @@ def _q_reciprocity(sf_dir: str):
     return reciprocity(li.map_batches(to_edges, batch_format="pandas"))
 
 
+def _q_degree_assortativity(sf_dir: str):
+    """Degree assortativity (Newman 2002) of a 16384-host link graph
+    derived from lineitem — the web is disassortative; r drifting
+    positive flags a link farm densely cross-linking its hubs.  Four
+    Pearson sufficient-statistic scalars per block cross the final
+    exchange; no edge table reaches the driver."""
+    from borges_ray.ops.graph import degree_assortativity
+    from borges_ray.ops.relational import load
+
+    li = load(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        p = ((df["l_orderkey"].to_numpy("int64") * 11
+              + df["l_linenumber"].to_numpy("int64")) % 16384)
+        q = (df["l_partkey"].to_numpy("int64") * 17) % 16384
+        return pd.DataFrame({"src": p, "dst": q})
+
+    return degree_assortativity(li.map_batches(to_edges,
+                                               batch_format="pandas"))
+
+
+def _q_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction over a 4096-host graph: top-100
+    non-adjacent pairs by Σ 1/ln(deg) over common neighbors — crawl-side
+    seed discovery / nepotism audit.  Centers above deg 256 are dropped
+    (hot-key cap, mirrored exactly in the oracle); wedge fan-out is
+    bucketed per center, the anti-join against the edge set is a
+    keys-only hash exchange."""
+    from borges_ray.ops.graph import adamic_adar
+    from borges_ray.ops.relational import load
+
+    li = load(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        p = ((df["l_orderkey"].to_numpy("int64") * 5
+              + df["l_linenumber"].to_numpy("int64")) % 4096)
+        q = (df["l_partkey"].to_numpy("int64") * 29) % 4096
+        return pd.DataFrame({"src": p, "dst": q})
+
+    return adamic_adar(li.map_batches(to_edges, batch_format="pandas"),
+                       k=100, max_deg=256)
+
+
 def _q_trustrank(sf_dir: str):
     """TrustRank (Gyöngyi et al. 2004): PageRank with the teleport mass
     restricted to a trusted whitelist (suppliers ≡ 0 mod 7), so rank
@@ -2852,6 +2897,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_powerlaw": _q_degree_powerlaw,
         "reciprocity": _q_reciprocity,
         "clustering_coeff": _q_clustering_coeff,
+        "degree_assortativity": _q_degree_assortativity,
+        "adamic_adar": _q_adamic_adar,
         "trustrank": _q_trustrank,
         "crawl_depth": _q_crawl_depth,
         "mirror_detect": _q_mirror_detect,
@@ -4351,6 +4398,65 @@ def oracle_sql() -> dict[str, str]:
                          / (d.deg * (d.deg - 1.0)), 6) AS cc
             FROM deg d LEFT JOIN tc USING (node)
             WHERE d.deg >= 2
+        """,
+        "degree_assortativity": """
+            WITH raw AS (
+              SELECT (l_orderkey * 11 + l_linenumber) % 16384 AS p,
+                     (l_partkey * 17) % 16384 AS q
+              FROM lineitem
+            ), e AS (
+              SELECT DISTINCT least(p, q) AS u, greatest(p, q) AS v
+              FROM raw WHERE p <> q
+            ), deg AS (
+              SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY 1
+            ), pairs AS (
+              SELECT du.deg AS x, dv.deg AS y
+              FROM e JOIN deg du ON du.node = e.u
+                     JOIN deg dv ON dv.node = e.v
+              UNION ALL
+              SELECT dv.deg, du.deg
+              FROM e JOIN deg du ON du.node = e.u
+                     JOIN deg dv ON dv.node = e.v
+            )
+            SELECT round(corr(x, y), 6) AS r,
+                   CAST(count(*) // 2 AS BIGINT) AS n_edges
+            FROM pairs
+        """,
+        "adamic_adar": """
+            WITH raw AS (
+              SELECT (l_orderkey * 5 + l_linenumber) % 4096 AS p,
+                     (l_partkey * 29) % 4096 AS q
+              FROM lineitem
+            ), e AS (
+              SELECT DISTINCT least(p, q) AS u, greatest(p, q) AS v
+              FROM raw WHERE p <> q
+            ), deg AS (
+              SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY 1
+            ), ctr AS (
+              SELECT node, 1.0 / ln(deg) AS w FROM deg
+              WHERE deg BETWEEN 2 AND 256
+            ), adj AS (
+              SELECT u AS center, v AS nbr FROM e
+              UNION ALL SELECT v, u FROM e
+            ), wedge AS (
+              SELECT a.nbr AS x, b.nbr AS y, c.w AS w
+              FROM adj a
+              JOIN adj b ON a.center = b.center AND a.nbr < b.nbr
+              JOIN ctr c ON c.node = a.center
+            ), sc AS (
+              SELECT x, y, round(sum(w), 6) AS score
+              FROM wedge GROUP BY 1, 2
+            ), novel AS (
+              SELECT sc.x, sc.y, sc.score FROM sc
+              WHERE NOT EXISTS (SELECT 1 FROM e
+                                WHERE e.u = sc.x AND e.v = sc.y)
+            )
+            SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, score
+            FROM novel ORDER BY score DESC, x, y LIMIT 100
         """,
         "reciprocity": """
             WITH e AS (

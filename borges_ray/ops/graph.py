@@ -981,3 +981,206 @@ def clustering_coefficient(edges: rd.Dataset, *, src_col: str = "src",
                              "cc": cc})
 
     return j.map_batches(finish, batch_format="pandas")
+
+
+def degree_assortativity(edges: rd.Dataset, *, src_col: str = "src",
+                         dst_col: str = "dst",
+                         round_to: int = 6) -> rd.Dataset:
+    """Degree assortativity coefficient of the undirected link graph —
+    the Pearson correlation of endpoint degrees over edges (Newman 2002,
+    "Assortative mixing in networks").  The web is disassortative
+    (r < 0: hubs link to leaves); a crawl segment whose r drifts
+    positive is the textbook signature of a link farm, where
+    high-degree spam pages densely cross-link each other.
+
+    Keys-only throughout: distinct undirected edges → endpoint degree
+    table (``grouped_agg`` combiner) → two hash-joins attach
+    (deg_u, deg_v) → per-batch partial sums of the Pearson sufficient
+    statistics over the SYMMETRIZED pair set (each edge contributes
+    (du, dv) and (dv, du), so Σx = Σy and Σx² = Σy² and only four
+    scalars (n, sx, sxx, sxy) cross the final single-key exchange, five
+    doubles per block.  No edge or node table ever reaches the driver.
+
+    Returns one row ``(r float64, n_edges int64)`` with ``r`` rounded to
+    ``round_to`` — bit-comparable to DuckDB ``corr(x, y)`` over the
+    two-orientation UNION ALL (Pearson r is the same under sample or
+    population normalization, so the combiner form matches exactly).
+    A graph with < 2 distinct degree values yields NaN like SQL NULL.
+    """
+    from .relational import distinct, grouped_agg, hash_join, spill_point
+
+    def undirect(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src_col].to_numpy("int64")
+        b = df[dst_col].to_numpy("int64")
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pd.DataFrame({"u": np.minimum(a, b), "v": np.maximum(a, b)})
+
+    und = spill_point(
+        distinct(edges.map_batches(undirect, batch_format="pandas"),
+                 ["u", "v"]), "assort_und")
+    ends = und.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": np.concatenate([df["u"].to_numpy("int64"),
+                                     df["v"].to_numpy("int64")])}),
+        batch_format="pandas")
+    deg = grouped_agg(ends, ["node"], {"deg": ("count", "node")})
+    du = deg.map_batches(
+        lambda df: pd.DataFrame({"u": df["node"], "deg_u": df["deg"]}),
+        batch_format="pandas")
+    dv = deg.map_batches(
+        lambda df: pd.DataFrame({"v": df["node"], "deg_v": df["deg"]}),
+        batch_format="pandas")
+    withdeg = hash_join(hash_join(und, du, on=["u"]), dv, on=["v"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ("pn", "sx", "sxx", "sxy")
+        if not len(df):
+            return pd.DataFrame({"__k": pd.Series(dtype="int64"),
+                                 **{c: pd.Series(dtype="float64")
+                                    for c in cols}})
+        a = df["deg_u"].to_numpy(np.float64)
+        b = df["deg_v"].to_numpy(np.float64)
+        # symmetrized: each edge counts as (a, b) AND (b, a)
+        return pd.DataFrame({
+            "__k": np.int64(0), "pn": [2.0 * len(a)],
+            "sx": [(a + b).sum()],
+            "sxx": [(a * a + b * b).sum()],
+            "sxy": [2.0 * (a * b).sum()]})
+
+    sums = grouped_agg(
+        withdeg.map_batches(partial, batch_format="pandas"), ["__k"],
+        {c: ("sum", c) for c in ("pn", "sx", "sxx", "sxy")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"r": pd.Series(dtype="float64"),
+                                 "n_edges": pd.Series(dtype="int64")})
+        n = df["pn"].to_numpy(np.float64)
+        sx = df["sx"].to_numpy(np.float64)
+        sxx = df["sxx"].to_numpy(np.float64)
+        sxy = df["sxy"].to_numpy(np.float64)
+        var = n * sxx - sx * sx          # = n²·Var(x), and Var(y) == Var(x)
+        cov = n * sxy - sx * sx          # Σy = Σx under symmetrization
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(var > 0.0, cov / var, np.nan)
+        return pd.DataFrame({"r": np.round(r, round_to),
+                             "n_edges": (n / 2.0).astype("int64")})
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
+def adamic_adar(edges: rd.Dataset, *, src_col: str = "src",
+                dst_col: str = "dst", k: int = 100, max_deg: int = 256,
+                round_to: int = 6) -> pd.DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003, "Friends and
+    neighbors on the Web"): for every non-adjacent pair (x, y) sharing
+    ≥1 neighbor, score = Σ over common neighbors z of 1/ln(deg(z)) —
+    the crawl-side use is seed discovery (which un-crawled host pairs
+    are almost certainly connected) and nepotism auditing (a pair with
+    huge AA but no edge is a link farm one edit away).
+
+    Same hot-key discipline as :func:`triangle_counts`: the quadratic
+    wedge fan-out happens per CENTER node, so centers above ``max_deg``
+    are dropped (a celebrity hub contributes ≈1/ln(deg)→0 per pair
+    anyway — the cap removes O(deg²) work for a vanishing score term,
+    and the SQL oracle applies the identical cap, keeping the twin
+    exact).  Pipeline, keys-only: distinct undirected edges → degree
+    table → eligible centers (2 ≤ deg ≤ max_deg) carrying w = 1/ln(deg)
+    → both-orientation adjacency hash-joined to center weights →
+    bucketed per-center neighbor-pair fan-out → (x, y) sum exchange →
+    hash ANTI-join against the edge set drops already-linked pairs →
+    combiner-bounded global top-k.
+
+    Returns a pandas DataFrame ``(x int64, y int64, score float64)`` of
+    the top ``k`` pairs by (rounded score desc, x, y) — top-k results
+    are small by construction.
+    """
+    from .relational import (distinct, grouped_agg, groupby_buckets,
+                             hash_join, hash_semi_join, schema_anchor,
+                             spill_point, topk)
+
+    def undirect(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src_col].to_numpy("int64")
+        b = df[dst_col].to_numpy("int64")
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return pd.DataFrame({"u": np.minimum(a, b), "v": np.maximum(a, b)})
+
+    und = spill_point(
+        distinct(edges.map_batches(undirect, batch_format="pandas"),
+                 ["u", "v"]), "aa_und")
+    ends = und.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": np.concatenate([df["u"].to_numpy("int64"),
+                                     df["v"].to_numpy("int64")])}),
+        batch_format="pandas")
+    deg = grouped_agg(ends, ["node"], {"deg": ("count", "node")})
+
+    def eligible(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["deg"].to_numpy("int64")
+        m = (d >= 2) & (d <= max_deg)
+        return pd.DataFrame({"center": df["node"].to_numpy("int64")[m],
+                             "w": 1.0 / np.log(d[m].astype(np.float64))})
+
+    ctr = deg.map_batches(eligible, batch_format="pandas")
+    adj = und.map_batches(
+        lambda df: pd.DataFrame({"center": np.concatenate(
+            [df["u"].to_numpy("int64"), df["v"].to_numpy("int64")]),
+            "nbr": np.concatenate(
+            [df["v"].to_numpy("int64"), df["u"].to_numpy("int64")])}),
+        batch_format="pandas")
+    wadj = hash_join(adj, ctr, on=["center"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"x": pd.Series(dtype="int64"),
+                              "y": pd.Series(dtype="int64"),
+                              "w": pd.Series(dtype="float64")})
+        if not len(df):
+            return empty
+        order = np.lexsort((df["nbr"].to_numpy(), df["center"].to_numpy()))
+        c = df["center"].to_numpy("int64")[order]
+        nb = df["nbr"].to_numpy("int64")[order]
+        w = df["w"].to_numpy(np.float64)[order]
+        cut = np.flatnonzero(c[1:] != c[:-1]) + 1
+        starts = np.concatenate(([0], cut))
+        stops = np.concatenate((cut, [len(c)]))
+        xs, ys, ws = [], [], []
+        for s, e in zip(starts, stops):
+            m = e - s
+            if m < 2:
+                continue
+            n_ = nb[s:e]          # sorted, so x < y comes out of triu free
+            ia, ib = np.triu_indices(m, k=1)
+            xs.append(n_[ia])
+            ys.append(n_[ib])
+            ws.append(np.full(len(ia), w[s]))
+        if not xs:
+            return empty
+        return pd.DataFrame({"x": np.concatenate(xs),
+                             "y": np.concatenate(ys),
+                             "w": np.concatenate(ws)})
+
+    wset = schema_anchor(
+        groupby_buckets(wadj, ["center"], pairs),
+        pd.DataFrame({"x": pd.Series(dtype="int64"),
+                      "y": pd.Series(dtype="int64"),
+                      "w": pd.Series(dtype="float64")}))
+    scored = grouped_agg(wset, ["x", "y"], {"score": ("sum", "w")})
+    exy = und.map_batches(
+        lambda df: pd.DataFrame({"x": df["u"], "y": df["v"]}),
+        batch_format="pandas")
+    novel = hash_semi_join(scored, exy, on=["x", "y"], anti=True)
+    rounded = novel.map_batches(
+        lambda df: pd.DataFrame({"x": df["x"].astype("int64"),
+                                 "y": df["y"].astype("int64"),
+                                 "score": df["score"].round(round_to)}),
+        batch_format="pandas")
+    # When no center survives the cap, the exchanges upstream may have run a
+    # zero-row sort (schema-less dataset); re-anchor so topk's final frame
+    # keeps its columns.
+    rounded = schema_anchor(
+        rounded, pd.DataFrame({"x": pd.Series(dtype="int64"),
+                               "y": pd.Series(dtype="int64"),
+                               "score": pd.Series(dtype="float64")}))
+    return topk(rounded, ["score"], k, tiebreak=["x", "y"])

@@ -361,6 +361,15 @@ def topk(
 
     tops = ds.map_batches(partial, batch_format="pandas")
     final = tops.to_pandas()
+    if not len(final) and not all(c in final.columns for c in order_cols):
+        # to_pandas() on a fully-empty dataset returns a 0-COLUMN frame even
+        # when the plan schema is intact; rebuild the typed empty frame from
+        # the schema so callers get stable columns.
+        schema = ds.schema(fetch_if_missing=True)
+        if schema is not None:
+            final = pd.DataFrame({
+                n: pd.Series(dtype=t.to_pandas_dtype())
+                for n, t in zip(schema.names, schema.types)})
     return (
         final.sort_values(order_cols, ascending=ascending, kind="mergesort")
         .head(k)

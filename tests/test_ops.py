@@ -1914,3 +1914,58 @@ def test_clustering_coefficient_known_graph(ray_session):
     assert out["node"].tolist() == [1, 2, 3]
     assert out["n_triangles"].tolist() == [1, 1, 1]
     assert out["cc"].tolist() == pytest.approx([1.0, 1.0, 0.333333], abs=1e-6)
+
+
+def test_degree_assortativity_star(ray_session):
+    """A perfect star is maximally disassortative: every edge pairs the
+    hub (deg 3) with a leaf (deg 1), so the symmetrized degree-pair set
+    is {(3,1)}³ ∪ {(1,3)}³ and Pearson r = -1 exactly.  Duplicate and
+    self-loop noise must not move it."""
+    from borges_ray.ops.graph import degree_assortativity
+
+    E = [(0, 1), (0, 2), (0, 3), (1, 0), (0, 0)]  # dup + loop noise
+    ds = rd.from_pandas(pd.DataFrame(E, columns=["src", "dst"])).repartition(2)
+    out = degree_assortativity(ds).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["n_edges"] == 3
+    assert out.iloc[0]["r"] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_degree_assortativity_regular(ray_session):
+    """A 4-cycle is 2-regular: zero degree variance → r is NaN (the SQL
+    corr() NULL analogue), with the edge count still reported."""
+    from borges_ray.ops.graph import degree_assortativity
+
+    E = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    ds = rd.from_pandas(pd.DataFrame(E, columns=["src", "dst"]))
+    out = degree_assortativity(ds).to_pandas()
+    assert len(out) == 1 and out.iloc[0]["n_edges"] == 4
+    assert np.isnan(out.iloc[0]["r"])
+
+
+def test_adamic_adar_known_graph(ray_session):
+    """adamic_adar on triangle(1,2,3) + pendant 3-4: every wedge pair
+    inside the triangle is already an edge (dropped by the anti-join);
+    only center 3 (deg 3) predicts (1,4) and (2,4), each scoring
+    1/ln 3.  Degree-1 node 4 is never a center."""
+    from borges_ray.ops.graph import adamic_adar
+
+    E = [(1, 2), (1, 3), (2, 3), (3, 4), (2, 1)]  # one duplicate
+    ds = rd.from_pandas(pd.DataFrame(E, columns=["src", "dst"])).repartition(2)
+    out = adamic_adar(ds, k=10)
+    want = round(1.0 / np.log(3.0), 6)
+    assert list(zip(out["x"], out["y"])) == [(1, 4), (2, 4)]
+    assert out["score"].tolist() == pytest.approx([want, want], abs=1e-9)
+
+
+def test_adamic_adar_max_deg_cap(ray_session):
+    """The hot-key cap drops centers above max_deg: with max_deg=2 the
+    only deg-3 center is excluded and no predictions survive — the
+    result is an empty, correctly-typed frame."""
+    from borges_ray.ops.graph import adamic_adar
+
+    E = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    ds = rd.from_pandas(pd.DataFrame(E, columns=["src", "dst"]))
+    out = adamic_adar(ds, k=10, max_deg=2)
+    assert len(out) == 0
+    assert list(out.columns) == ["x", "y", "score"]
