@@ -1447,6 +1447,71 @@ def _q_adamic_adar(sf_dir: str):
                        k=100, max_deg=256)
 
 
+def _q_cocitation(sf_dir: str):
+    """Co-citation coupling (Small 1973) over an 8192-host directed
+    graph: top-100 target pairs by number of distinct common citing
+    sources (≥2), with the quadratic per-source fan-out capped at
+    out-degree 256 (the directory-page cap, mirrored in the oracle).
+    All-integer counts — no rounding anywhere."""
+    from borges_ray.ops.graph import cocitation
+    from borges_ray.ops.relational import load
+
+    li = load(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        s = ((df["l_orderkey"].to_numpy("int64") * 13
+              + df["l_linenumber"].to_numpy("int64")) % 8192)
+        d = (df["l_partkey"].to_numpy("int64") * 19) % 8192
+        return pd.DataFrame({"src": s, "dst": d})
+
+    return cocitation(li.map_batches(to_edges, batch_format="pandas"),
+                      k=100, min_count=2, max_fanout=256)
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters (freq > n/200) over a Zipf-like derived key
+    stream via two-pass Misra-Gries: per-batch MG summaries merge in one
+    keys-only exchange (never a full-vocabulary shuffle), the ≤ 4k
+    candidates broadcast once, and a second candidate-filtered scan
+    produces EXACT counts — so the SQL twin is a plain
+    ``HAVING count(*)*200 > total``."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.sketch import heavy_hitters
+
+    li = load(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_partkey", "l_linenumber"])
+
+    def to_vals(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["l_orderkey"].to_numpy("int64")
+        v = ((ok * 7919 + df["l_partkey"].to_numpy("int64") * 104729
+              + df["l_linenumber"].to_numpy("int64")) % (1 + ok % 997))
+        return pd.DataFrame({"v": v})
+
+    return heavy_hitters(li.map_batches(to_vals, batch_format="pandas"),
+                         "v", k=200)
+
+
+def _q_politeness_audit(sf_dir: str):
+    """Per-host politeness audit of a fetch log (events as fetches,
+    user_id % 512 as host): count consecutive-fetch gaps under the
+    1-hour minimum interval and the tightest gap seen — one bucketed
+    host exchange, one vectorized diff scan, exact integer
+    microseconds."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.sched import politeness_audit
+
+    ev = load(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_fetches(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"host": df["user_id"].to_numpy("int64") % 512,
+                             "ts": df["ts"]})
+
+    return politeness_audit(ev.map_batches(to_fetches,
+                                           batch_format="pandas"),
+                            min_interval_us=3_600_000_000)
+
+
 def _q_trustrank(sf_dir: str):
     """TrustRank (Gyöngyi et al. 2004): PageRank with the teleport mass
     restricted to a trusted whitelist (suppliers ≡ 0 mod 7), so rank
@@ -2899,6 +2964,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": _q_clustering_coeff,
         "degree_assortativity": _q_degree_assortativity,
         "adamic_adar": _q_adamic_adar,
+        "cocitation": _q_cocitation,
+        "heavy_hitters": _q_heavy_hitters,
+        "politeness_audit": _q_politeness_audit,
         "trustrank": _q_trustrank,
         "crawl_depth": _q_crawl_depth,
         "mirror_detect": _q_mirror_detect,
@@ -4457,6 +4525,59 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, score
             FROM novel ORDER BY score DESC, x, y LIMIT 100
+        """,
+        "cocitation": """
+            WITH raw AS (
+              SELECT (l_orderkey * 13 + l_linenumber) % 8192 AS src,
+                     (l_partkey * 19) % 8192 AS dst
+              FROM lineitem
+            ), e AS (
+              SELECT DISTINCT src, dst FROM raw WHERE src <> dst
+            ), outdeg AS (
+              SELECT src, count(*) AS od FROM e GROUP BY src
+            ), el AS (
+              SELECT e.src, e.dst FROM e JOIN outdeg USING (src)
+              WHERE od BETWEEN 2 AND 256
+            ), pairs AS (
+              SELECT a.dst AS x, b.dst AS y
+              FROM el a JOIN el b ON a.src = b.src AND a.dst < b.dst
+            ), c AS (
+              SELECT x, y, count(*) AS n FROM pairs GROUP BY 1, 2
+            )
+            SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+                   CAST(n AS BIGINT) AS n
+            FROM c WHERE n >= 2
+            ORDER BY n DESC, x, y LIMIT 100
+        """,
+        "heavy_hitters": """
+            WITH s AS (
+              SELECT (l_orderkey * 7919 + l_partkey * 104729
+                      + l_linenumber) % (1 + l_orderkey % 997) AS v
+              FROM lineitem
+            ), c AS (
+              SELECT v, count(*) AS cnt FROM s GROUP BY v
+            )
+            SELECT CAST(v AS VARCHAR) AS v, CAST(cnt AS BIGINT) AS cnt
+            FROM c WHERE cnt * 200 > (SELECT count(*) FROM s)
+            ORDER BY cnt DESC, CAST(v AS VARCHAR)
+        """,
+        "politeness_audit": """
+            WITH f AS (
+              SELECT user_id % 512 AS host, ts FROM events
+            ), g AS (
+              SELECT host,
+                     date_diff('microsecond',
+                               lag(ts) OVER (PARTITION BY host ORDER BY ts),
+                               ts) AS gap
+              FROM f
+            )
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_fetches,
+                   CAST(count(*) FILTER (gap IS NOT NULL
+                                         AND gap < 3600000000) AS BIGINT)
+                       AS n_violations,
+                   CAST(min(gap) AS BIGINT) AS min_gap_us
+            FROM g GROUP BY host HAVING count(*) >= 2
         """,
         "reciprocity": """
             WITH e AS (

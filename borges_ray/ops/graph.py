@@ -1184,3 +1184,89 @@ def adamic_adar(edges: rd.Dataset, *, src_col: str = "src",
                                "y": pd.Series(dtype="int64"),
                                "score": pd.Series(dtype="float64")}))
     return topk(rounded, ["score"], k, tiebreak=["x", "y"])
+
+
+def cocitation(edges: rd.Dataset, *, src_col: str = "src",
+               dst_col: str = "dst", k: int = 100, min_count: int = 2,
+               max_fanout: int = 256) -> pd.DataFrame:
+    """Co-citation coupling (Small 1973, "Co-citation in the scientific
+    literature"): count, for every pair of target pages (x, y), how many
+    distinct sources cite BOTH — the classic webgraph relatedness signal
+    (pages co-cited by many hubs are topically related), and the dual of
+    bibliographic coupling (Kessler 1963), which is this op run with
+    src/dst swapped.
+
+    The pair fan-out is quadratic per SOURCE, so sources with out-degree
+    above ``max_fanout`` are dropped — the directory-page/hot-hub cap
+    that every production co-citation job applies (a source citing
+    thousands of pages carries near-zero relatedness signal per pair) —
+    and the SQL oracle applies the identical cap so the twin stays
+    exact.  Keys-only pipeline: distinct directed edges → out-degree
+    (``grouped_agg`` combiner) → eligible sources (2 ≤ outdeg ≤ cap)
+    semi-join → bucketed per-source target-pair fan-out → (x, y) count
+    exchange → ``min_count`` gate → combiner-bounded global top-k.
+    All-integer arithmetic: no float rounding concerns anywhere.
+
+    Returns a pandas DataFrame ``(x int64, y int64, n int64)`` of the
+    top ``k`` pairs by (n desc, x, y).
+    """
+    from .relational import (distinct, grouped_agg, groupby_buckets,
+                             hash_join, schema_anchor, spill_point, topk)
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src_col].to_numpy("int64")
+        b = df[dst_col].to_numpy("int64")
+        keep = a != b
+        return pd.DataFrame({"s": a[keep], "d": b[keep]})
+
+    e = spill_point(
+        distinct(edges.map_batches(clean, batch_format="pandas"),
+                 ["s", "d"]), "cocite_e")
+    outdeg = grouped_agg(e, ["s"], {"od": ("count", "d")})
+    elig = outdeg.map_batches(
+        lambda df: df[(df["od"] >= 2) & (df["od"] <= max_fanout)][["s"]],
+        batch_format="pandas")
+    el = hash_join(e, elig, on=["s"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"x": pd.Series(dtype="int64"),
+                              "y": pd.Series(dtype="int64"),
+                              "n": pd.Series(dtype="int64")})
+        if not len(df):
+            return empty
+        order = np.lexsort((df["d"].to_numpy(), df["s"].to_numpy()))
+        s = df["s"].to_numpy("int64")[order]
+        d = df["d"].to_numpy("int64")[order]
+        cut = np.flatnonzero(s[1:] != s[:-1]) + 1
+        starts = np.concatenate(([0], cut))
+        stops = np.concatenate((cut, [len(s)]))
+        xs, ys = [], []
+        for lo, hi in zip(starts, stops):
+            m = hi - lo
+            if m < 2:
+                continue
+            t = d[lo:hi]          # sorted, so x < y falls out of triu
+            ia, ib = np.triu_indices(m, k=1)
+            xs.append(t[ia])
+            ys.append(t[ib])
+        if not xs:
+            return empty
+        return pd.DataFrame({"x": np.concatenate(xs),
+                             "y": np.concatenate(ys),
+                             "n": np.int64(1)})
+
+    wedge = schema_anchor(
+        groupby_buckets(el, ["s"], pairs),
+        pd.DataFrame({"x": pd.Series(dtype="int64"),
+                      "y": pd.Series(dtype="int64"),
+                      "n": pd.Series(dtype="int64")}))
+    counted = grouped_agg(wedge, ["x", "y"], {"n": ("sum", "n")})
+    gated = schema_anchor(
+        counted.map_batches(
+            lambda df: df[df["n"] >= min_count].astype(
+                {"x": "int64", "y": "int64", "n": "int64"}),
+            batch_format="pandas"),
+        pd.DataFrame({"x": pd.Series(dtype="int64"),
+                      "y": pd.Series(dtype="int64"),
+                      "n": pd.Series(dtype="int64")}))
+    return topk(gated, ["n"], k, tiebreak=["x", "y"])

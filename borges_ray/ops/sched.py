@@ -97,3 +97,60 @@ def crawl_budget_alloc(cand: rd.Dataset, budget: int, *,
         return out[[url_col, host_col, pr_col]].reset_index(drop=True)
 
     return groupby_buckets(joined, [host_col], topn)
+
+
+def politeness_audit(fetches: rd.Dataset, *, host_col: str = "host",
+                     ts_col: str = "ts",
+                     min_interval_us: int = 3_600_000_000) -> rd.Dataset:
+    """Audit a fetch log against a per-host minimum-interval politeness
+    rule (the crawl-delay contract every polite crawler owes hosts —
+    RFC 9309's Crawl-delay convention / Cho & Garcia-Molina 2000): for
+    each host, count consecutive-fetch gaps shorter than
+    ``min_interval_us`` and report the tightest gap observed.
+
+    One bucketed exchange on host, then a single vectorized scan per
+    bucket: sort (host, ts), diff the int64 timestamps, mask out
+    cross-host boundaries, aggregate.  The gap MULTISET of a sorted
+    per-host sequence is invariant under tie order, so no deterministic
+    tiebreak is needed and the result is bit-identical to a SQL
+    ``lag() OVER (PARTITION BY host ORDER BY ts)`` twin.  Hosts with a
+    single fetch have no gaps and are excluded (SQL ``HAVING
+    count(*) >= 2``).
+
+    Returns ``(host, n_fetches int64, n_violations int64,
+    min_gap_us int64)`` — one row per multi-fetch host; exact integer
+    microseconds throughout.
+    """
+    from .relational import groupby_buckets
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({host_col: pd.Series(dtype="int64"),
+                              "n_fetches": pd.Series(dtype="int64"),
+                              "n_violations": pd.Series(dtype="int64"),
+                              "min_gap_us": pd.Series(dtype="int64")})
+        if not len(df):
+            return empty
+        df = df.sort_values([host_col, ts_col], kind="mergesort")
+        h = df[host_col].to_numpy("int64")
+        # normalize to µs regardless of the frame's datetime resolution
+        # (parquet timestamps load as datetime64[us], ad-hoc frames are
+        # often datetime64[ns] — a bare astype(int64) is unit-dependent)
+        t = df[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        same = np.concatenate(([False], h[1:] == h[:-1]))
+        gap = np.concatenate(([0], t[1:] - t[:-1]))
+        g = pd.DataFrame({host_col: h, "__gap": gap})[same]
+        if not len(g):
+            return empty
+        g["__viol"] = (g["__gap"] < min_interval_us).astype("int64")
+        agg = g.groupby(host_col, sort=False).agg(
+            n_gaps=("__gap", "count"), n_violations=("__viol", "sum"),
+            min_gap_us=("__gap", "min")).reset_index()
+        out = pd.DataFrame({
+            host_col: agg[host_col].astype("int64"),
+            "n_fetches": (agg["n_gaps"] + 1).astype("int64"),
+            "n_violations": agg["n_violations"].astype("int64"),
+            "min_gap_us": agg["min_gap_us"].astype("int64")})
+        return out
+
+    return groupby_buckets(fetches.select_columns([host_col, ts_col]),
+                           [host_col], per_bucket)

@@ -94,6 +94,84 @@ def cms_estimate(ds: rd.Dataset, value_col: str, probes: list[str],
     return rd.from_pandas(out)
 
 
+def heavy_hitters(ds: rd.Dataset, value_col: str, *, k: int,
+                  summary_size: int | None = None) -> pd.DataFrame:
+    """EXACT heavy hitters (every value with frequency > n/k) without a
+    full-vocabulary shuffle — the two-pass sketch-then-verify pattern:
+
+    1. **Candidate pass (Misra-Gries).** Each batch compresses its
+       value_counts to a ≤ ``s``-row MG summary (subtract the (s+1)-th
+       largest count, keep positive residuals — Misra & Gries 1982;
+       mergeable by summation per Agarwal et al. 2013, "Mergeable
+       summaries").  Summaries merge by a keys-only ``grouped_agg`` sum;
+       one total-row per batch rides the same exchange under an
+       ``is_n`` marker, so the stream length ``n`` needs no second scan.
+       With ``s = 4k`` the two compression levels decrement any value by
+       at most ``2n/(s+1) < n/(2k)``, so every true heavy hitter keeps
+       merged weight > n/(2k); fewer than ``2k`` values can weigh that
+       much, so the top-``s`` merged rows are a guaranteed superset of
+       the answer.
+    2. **Verify pass.** The ≤ ``s`` candidates are broadcast
+       (``ray.put`` once, read per task), the input is re-scanned with a
+       candidate-filtered per-batch value_counts combiner, and the exact
+       counts gate on ``count · k > n``.
+
+    Exactness of the final counts makes the op SQL-twin-checkable
+    (``HAVING count(*) * k > total``) while the distributed state stays
+    O(s) per block — at 10^10 rows the full GROUP BY would shuffle every
+    distinct value instead.  Values are compared as strings.  Returns a
+    pandas DataFrame ``(v string, cnt int64)`` sorted by
+    (cnt desc, v asc) — ≤ k rows by construction.
+    """
+    import ray
+
+    from .relational import grouped_agg
+
+    s = summary_size if summary_size is not None else 4 * k
+    if s < 2 * k:
+        raise ValueError("summary_size must be >= 2k for the MG guarantee")
+
+    def mg_summary(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[value_col].astype(str).value_counts()  # sorted desc
+        w = vc.to_numpy(np.int64)
+        if len(w) > s:
+            w = w - w[s]          # (s+1)-th largest: the MG decrement
+            keep = w > 0
+            vals, w = vc.index.to_numpy()[keep], w[keep]
+        else:
+            vals = vc.index.to_numpy()
+        out = pd.DataFrame({"v": vals.astype(str), "w": w,
+                            "is_n": np.int64(0)})
+        total = pd.DataFrame({"v": [""], "w": [np.int64(len(df))],
+                              "is_n": [np.int64(1)]})
+        return pd.concat([out, total], ignore_index=True)
+
+    merged = grouped_agg(ds.map_batches(mg_summary, batch_format="pandas"),
+                         ["is_n", "v"], {"w": ("sum", "w")}).to_pandas()
+    n = int(merged.loc[merged["is_n"] == 1, "w"].sum())
+    summ = merged[merged["is_n"] == 0].sort_values(
+        ["w", "v"], ascending=[False, True], kind="mergesort").head(s)
+    cand_ref = ray.put(frozenset(summ["v"].astype(str)))
+
+    def exact_counts(df: pd.DataFrame) -> pd.DataFrame:
+        cand = ray.get(cand_ref)
+        vc = df[value_col].astype(str).value_counts()
+        vc = vc[vc.index.isin(cand)]
+        return pd.DataFrame({"v": vc.index.astype(str),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    counts = grouped_agg(ds.map_batches(exact_counts, batch_format="pandas"),
+                         ["v"], {"cnt": ("sum", "cnt")}).to_pandas()
+    if not len(counts):
+        return pd.DataFrame({"v": pd.Series(dtype="object"),
+                             "cnt": pd.Series(dtype="int64")})
+    hh = counts[counts["cnt"].astype("int64") * k > n]
+    hh = hh.sort_values(["cnt", "v"], ascending=[False, True],
+                        kind="mergesort").reset_index(drop=True)
+    hh["cnt"] = hh["cnt"].astype("int64")
+    return hh[["v", "cnt"]]
+
+
 def hll_count_by(ds: rd.Dataset, group_col: str, value_col: str) -> rd.Dataset:
     """Per-group approximate distinct count of ``value_col``.  Returns
     (group, empty_buckets, est_distinct) — ``est_distinct`` rounded to

@@ -1969,3 +1969,84 @@ def test_adamic_adar_max_deg_cap(ray_session):
     out = adamic_adar(ds, k=10, max_deg=2)
     assert len(out) == 0
     assert list(out.columns) == ["x", "y", "score"]
+
+
+def test_cocitation_known_graph(ray_session):
+    """Sources 10 and 11 both cite {1, 2}; source 12 cites {1, 2, 3}.
+    Pair (1,2) has 3 common citers, (1,3) and (2,3) only one each
+    (below min_count=2).  A degree-1 source (13→1) never fans out, and
+    direction matters: 1→2 must not count as citation of 2 by 1's
+    citers."""
+    from borges_ray.ops.graph import cocitation
+
+    E = [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 2), (12, 3),
+         (13, 1), (1, 2), (10, 1)]  # one duplicate edge
+    ds = rd.from_pandas(pd.DataFrame(E, columns=["src", "dst"])).repartition(2)
+    out = cocitation(ds, k=10, min_count=2)
+    assert list(zip(out["x"], out["y"], out["n"])) == [(1, 2, 3)]
+
+
+def test_cocitation_fanout_cap(ray_session):
+    """max_fanout drops hub sources: with cap 2 the 3-out-degree source
+    12 is excluded, so (1,2) keeps only citers 10 and 11."""
+    from borges_ray.ops.graph import cocitation
+
+    E = [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 2), (12, 3)]
+    ds = rd.from_pandas(pd.DataFrame(E, columns=["src", "dst"]))
+    out = cocitation(ds, k=10, min_count=2, max_fanout=2)
+    assert list(zip(out["x"], out["y"], out["n"])) == [(1, 2, 2)]
+
+
+def test_heavy_hitters_exact_counts(ray_session):
+    """A skewed stream where 'a' (10×) and 'b' (6×) exceed n/k = 20/4 = 5
+    and the tail doesn't: the two-pass MG path must return exactly the
+    true heavy hitters with EXACT counts, in (cnt desc, v) order."""
+    from borges_ray.ops.sketch import heavy_hitters
+
+    vals = ["a"] * 10 + ["b"] * 6 + ["c", "d", "e", "f"]
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(4)
+    out = heavy_hitters(ds, "v", k=4, summary_size=8)
+    assert list(zip(out["v"], out["cnt"])) == [("a", 10), ("b", 6)]
+
+
+def test_heavy_hitters_no_hitters(ray_session):
+    """A uniform stream has no value above n/k: empty, typed result."""
+    from borges_ray.ops.sketch import heavy_hitters
+
+    ds = rd.from_pandas(pd.DataFrame({"v": [str(i) for i in range(20)]}))
+    out = heavy_hitters(ds, "v", k=4)
+    assert len(out) == 0
+    assert list(out.columns) == ["v", "cnt"]
+
+
+def test_heavy_hitters_mg_guarantee_small_summary(ray_session):
+    """Adversarial batching: the heavy value is diluted across many
+    batches while noise floods each per-batch summary — the merged
+    summary must still surface it (the s >= 2k mergeable-MG bound)."""
+    from borges_ray.ops.sketch import heavy_hitters
+
+    rows = []
+    for b in range(8):
+        rows += ["hot"] * 3 + [f"noise{b}_{i}" for i in range(10)]
+    ds = rd.from_pandas(pd.DataFrame({"v": rows})).repartition(8)
+    out = heavy_hitters(ds, "v", k=8, summary_size=16)  # n/k = 104/8 = 13
+    assert list(zip(out["v"], out["cnt"])) == [("hot", 24)]
+
+
+def test_politeness_audit_gaps(ray_session):
+    """Host 1 fetches at t=0,1,10s with a 5s rule: gaps 1s (violation)
+    and 9s (ok), min gap 1s.  Host 2 has one fetch → excluded.  Host 3
+    has an exact-interval gap (5s): compliant (strict <)."""
+    from borges_ray.ops.sched import politeness_audit
+
+    S = 1_000_000
+    df = pd.DataFrame({
+        "host": [1, 1, 1, 2, 3, 3],
+        "ts": pd.to_datetime([0, 1 * S, 10 * S, 0, 0, 5 * S], unit="us")})
+    ds = rd.from_pandas(df).repartition(2)
+    out = (politeness_audit(ds, min_interval_us=5 * S)
+           .to_pandas().sort_values("host").reset_index(drop=True))
+    assert out["host"].tolist() == [1, 3]
+    assert out["n_fetches"].tolist() == [3, 2]
+    assert out["n_violations"].tolist() == [1, 0]
+    assert out["min_gap_us"].tolist() == [1 * S, 5 * S]
