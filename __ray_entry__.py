@@ -1512,6 +1512,91 @@ def _q_politeness_audit(sf_dir: str):
                             min_interval_us=3_600_000_000)
 
 
+def _q_bib_coupling(sf_dir: str):
+    """Bibliographic coupling (Kessler 1963) — the dual of co-citation:
+    top-100 CITING-page pairs by number of distinct targets both cite,
+    over a 4096-source / 8192-target derived graph, with hot targets
+    (in-degree > 256) dropped before the quadratic fan-out (the
+    home-page/license-stub cap, mirrored in the oracle)."""
+    from borges_ray.ops.graph import bib_coupling
+    from borges_ray.ops.relational import load
+
+    li = load(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        s = ((df["l_orderkey"].to_numpy("int64") * 11
+              + df["l_linenumber"].to_numpy("int64")) % 4096)
+        d = (df["l_partkey"].to_numpy("int64") * 23) % 8192
+        return pd.DataFrame({"src": s, "dst": d})
+
+    return bib_coupling(li.map_batches(to_edges, batch_format="pandas"),
+                        k=100, min_count=1, max_fanout=256)
+
+
+def _q_burst_windows(sf_dir: str):
+    """Burst detection over the event stream: hourly windows per
+    event_type whose count exceeds mean + 2·std_pop of that type's
+    window counts — the rate-anomaly gate evaluated in EXACT integer
+    arithmetic (driver-side bigint isqrt threshold), so the SQL twin's
+    HUGEINT inequality matches bit-for-bit."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.stats import burst_windows
+
+    ev = load(sf_dir, "events", columns=["event_type", "ts"])
+    return burst_windows(ev, window_us=3_600_000_000, z=2)
+
+
+def _q_crawl_skew(sf_dir: str):
+    """Crawl-balance audit of the per-host page distribution
+    (host ≡ user_id mod 1024): key count, total, Shannon entropy (nats),
+    Gini coefficient (via the count-histogram rank identity — no
+    distributed sort), and the hottest host's share."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.stats import skew_audit
+
+    ev = load(sf_dir, "events", columns=["user_id"])
+
+    def to_hosts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"host": df["user_id"].to_numpy("int64") % 1024})
+
+    return skew_audit(ev.map_batches(to_hosts, batch_format="pandas"),
+                      "host")
+
+
+def _q_latency_outliers(sf_dir: str):
+    """Robust per-type outlier detection on the event value (a fetch
+    latency stand-in): discrete median and MAD per event_type, then a
+    counting scan for |x − med| > 3·MAD.  quantile_disc medians are
+    exact elements, so the float gate is bit-identical to the SQL
+    twin."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.stats import robust_outliers
+
+    ev = load(sf_dir, "events", columns=["event_type", "value"])
+    return robust_outliers(ev, "event_type", "value", z=3.0)
+
+
+def _q_corr_by_type(sf_dir: str):
+    """Per-type Pearson correlation between the event value and the
+    hour-of-day it landed in (diurnal-load drill-down) — five cross
+    moments map-side combined, one #groups-row exchange, round(r, 6)."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.stats import grouped_corr
+
+    ev = load(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def aug(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "value": df["value"].to_numpy("float64"),
+            "hod": ((t // 3_600_000_000) % 24).astype("float64")})
+
+    return grouped_corr(ev.map_batches(aug, batch_format="pandas"),
+                        "event_type", "value", "hod")
+
+
 def _q_trustrank(sf_dir: str):
     """TrustRank (Gyöngyi et al. 2004): PageRank with the teleport mass
     restricted to a trusted whitelist (suppliers ≡ 0 mod 7), so rank
@@ -2967,6 +3052,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cocitation": _q_cocitation,
         "heavy_hitters": _q_heavy_hitters,
         "politeness_audit": _q_politeness_audit,
+        "bib_coupling": _q_bib_coupling,
+        "burst_windows": _q_burst_windows,
+        "crawl_skew": _q_crawl_skew,
+        "latency_outliers": _q_latency_outliers,
+        "corr_by_type": _q_corr_by_type,
         "trustrank": _q_trustrank,
         "crawl_depth": _q_crawl_depth,
         "mirror_detect": _q_mirror_detect,
@@ -4578,6 +4668,100 @@ def oracle_sql() -> dict[str, str]:
                        AS n_violations,
                    CAST(min(gap) AS BIGINT) AS min_gap_us
             FROM g GROUP BY host HAVING count(*) >= 2
+        """,
+        "bib_coupling": """
+            WITH raw AS (
+              SELECT (l_orderkey * 11 + l_linenumber) % 4096 AS src,
+                     (l_partkey * 23) % 8192 AS dst
+              FROM lineitem
+            ), e AS (
+              SELECT DISTINCT dst AS s, src AS d FROM raw WHERE src <> dst
+            ), indeg AS (
+              SELECT s, count(*) AS od FROM e GROUP BY s
+            ), el AS (
+              SELECT e.s, e.d FROM e JOIN indeg USING (s)
+              WHERE od BETWEEN 2 AND 256
+            ), pairs AS (
+              SELECT a.d AS x, b.d AS y
+              FROM el a JOIN el b ON a.s = b.s AND a.d < b.d
+            ), c AS (
+              SELECT x, y, count(*) AS n FROM pairs GROUP BY 1, 2
+            )
+            SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+                   CAST(n AS BIGINT) AS n
+            FROM c WHERE n >= 1
+            ORDER BY n DESC, x, y LIMIT 100
+        """,
+        "burst_windows": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS win,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2
+            ), st AS (
+              SELECT event_type, count(*) AS w, sum(cnt) AS s,
+                     sum(cnt * cnt) AS ss
+              FROM c GROUP BY 1
+            )
+            SELECT c.event_type, c.win, CAST(c.cnt AS BIGINT) AS cnt
+            FROM c JOIN st USING (event_type)
+            WHERE CAST(c.cnt AS HUGEINT) * w - s > 0
+              AND (CAST(c.cnt AS HUGEINT) * w - s)
+                  * (CAST(c.cnt AS HUGEINT) * w - s)
+                  > 4 * (CAST(w AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+            ORDER BY c.event_type, c.win
+        """,
+        "crawl_skew": """
+            WITH h AS (
+              SELECT user_id % 1024 AS host, count(*) AS c
+              FROM events GROUP BY 1
+            ), t AS (
+              SELECT count(*) AS n, sum(c) AS tot, max(c) AS mx,
+                     sum(c * ln(c)) AS clnc
+              FROM h
+            ), rk AS (
+              SELECT c, CAST(row_number() OVER (ORDER BY c) AS HUGEINT)
+                        AS rnk
+              FROM h
+            ), r AS (
+              SELECT sum(rnk * c) AS rc FROM rk
+            )
+            SELECT CAST(n AS BIGINT) AS n_keys, CAST(tot AS BIGINT) AS total,
+                   round(ln(tot) - clnc / tot, 6) AS entropy,
+                   round(CAST(2 * rc - (n + 1) * tot AS DOUBLE)
+                         / CAST(CAST(n AS HUGEINT) * tot AS DOUBLE), 6)
+                       AS gini,
+                   round(CAST(mx AS DOUBLE) / tot, 6) AS top_share
+            FROM t, r
+        """,
+        "latency_outliers": """
+            WITH m AS (
+              SELECT event_type, quantile_disc(value, 0.5) AS med
+              FROM events GROUP BY 1
+            ), d AS (
+              SELECT e.event_type, abs(e.value - m.med) AS dev
+              FROM events e JOIN m USING (event_type)
+            ), a AS (
+              SELECT event_type, quantile_disc(dev, 0.5) AS mad
+              FROM d GROUP BY 1
+            ), f AS (
+              SELECT d.event_type, count(*) AS n,
+                     count(*) FILTER (d.dev > 3 * a.mad) AS n_outliers
+              FROM d JOIN a USING (event_type) GROUP BY d.event_type
+            )
+            SELECT f.event_type, round(m.med, 6) AS med,
+                   round(a.mad, 6) AS mad, CAST(f.n AS BIGINT) AS n,
+                   CAST(f.n_outliers AS BIGINT) AS n_outliers
+            FROM f JOIN m USING (event_type) JOIN a USING (event_type)
+            ORDER BY f.event_type
+        """,
+        "corr_by_type": """
+            SELECT event_type,
+                   round(corr(value,
+                              CAST((epoch_us(ts) // 3600000000) % 24
+                                   AS DOUBLE)), 6) AS r,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "reciprocity": """
             WITH e AS (

@@ -1270,3 +1270,26 @@ def cocitation(edges: rd.Dataset, *, src_col: str = "src",
                       "y": pd.Series(dtype="int64"),
                       "n": pd.Series(dtype="int64")}))
     return topk(gated, ["n"], k, tiebreak=["x", "y"])
+
+
+def bib_coupling(edges: rd.Dataset, *, src_col: str = "src",
+                 dst_col: str = "dst", k: int = 100, min_count: int = 2,
+                 max_fanout: int = 256) -> pd.DataFrame:
+    """Bibliographic coupling (Kessler 1963): count, for every pair of
+    CITING pages (x, y), how many distinct targets both cite — the exact
+    dual of :func:`cocitation` (swap the roles of source and target), so
+    it IS cocitation run over the reversed edge set.  The
+    ``max_fanout`` cap therefore lands on target IN-degree: a page cited
+    by thousands of documents (a home page, a license stub) carries
+    near-zero coupling signal per pair and would fan out quadratically.
+
+    Returns a pandas DataFrame ``(x int64, y int64, n int64)`` of the
+    top ``k`` citing-page pairs by (n desc, x, y).
+    """
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": df[dst_col].to_numpy("int64"),
+                             "dst": df[src_col].to_numpy("int64")})
+
+    return cocitation(edges.map_batches(rev, batch_format="pandas"),
+                      k=k, min_count=min_count, max_fanout=max_fanout)

@@ -1,0 +1,246 @@
+"""Distributed statistical audits over crawl telemetry and event streams.
+
+The crawl-operations counterpart of the quality filters: burst detection
+over the fetch-rate time series, skew audits of the per-host page
+distribution (entropy / Gini — is the crawl balanced or is one host
+eating the budget?), robust outlier detection on fetch latencies
+(median/MAD, which a few timeout rows cannot drag the way mean/stddev
+can), and grouped Pearson correlation for metric drill-downs.
+
+Every op follows the repo's exchange discipline: raw rows are collapsed
+by a map-side combiner (``grouped_agg``) before anything shuffles, the
+driver only ever sees group-cardinality frames (#event-types, #distinct
+count values — never row-level data), and the decision rules are exact
+integer arithmetic wherever a float boundary could flip a row between
+the engine and its SQL twin.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from .relational import grouped_agg, grouped_quantile
+
+
+def burst_windows(events: rd.Dataset, *, type_col: str = "event_type",
+                  ts_col: str = "ts", window_us: int = 3_600_000_000,
+                  z: int = 3) -> pd.DataFrame:
+    """Detect burst windows in an event stream: fixed ``window_us``
+    buckets per ``type_col`` whose count exceeds that type's mean by more
+    than ``z`` population standard deviations — the classic
+    rate-anomaly gate a crawl operator runs over fetch telemetry (and a
+    bounded-memory cousin of Kleinberg 2002's burst model: one fixed
+    threshold instead of an HMM).
+
+    The z-test is evaluated in EXACT INTEGER arithmetic so the SQL twin
+    matches bit-for-bit with no float boundary:  with ``W`` windows,
+    ``S = Σc`` and ``SS = Σc²`` per type,
+
+        c > mean + z·std_pop  ⇔  c·W − S > z·√(W·SS − S²)
+                              ⇔  c·W − S ≥ isqrt(z²·(W·SS − S²)) + 1,
+
+    so the per-type minimum bursting count ``c₀`` is computed once on
+    the driver with Python bigints (no int64 overflow at any scale) and
+    broadcast as a tiny dict; the windowed counts are then filtered with
+    one vectorized compare.  Exchanges: one keys-only ``grouped_agg`` to
+    (type, window) counts, one to per-type (W, S, SS) — both
+    combiner-collapsed, proportional to #groups, never #rows.
+
+    Returns a pandas DataFrame ``(type_col, win int64, cnt int64)``
+    sorted by (type, win); ``win`` is the epoch bucket index
+    ``floor(epoch_us / window_us)``.
+    """
+
+    def to_wins(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({type_col: df[type_col],
+                             "win": t // window_us})
+
+    counts = grouped_agg(
+        events.select_columns([type_col, ts_col])
+              .map_batches(to_wins, batch_format="pandas"),
+        [type_col, "win"], {"cnt": ("count", "win")})
+
+    def sq(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["cnt2"] = out["cnt"].astype("int64") ** 2
+        return out
+
+    stats = grouped_agg(counts.map_batches(sq, batch_format="pandas"),
+                        [type_col],
+                        {"w": ("count", "cnt"), "s": ("sum", "cnt"),
+                         "ss": ("sum", "cnt2")}).to_pandas()
+
+    thresholds: dict[object, int] = {}
+    for _, row in stats.iterrows():
+        w, s, ss = int(row["w"]), int(row["s"]), int(row["ss"])
+        var_n2 = w * ss - s * s                  # W²·Var — exact, ≥ 0
+        d_min = math.isqrt(z * z * var_n2) + 1   # smallest valid c·W − S
+        thresholds[row[type_col]] = -(-(s + d_min) // w)  # ceil division
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        c0 = df[type_col].map(thresholds)
+        keep = df["cnt"].astype("int64") >= c0.astype("int64")
+        out = df[keep]
+        return pd.DataFrame({type_col: out[type_col],
+                             "win": out["win"].astype("int64"),
+                             "cnt": out["cnt"].astype("int64")})
+
+    flagged = counts.map_batches(flag, batch_format="pandas").to_pandas()
+    if flagged.empty:   # all-empty blocks can come back schema-less
+        flagged = pd.DataFrame({type_col: pd.Series(dtype="object"),
+                                "win": pd.Series(dtype="int64"),
+                                "cnt": pd.Series(dtype="int64")})
+    return (flagged.sort_values([type_col, "win"], kind="mergesort")
+                   .reset_index(drop=True))
+
+
+def skew_audit(ds: rd.Dataset, key_col: str) -> pd.DataFrame:
+    """One-row concentration audit of the distribution of row counts per
+    ``key_col`` (e.g. pages per host): key count, total rows, Shannon
+    entropy (nats), Gini coefficient, and the largest key's share — the
+    numbers that tell a crawl operator whether the frontier is balanced
+    or a handful of hosts are eating the fetch budget.
+
+    Scale shape: the per-key counts come from one combiner-collapsed
+    ``grouped_agg``; entropy/max/total reduce over that counts dataset
+    via per-batch partials (the driver sees #blocks rows).  Gini — which
+    needs a global rank — is computed WITHOUT a distributed sort: ranks
+    of tied values contribute ``c · Σ ranks-in-run``, which depends only
+    on the HISTOGRAM of count values, so a second keys-only
+    ``grouped_agg`` to (count-value, multiplicity) pairs makes the
+    driver-side finish exact Python-bigint arithmetic over a tiny frame:
+
+        Gini = (2·Σᵢ rankᵢ·xᵢ − (n+1)·Σx) / (n·Σx),  x ascending.
+
+    Returns one row ``(n_keys int64, total int64, entropy, gini,
+    top_share)`` with the three ratios rounded to 6 decimals (matching a
+    DuckDB twin built from ``ln`` / ``row_number`` aggregates).
+    """
+    counts = grouped_agg(ds.select_columns([key_col]), [key_col],
+                         {"c": ("count", key_col)})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c"].to_numpy("int64")
+        return pd.DataFrame({"n": [np.int64(len(c))],
+                             "t": [np.int64(c.sum())],
+                             "mx": [np.int64(c.max() if len(c) else 0)],
+                             "clnc": [float((c * np.log(c)).sum())]})
+
+    p = counts.map_batches(partial, batch_format="pandas").to_pandas()
+    n, total, mx = int(p["n"].sum()), int(p["t"].sum()), int(p["mx"].max())
+    clnc = float(p["clnc"].sum())
+
+    hist = grouped_agg(counts, ["c"], {"m": ("count", "c")}).to_pandas()
+    hist = hist.sort_values("c", kind="mergesort")
+    rank_x, start = 0, 1
+    for c, m in zip(hist["c"].astype(int), hist["m"].astype(int)):
+        rank_x += c * m * (2 * start + m - 1) // 2   # Σ ranks in tie run
+        start += m
+    gini = (2 * rank_x - (n + 1) * total) / (n * total)
+
+    return pd.DataFrame({
+        "n_keys": pd.Series([n], dtype="int64"),
+        "total": pd.Series([total], dtype="int64"),
+        "entropy": [round(math.log(total) - clnc / total, 6)],
+        "gini": [round(gini, 6)],
+        "top_share": [round(mx / total, 6)]})
+
+
+def robust_outliers(ds: rd.Dataset, key_col: str, value_col: str, *,
+                    z: float = 3.0) -> pd.DataFrame:
+    """Per-group robust outlier detection via median / MAD (median
+    absolute deviation) — the estimator of choice for fetch-latency
+    telemetry, where a handful of timeout rows drag a mean/stddev gate
+    arbitrarily far but move the median not at all (breakdown point 50%
+    vs 0%).
+
+    Three passes, each one combiner-collapsed exchange: (1) per-group
+    DISCRETE median via :func:`grouped_quantile` (DuckDB's
+    ``quantile_disc`` rule — an exact element, so both engines pick the
+    IDENTICAL double and every downstream float op is bit-equal);
+    (2) absolute deviations against the broadcast medians, then their
+    discrete median (the MAD); (3) a counting scan flagging rows with
+    ``|x − med| > z·MAD``.  The medians/MADs travel as tiny driver-side
+    dicts (#groups entries), never a shuffle.
+
+    Returns ``(key, med, mad, n int64, n_outliers int64)`` sorted by
+    key; ``med``/``mad`` rounded to 6 decimals for display, but the
+    outlier gate uses the UNROUNDED values (as the SQL twin does).
+    """
+    slim = ds.select_columns([key_col, value_col])
+    med = grouped_quantile(slim, key_col, value_col, [0.5]).to_pandas()
+    med_map = dict(zip(med[key_col], med["q50"]))
+
+    def add_dev(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[key_col].map(med_map).to_numpy("float64")
+        return pd.DataFrame({key_col: df[key_col],
+                             "dev": np.abs(
+                                 df[value_col].to_numpy("float64") - m)})
+
+    devs = slim.map_batches(add_dev, batch_format="pandas")
+    mad = grouped_quantile(devs, key_col, "dev", [0.5]).to_pandas()
+    mad_map = dict(zip(mad[key_col], mad["q50"]))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        cut = df[key_col].map(mad_map).to_numpy("float64") * z
+        out = df.copy()
+        out["is_out"] = (df["dev"].to_numpy("float64") > cut).astype("int64")
+        return out
+
+    agg = grouped_agg(devs.map_batches(flag, batch_format="pandas"),
+                      [key_col], {"n": ("count", "dev"),
+                                  "n_outliers": ("sum", "is_out")}).to_pandas()
+    out = agg.merge(med, on=key_col).merge(
+        mad, on=key_col, suffixes=("_med", "_mad"))
+    return pd.DataFrame({
+        key_col: out[key_col],
+        "med": out["q50_med"].round(6),
+        "mad": out["q50_mad"].round(6),
+        "n": out["n"].astype("int64"),
+        "n_outliers": out["n_outliers"].astype("int64"),
+    }).sort_values(key_col, kind="mergesort").reset_index(drop=True)
+
+
+def grouped_corr(ds: rd.Dataset, key_col: str, x_col: str,
+                 y_col: str) -> pd.DataFrame:
+    """Per-group Pearson correlation in ONE pass: the five cross moments
+    (Σx, Σy, Σx², Σy², Σxy) plus the count are map-side combined by
+    ``grouped_agg`` — only #groups rows ever shuffle — and the driver
+    finishes with
+
+        r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²)),
+
+    which equals the sample-moment ``corr()`` every SQL engine exposes
+    (the n vs n−1 convention cancels in the ratio).  Rounded to 6
+    decimals — summation order differs across engines, so the last
+    couple of double ulps are not contractual.  Groups with zero
+    variance on either axis return NULL (as SQL ``corr`` does).
+
+    Returns ``(key, r float64, n int64)`` sorted by key.
+    """
+
+    def aug(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].to_numpy("float64")
+        y = df[y_col].to_numpy("float64")
+        return pd.DataFrame({key_col: df[key_col], "x": x, "y": y,
+                             "xx": x * x, "yy": y * y, "xy": x * y})
+
+    g = grouped_agg(ds.map_batches(aug, batch_format="pandas"), [key_col],
+                    {"n": ("count", "x"), "sx": ("sum", "x"),
+                     "sy": ("sum", "y"), "sxx": ("sum", "xx"),
+                     "syy": ("sum", "yy"), "sxy": ("sum", "xy")}).to_pandas()
+    n = g["n"].astype("float64")
+    vx = n * g["sxx"] - g["sx"] ** 2
+    vy = n * g["syy"] - g["sy"] ** 2
+    denom = np.sqrt(vx * vy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = (n * g["sxy"] - g["sx"] * g["sy"]) / denom
+    r = r.where(denom > 0)
+    return pd.DataFrame({key_col: g[key_col], "r": r.round(6),
+                         "n": g["n"].astype("int64")}).sort_values(
+        key_col, kind="mergesort").reset_index(drop=True)

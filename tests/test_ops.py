@@ -3,6 +3,7 @@ text analysis) on small synthesized corpora with planted duplicates."""
 
 from __future__ import annotations
 
+import math
 import numpy as np
 import pandas as pd
 import pytest
@@ -2050,3 +2051,116 @@ def test_politeness_audit_gaps(ray_session):
     assert out["n_fetches"].tolist() == [3, 2]
     assert out["n_violations"].tolist() == [1, 0]
     assert out["min_gap_us"].tolist() == [1 * S, 5 * S]
+
+
+def test_bib_coupling_known_graph(ray_session):
+    """Docs 1 and 2 both cite {10, 11}; doc 3 cites {10} only.  Pair
+    (1,2) couples with strength 2; (1,3)/(2,3) share just target 10.
+    Swapped-role check vs cocitation: the cap lands on target IN-degree
+    (target 10 has in-degree 3, still under the default cap)."""
+    from borges_ray.ops.graph import bib_coupling
+
+    E = [(1, 10), (1, 11), (2, 10), (2, 11), (3, 10)]
+    ds = rd.from_pandas(pd.DataFrame(E, columns=["src", "dst"])).repartition(2)
+    out = bib_coupling(ds, k=10, min_count=1)
+    assert list(zip(out["x"], out["y"], out["n"])) == [
+        (1, 2, 2), (1, 3, 1), (2, 3, 1)]
+
+
+def test_bib_coupling_hot_target_cap(ray_session):
+    """A target cited by every doc is dropped by max_fanout before the
+    quadratic fan-out: with cap 2 only the in-degree-2 target 11
+    contributes, so the sole surviving pair is (1,2)."""
+    from borges_ray.ops.graph import bib_coupling
+
+    E = [(1, 10), (2, 10), (3, 10), (1, 11), (2, 11)]
+    ds = rd.from_pandas(pd.DataFrame(E, columns=["src", "dst"]))
+    out = bib_coupling(ds, k=10, min_count=1, max_fanout=2)
+    assert list(zip(out["x"], out["y"], out["n"])) == [(1, 2, 1)]
+
+
+def test_burst_windows_integer_gate(ray_session):
+    """Type 'a' has hourly counts [1,1,1,1,9]: mean 2.6, std_pop 3.2 —
+    with z=1 only the 9-count window bursts (9 > 2.6+3.2); with z=2 the
+    gate (9 > 9.0) must REJECT it — the exact-integer boundary case a
+    float z-score could flip either way."""
+    from borges_ray.ops.stats import burst_windows
+
+    H = 3_600_000_000
+    ts = []
+    for w, c in enumerate([1, 1, 1, 1, 9]):
+        ts += [w * H + i for i in range(c)]
+    df = pd.DataFrame({"event_type": "a",
+                       "ts": pd.to_datetime(ts, unit="us")})
+    ds = rd.from_pandas(df).repartition(3)
+    out1 = burst_windows(ds, z=1)
+    assert list(zip(out1["event_type"], out1["win"], out1["cnt"])) == [
+        ("a", 4, 9)]
+    out2 = burst_windows(ds, z=2)
+    assert len(out2) == 0
+
+
+def test_skew_audit_uniform_vs_concentrated(ray_session):
+    """Four keys with equal counts: entropy ln(4), Gini 0, top_share
+    1/4.  All mass on one key: entropy 0, top_share 1 (Gini's n=1
+    degenerate case is (2·1·T − 2T)/T = 0)."""
+    from borges_ray.ops.stats import skew_audit
+
+    uni = rd.from_pandas(pd.DataFrame({"k": [0, 1, 2, 3] * 5})).repartition(2)
+    row = skew_audit(uni, "k").iloc[0]
+    assert row["n_keys"] == 4 and row["total"] == 20
+    assert row["entropy"] == round(math.log(4), 6)
+    assert row["gini"] == 0.0 and row["top_share"] == 0.25
+
+    one = rd.from_pandas(pd.DataFrame({"k": [7] * 12}))
+    row = skew_audit(one, "k").iloc[0]
+    assert row["n_keys"] == 1 and row["entropy"] == 0.0
+    assert row["gini"] == 0.0 and row["top_share"] == 1.0
+
+
+def test_skew_audit_gini_known(ray_session):
+    """Counts [1, 3]: sorted ranks give Σr·x = 1·1 + 2·3 = 7, so
+    Gini = (14 − 3·4)/(2·4) = 0.25 — checks the histogram rank
+    identity against the textbook formula."""
+    from borges_ray.ops.stats import skew_audit
+
+    ds = rd.from_pandas(pd.DataFrame({"k": ["a", "b", "b", "b"]}))
+    row = skew_audit(ds, "k").iloc[0]
+    assert row["gini"] == 0.25 and row["top_share"] == 0.75
+
+
+def test_robust_outliers_median_mad(ray_session):
+    """Group 'a' = [1..9, 100]: disc-median 5; sorted devs
+    [0,1,1,2,2,3,3,4,4,95] give disc-MAD 2 (ceil(q·n)−1 rule), so only
+    100 (dev 95 > 6) flags — the mean/stddev gate would have been
+    dragged by the outlier itself.  Group 'b' constant: MAD 0, every
+    row equals the median, zero outliers."""
+    from borges_ray.ops.stats import robust_outliers
+
+    df = pd.DataFrame({"k": ["a"] * 10 + ["b"] * 4,
+                       "v": list(range(1, 10)) + [100] + [7.0] * 4})
+    ds = rd.from_pandas(df).repartition(3)
+    out = robust_outliers(ds, "k", "v", z=3.0)
+    a = out[out["k"] == "a"].iloc[0]
+    assert a["med"] == 5.0 and a["mad"] == 2.0
+    assert a["n"] == 10 and a["n_outliers"] == 1
+    b = out[out["k"] == "b"].iloc[0]
+    assert b["mad"] == 0.0 and b["n_outliers"] == 0
+
+
+def test_grouped_corr_exact_signs(ray_session):
+    """Perfectly linear groups: y = 2x gives r = 1, y = −x gives
+    r = −1; a zero-variance y gives NULL (the SQL corr convention)."""
+    from borges_ray.ops.stats import grouped_corr
+
+    x = list(range(1, 9))
+    df = pd.DataFrame({
+        "k": ["up"] * 8 + ["down"] * 8 + ["flat"] * 8,
+        "x": x * 3,
+        "y": [2.0 * v for v in x] + [-1.0 * v for v in x] + [5.0] * 8})
+    ds = rd.from_pandas(df).repartition(4)
+    out = grouped_corr(ds, "k", "x", "y").set_index("k")
+    assert out.loc["up", "r"] == 1.0
+    assert out.loc["down", "r"] == -1.0
+    assert pd.isna(out.loc["flat", "r"])
+    assert out["n"].tolist() == [8, 8, 8]
