@@ -1597,6 +1597,49 @@ def _q_corr_by_type(sf_dir: str):
                         "event_type", "value", "hod")
 
 
+def _q_retention_cohorts(sf_dir: str):
+    """Weekly cohort-retention triangle over the event stream: users
+    bucketed by first-seen week, distinct-user counts per
+    (cohort, week-offset) cell — distinct (user, week) pairs collapse
+    map-side, one hash join lines up cohorts, #cells rows shuffle."""
+    from borges_ray.ops.events import retention_cohorts
+    from borges_ray.ops.relational import load
+
+    ev = load(sf_dir, "events", columns=["user_id", "ts"])
+    out = retention_cohorts(ev).to_pandas()
+    for c in ("cohort", "offset", "n_users"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["cohort", "offset"]).reset_index(drop=True)
+
+
+def _q_event_transitions(sf_dir: str):
+    """First-order Markov transition matrix of event types per user
+    (ordered by ts with event_id as the deterministic tiebreak): counts
+    of each consecutive (prev → next) type pair — per-bucket partial
+    counts keep the final exchange ≤ types² rows."""
+    from borges_ray.ops.events import transition_counts
+    from borges_ray.ops.relational import load
+
+    ev = load(sf_dir, "events",
+              columns=["user_id", "ts", "event_type", "event_id"])
+    out = transition_counts(ev, tiebreak=["event_id"]).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+def _q_window_unique(sf_dir: str):
+    """Exact distinct users per (event_type, hour) — the hourly breadth
+    dashboard; the approximate scale path is hll_vocab."""
+    from borges_ray.ops.events import windowed_unique
+    from borges_ray.ops.relational import load
+
+    ev = load(sf_dir, "events", columns=["event_type", "ts", "user_id"])
+    out = windowed_unique(ev).to_pandas()
+    for c in ("win", "n_unique"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "win"]).reset_index(drop=True)
+
+
 def _q_trustrank(sf_dir: str):
     """TrustRank (Gyöngyi et al. 2004): PageRank with the teleport mass
     restricted to a trusted whitelist (suppliers ≡ 0 mod 7), so rank
@@ -3057,6 +3100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_skew": _q_crawl_skew,
         "latency_outliers": _q_latency_outliers,
         "corr_by_type": _q_corr_by_type,
+        "retention_cohorts": _q_retention_cohorts,
+        "event_transitions": _q_event_transitions,
+        "window_unique": _q_window_unique,
         "trustrank": _q_trustrank,
         "crawl_depth": _q_crawl_depth,
         "mirror_detect": _q_mirror_detect,
@@ -4762,6 +4808,38 @@ def oracle_sql() -> dict[str, str]:
                                    AS DOUBLE)), 6) AS r,
                    CAST(count(*) AS BIGINT) AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "retention_cohorts": """
+            WITH act AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 604800000000 AS w
+              FROM events
+            ), fw AS (
+              SELECT user_id, min(w) AS cw FROM act GROUP BY 1
+            )
+            SELECT CAST(cw AS BIGINT) AS cohort,
+                   CAST(w - cw AS BIGINT) AS "offset",
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM act JOIN fw USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "event_transitions": """
+            WITH s AS (
+              SELECT event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM events
+            )
+            SELECT prev AS prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE prev IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "window_unique": """
+            SELECT event_type,
+                   CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS win,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "reciprocity": """
             WITH e AS (

@@ -2164,3 +2164,61 @@ def test_grouped_corr_exact_signs(ray_session):
     assert out.loc["down", "r"] == -1.0
     assert pd.isna(out.loc["flat", "r"])
     assert out["n"].tolist() == [8, 8, 8]
+
+
+def test_retention_cohorts_triangle(ray_session):
+    """User 1 first seen week 0, active weeks 0/1/2; user 2 first seen
+    week 1, active weeks 1/2; user 3 only week 0.  Cohort 0 size 2,
+    retains 1 user at offsets 1 and 2; cohort 1 size 1, retains at
+    offset 1.  Duplicate events inside a week must not double-count."""
+    from borges_ray.ops.events import retention_cohorts
+
+    W = 7 * 86_400 * 1_000_000
+    rows = [(1, 0), (1, 10), (1, W), (1, 2 * W),   # dup in week 0
+            (2, W), (2, 2 * W), (3, 0)]
+    df = pd.DataFrame({"user_id": [r[0] for r in rows],
+                       "ts": pd.to_datetime([r[1] for r in rows],
+                                            unit="us")})
+    ds = rd.from_pandas(df).repartition(3)
+    out = (retention_cohorts(ds).to_pandas()
+           .sort_values(["cohort", "offset"]).reset_index(drop=True))
+    got = list(zip(out["cohort"].astype(int), out["offset"].astype(int),
+                   out["n_users"].astype(int)))
+    assert got == [(0, 0, 2), (0, 1, 1), (0, 2, 1), (1, 0, 1), (1, 1, 1)]
+
+
+def test_transition_counts_order_and_keys(ray_session):
+    """User 1's sequence a→b→a yields (a,b) and (b,a); user 2's lone
+    event contributes nothing; a tie on ts is broken by event_id so the
+    pair set is deterministic."""
+    from borges_ray.ops.events import transition_counts
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 3, 3],
+        "ts": pd.to_datetime([0, 1, 2, 0, 5, 5], unit="us"),
+        "event_id": [10, 11, 12, 13, 15, 14],   # tie at ts=5: 14 first
+        "event_type": ["a", "b", "a", "c", "x", "y"]})
+    ds = rd.from_pandas(df).repartition(2)
+    out = (transition_counts(ds, tiebreak=["event_id"]).to_pandas()
+           .sort_values(["prev_type", "next_type"]).reset_index(drop=True))
+    got = list(zip(out["prev_type"], out["next_type"],
+                   out["n"].astype(int)))
+    assert got == [("a", "b", 1), ("b", "a", 1), ("y", "x", 1)]
+
+
+def test_windowed_unique_dedups_ids(ray_session):
+    """Three events by two users in hour 0 count 2 uniques; the same
+    user returning in hour 1 counts 1 — per-window distinct, not
+    global."""
+    from borges_ray.ops.events import windowed_unique
+
+    H = 3_600_000_000
+    df = pd.DataFrame({
+        "event_type": ["f"] * 4,
+        "ts": pd.to_datetime([0, 1, 2, H], unit="us"),
+        "user_id": [7, 7, 8, 7]})
+    ds = rd.from_pandas(df).repartition(2)
+    out = (windowed_unique(ds).to_pandas()
+           .sort_values("win").reset_index(drop=True))
+    assert list(zip(out["win"].astype(int),
+                    out["n_unique"].astype(int))) == [(0, 2), (1, 1)]
