@@ -545,6 +545,44 @@ def main_powerlaw() -> int:
     return 0 if ok else 1
 
 
+def main_heavy_hitters() -> int:
+    """Exact heavy hitters at 10M rows with a closed-form answer: hot
+    values h0..h9 planted with counts (10-v)·100k (5.5M rows) over a
+    4.5M-unique tail that floods every per-batch Misra-Gries summary
+    with weight-1 junk.  With k=50 the gate is count > 200_000, so the
+    answer is EXACTLY h0..h7 with their planted counts — h8 sits ON the
+    boundary (200_000, strict > excludes it) and the tail must
+    contribute nothing.  Any candidate lost in the summary merge, any
+    double-counted batch, or an off-by-one in the gate flips a row."""
+    import ray.data as rd
+
+    from borges_ray.ops.sketch import heavy_hitters
+
+    counts = np.array([(10 - v) * 100_000 for v in range(10)],
+                      dtype=np.int64)
+    cum = np.concatenate(([0], np.cumsum(counts)))
+    hot_total, total = int(cum[-1]), 10_000_000
+    T0 = time.time()
+
+    def mk_vals(df):
+        r = df["id"].to_numpy(np.int64)
+        out = np.empty(len(r), dtype=object)
+        hot = r < hot_total
+        v = np.searchsorted(cum, r[hot], side="right") - 1
+        out[hot] = np.char.add("h", v.astype("U2"))
+        out[~hot] = np.char.add("t", r[~hot].astype("U9"))
+        return pd.DataFrame({"v": out})
+
+    ds = rd.range(total).map_batches(mk_vals, batch_format="pandas")
+    out = heavy_hitters(ds, "v", k=50)
+    dt = time.time() - T0
+    got = list(zip(out["v"], out["cnt"].astype(int)))
+    want = [(f"h{v}", int(counts[v])) for v in range(8)]
+    print(f"HEAVY_HITTERS {total} rows: {dt:.1f}s ({total / dt:.0f} rows/s); "
+          f"{len(got)} hitters, top={got[:3]}", flush=True)
+    return 0 if got == want else 1
+
+
 if __name__ == "__main__":
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=32, include_dashboard=False,
@@ -573,6 +611,8 @@ if __name__ == "__main__":
         rc = main_reciprocity()
     elif "--powerlaw" in sys.argv:
         rc = main_powerlaw()
+    elif "--heavy-hitters" in sys.argv:
+        rc = main_heavy_hitters()
     else:
         rc = main("--planted" in sys.argv)
     ray.shutdown()
