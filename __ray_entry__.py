@@ -1640,6 +1640,57 @@ def _q_window_unique(sf_dir: str):
     return out.sort_values(["event_type", "win"]).reset_index(drop=True)
 
 
+def _q_link_health(sf_dir: str):
+    """One-row link-graph health audit over a 4096-source / 16384-target
+    derived graph (so most targets are dangling): node/edge counts,
+    self-loop and dangling fractions, max in/out degree, mean
+    out-degree — keys-only degree combiners plus one tagged-union node
+    classification, no outer join."""
+    from borges_ray.ops.graph import link_health
+    from borges_ray.ops.relational import load
+
+    li = load(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        s = ((df["l_orderkey"].to_numpy("int64") * 3
+              + df["l_linenumber"].to_numpy("int64")) % 4096)
+        d = (df["l_partkey"].to_numpy("int64") * 7) % 16384
+        return pd.DataFrame({"src": s, "dst": d})
+
+    return link_health(li.map_batches(to_edges, batch_format="pandas"))
+
+
+def _q_host_coverage(sf_dir: str):
+    """Cumulative host-coverage audit (host ≡ user_id mod 2048): the
+    share of all events owned by the top 1 / 10 / 100 hosts — per-host
+    counts collapse map-side, combiner-bounded top-k, exact-integer
+    sums with one final division."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.stats import host_coverage
+
+    ev = load(sf_dir, "events", columns=["user_id"])
+
+    def to_hosts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"host": df["user_id"].to_numpy("int64") % 2048})
+
+    return host_coverage(ev.map_batches(to_hosts, batch_format="pandas"),
+                         "host")
+
+
+def _q_kwic(sf_dir: str):
+    """Keyword-in-context snippets for the term 'data' over documents:
+    1-based first-occurrence position plus the ±30-char window, sliced
+    with SQL substr/greatest semantics so the twin hashes identical."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.textops import kwic_extract
+
+    docs = load(sf_dir, "documents", columns=["doc_id", "text"])
+    out = kwic_extract(docs, "data", window=30).to_pandas()
+    out["pos"] = out["pos"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_trustrank(sf_dir: str):
     """TrustRank (Gyöngyi et al. 2004): PageRank with the teleport mass
     restricted to a trusted whitelist (suppliers ≡ 0 mod 7), so rank
@@ -3103,6 +3154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,
         "event_transitions": _q_event_transitions,
         "window_unique": _q_window_unique,
+        "link_health": _q_link_health,
+        "host_coverage": _q_host_coverage,
+        "kwic": _q_kwic,
         "trustrank": _q_trustrank,
         "crawl_depth": _q_crawl_depth,
         "mirror_detect": _q_mirror_detect,
@@ -4840,6 +4894,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS win,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "link_health": """
+            WITH raw AS (
+              SELECT (l_orderkey * 3 + l_linenumber) % 4096 AS src,
+                     (l_partkey * 7) % 16384 AS dst
+              FROM lineitem
+            ), eall AS (
+              SELECT DISTINCT src, dst FROM raw
+            ), t AS (
+              SELECT count(*) AS n_all,
+                     count(*) FILTER (src = dst) AS loops
+              FROM eall
+            ), e AS (
+              SELECT src, dst FROM eall WHERE src <> dst
+            ), od AS (
+              SELECT src AS node, count(*) AS d FROM e GROUP BY 1
+            ), idg AS (
+              SELECT dst AS node, count(*) AS d FROM e GROUP BY 1
+            ), nodes AS (
+              SELECT node, max(ho) AS ho, max(hi) AS hi FROM (
+                SELECT node, 1 AS ho, 0 AS hi FROM od
+                UNION ALL
+                SELECT node, 0 AS ho, 1 AS hi FROM idg
+              ) GROUP BY node
+            ), ns AS (
+              SELECT count(*) AS n_nodes,
+                     count(*) FILTER (hi = 1 AND ho = 0) AS dang
+              FROM nodes
+            )
+            SELECT CAST(ns.n_nodes AS BIGINT) AS n_nodes,
+                   CAST(t.n_all - t.loops AS BIGINT) AS n_edges,
+                   CAST(t.loops AS BIGINT) AS self_loops,
+                   CAST(ns.dang AS BIGINT) AS dangling,
+                   CAST((SELECT max(d) FROM od) AS BIGINT) AS max_out,
+                   CAST((SELECT max(d) FROM idg) AS BIGINT) AS max_in,
+                   round(CAST(t.loops AS DOUBLE) / t.n_all, 6)
+                       AS self_loop_frac,
+                   round(CAST(ns.dang AS DOUBLE) / ns.n_nodes, 6)
+                       AS dangling_frac,
+                   round(CAST(t.n_all - t.loops AS DOUBLE) / ns.n_nodes, 6)
+                       AS avg_out
+            FROM t, ns
+        """,
+        "host_coverage": """
+            WITH h AS (
+              SELECT user_id % 2048 AS host, count(*) AS c
+              FROM events GROUP BY 1
+            ), r AS (
+              SELECT c, row_number() OVER (ORDER BY c DESC, host) AS rk
+              FROM h
+            ), t AS (
+              SELECT sum(c) AS total FROM h
+            )
+            SELECT CAST(t.total AS BIGINT) AS total,
+                   round(CAST((SELECT sum(c) FROM r WHERE rk <= 1)
+                              AS DOUBLE) / t.total, 6) AS share_top1,
+                   round(CAST((SELECT sum(c) FROM r WHERE rk <= 10)
+                              AS DOUBLE) / t.total, 6) AS share_top10,
+                   round(CAST((SELECT sum(c) FROM r WHERE rk <= 100)
+                              AS DOUBLE) / t.total, 6) AS share_top100
+            FROM t
+        """,
+        "kwic": """
+            WITH m AS (
+              SELECT doc_id, strpos(text, 'data') AS pos, text
+              FROM documents WHERE strpos(text, 'data') > 0
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(pos AS BIGINT) AS pos,
+                   substr(text, greatest(1, pos - 30), 64) AS snippet
+            FROM m ORDER BY doc_id
         """,
         "reciprocity": """
             WITH e AS (

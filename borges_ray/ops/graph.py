@@ -1293,3 +1293,86 @@ def bib_coupling(edges: rd.Dataset, *, src_col: str = "src",
 
     return cocitation(edges.map_batches(rev, batch_format="pandas"),
                       k=k, min_count=min_count, max_fanout=max_fanout)
+
+
+def link_health(edges: rd.Dataset, *, src_col: str = "src",
+                dst_col: str = "dst") -> pd.DataFrame:
+    """One-row structural health audit of a link graph — the numbers a
+    crawl operator reads before trusting any downstream graph analytics:
+    node/edge counts, self-loop fraction (template bugs emit them),
+    dangling fraction (nodes cited but never crawled — in-degree > 0,
+    out-degree 0; they leak PageRank mass), max in/out degree (hub and
+    directory-page extremes), and mean out-degree.
+
+    Keys-only throughout: distinct edges once, per-endpoint degree
+    combiners, and ONE tagged-union exchange classifies every node as
+    has-out / has-in (no outer join): each degree table emits (node,
+    flag) rows and a ``grouped_agg`` max per node collapses them.
+    Scalars reduce via per-block partials — the driver never sees a
+    row-level frame.
+
+    Returns one row: ``(n_nodes, n_edges, self_loops, dangling, max_out,
+    max_in)`` as int64 plus ``(self_loop_frac, dangling_frac, avg_out)``
+    rounded to 6 decimals.  ``self_loop_frac`` is over DISTINCT edges
+    including loops; ``n_edges``/degrees exclude loops.
+    """
+    from .relational import distinct, grouped_agg, spill_point
+
+    eall = spill_point(distinct(
+        edges.select_columns([src_col, dst_col]), [src_col, dst_col]),
+        "health_e")
+
+    def loop_partial(df: pd.DataFrame) -> pd.DataFrame:
+        loops = int((df[src_col].to_numpy("int64")
+                     == df[dst_col].to_numpy("int64")).sum())
+        return pd.DataFrame({"n_all": [np.int64(len(df))],
+                             "loops": [np.int64(loops)]})
+
+    lp = eall.map_batches(loop_partial, batch_format="pandas").to_pandas()
+    n_all, loops = int(lp["n_all"].sum()), int(lp["loops"].sum())
+    n_edges = n_all - loops
+
+    e = eall.map_batches(
+        lambda df: df[df[src_col] != df[dst_col]], batch_format="pandas")
+    outdeg = grouped_agg(e, [src_col], {"d": ("count", dst_col)})
+    indeg = grouped_agg(e, [dst_col], {"d": ("count", src_col)})
+
+    def tag(col: str, out_flag: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"node": df[col].astype("int64"),
+                                 "ho": np.int64(out_flag),
+                                 "hi": np.int64(1 - out_flag)})
+        return fn
+
+    tagged = (outdeg.map_batches(tag(src_col, 1), batch_format="pandas")
+              .union(indeg.map_batches(tag(dst_col, 0),
+                                       batch_format="pandas")))
+    nodes = grouped_agg(tagged, ["node"],
+                        {"ho": ("max", "ho"), "hi": ("max", "hi")})
+
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        dang = int(((df["hi"] == 1) & (df["ho"] == 0)).sum())
+        return pd.DataFrame({"n": [np.int64(len(df))],
+                             "dang": [np.int64(dang)]})
+
+    npart = nodes.map_batches(node_partial, batch_format="pandas").to_pandas()
+    n_nodes, dangling = int(npart["n"].sum()), int(npart["dang"].sum())
+
+    def max_of(ds_, col="d") -> int:
+        p = ds_.map_batches(
+            lambda df: pd.DataFrame({"m": [np.int64(df[col].max())]})
+            if len(df) else pd.DataFrame({"m": pd.Series(dtype="int64")}),
+            batch_format="pandas").to_pandas()
+        return int(p["m"].max()) if len(p) else 0
+
+    max_out, max_in = max_of(outdeg), max_of(indeg)
+    return pd.DataFrame({
+        "n_nodes": pd.Series([n_nodes], dtype="int64"),
+        "n_edges": pd.Series([n_edges], dtype="int64"),
+        "self_loops": pd.Series([loops], dtype="int64"),
+        "dangling": pd.Series([dangling], dtype="int64"),
+        "max_out": pd.Series([max_out], dtype="int64"),
+        "max_in": pd.Series([max_in], dtype="int64"),
+        "self_loop_frac": [round(loops / n_all, 6) if n_all else 0.0],
+        "dangling_frac": [round(dangling / n_nodes, 6) if n_nodes else 0.0],
+        "avg_out": [round(n_edges / n_nodes, 6) if n_nodes else 0.0]})

@@ -244,3 +244,39 @@ def grouped_corr(ds: rd.Dataset, key_col: str, x_col: str,
     return pd.DataFrame({key_col: g[key_col], "r": r.round(6),
                          "n": g["n"].astype("int64")}).sort_values(
         key_col, kind="mergesort").reset_index(drop=True)
+
+
+def host_coverage(ds: rd.Dataset, key_col: str,
+                  ks: tuple[int, ...] = (1, 10, 100)) -> pd.DataFrame:
+    """Cumulative-coverage audit: what fraction of all rows do the top
+    1 / 10 / 100 keys own?  The "is the corpus three mega-hosts in a
+    trench coat" number that decides whether per-host caps are needed
+    before training-data sampling.
+
+    Per-key counts collapse map-side (``grouped_agg``); the global
+    top-``max(ks)`` rows come back via the combiner-bounded ``topk``
+    (each block forwards ≤ max(ks) candidate rows); totals reduce via
+    per-block partial sums.  Shares are exact-integer sums with ONE
+    final division, so they hash identically to a SQL
+    ``row_number() OVER (ORDER BY c DESC, key)`` twin.
+
+    Returns one row: ``total int64`` plus ``share_top{k}`` (round 6)
+    per requested k.
+    """
+    from .relational import grouped_agg, topk
+
+    counts = grouped_agg(ds.select_columns([key_col]), [key_col],
+                         {"c": ("count", key_col)})
+
+    def total_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"t": [np.int64(df["c"].sum())]})
+
+    total = int(counts.map_batches(total_partial, batch_format="pandas")
+                      .to_pandas()["t"].sum())
+    top = topk(counts, ["c"], max(ks), tiebreak=[key_col])
+    c = top["c"].astype("int64").to_numpy()
+    out = {"total": pd.Series([total], dtype="int64")}
+    for k in ks:
+        out[f"share_top{k}"] = [round(int(c[:k].sum()) / total, 6)
+                                if total else 0.0]
+    return pd.DataFrame(out)

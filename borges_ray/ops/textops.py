@@ -503,3 +503,37 @@ def soft_dedup_weights(ds: rd.Dataset, id_col: str = "doc_id",
         })
 
     return joined.map_batches(fin, batch_format="pandas")
+
+
+def kwic_extract(ds: rd.Dataset, term: str, *, id_col: str = "doc_id",
+                 text_col: str = "text", window: int = 30) -> rd.Dataset:
+    """Keyword-in-context (KWIC) extraction — the search-result snippet
+    op: for every document containing ``term`` (exact, case-sensitive),
+    emit the 1-based character position of its FIRST occurrence and the
+    ±``window``-character context around it.
+
+    Slicing semantics mirror SQL exactly so the twin hashes identical:
+    ``pos = strpos(text, term)`` (1-based, 0 filtered out) and
+    ``snippet = substr(text, greatest(1, pos - window),
+    window + len(term) + window)`` with end-of-string clipping.  The
+    scan (``str.find``) is a vectorized pandas kernel; only the
+    variable-offset slice of the MATCHING rows is a Python loop —
+    O(matches), not O(corpus), and each slice is ~2·window chars.
+    """
+    tlen = len(term)
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        f = df[text_col].str.find(term)
+        hit = f >= 0
+        sub = df[hit]
+        find0 = f[hit].to_numpy("int64")
+        start0 = np.maximum(0, find0 - window)
+        snips = [t[s:s + window + tlen + window]
+                 for t, s in zip(sub[text_col].tolist(), start0)]
+        return pd.DataFrame({id_col: sub[id_col].astype("int64"),
+                             "pos": find0 + 1,
+                             "snippet": pd.Series(snips, dtype="object",
+                                                  index=sub.index)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_batch, batch_format="pandas")

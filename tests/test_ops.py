@@ -2222,3 +2222,57 @@ def test_windowed_unique_dedups_ids(ray_session):
            .sort_values("win").reset_index(drop=True))
     assert list(zip(out["win"].astype(int),
                     out["n_unique"].astype(int))) == [(0, 2), (1, 1)]
+
+
+def test_link_health_known_graph(ray_session):
+    """Graph 1→2, 2→1, 1→3, 3→3 (self-loop), 4→5, plus a duplicate
+    edge row: 4 distinct non-loop edges out of 5 distinct rows, nodes
+    {1,2,3,4,5}.  Dangling = {3, 5}: node 3's only out-edge is its
+    self-loop, which the audit strips before computing degrees, so it
+    counts as cited-but-never-crawled alongside 5."""
+    from borges_ray.ops.graph import link_health
+
+    E = [(1, 2), (2, 1), (1, 3), (3, 3), (4, 5), (1, 2)]
+    ds = rd.from_pandas(pd.DataFrame(E, columns=["src", "dst"])).repartition(2)
+    row = link_health(ds).iloc[0]
+    assert row["n_edges"] == 4 and row["self_loops"] == 1
+    assert row["n_nodes"] == 5          # 1,2,3,4,5
+    assert row["dangling"] == 2         # 3 (loop stripped) and 5
+    assert row["max_out"] == 2 and row["max_in"] == 1
+    assert row["self_loop_frac"] == 0.2     # 1 of 5 distinct rows
+    assert row["dangling_frac"] == 0.4 and row["avg_out"] == 0.8
+
+
+def test_host_coverage_shares(ray_session):
+    """Counts 6/3/1 over three hosts: top-1 share 0.6, top-10 share 1.0
+    (k larger than #hosts clips).  Tie order: equal counts break by
+    host ascending, matching the SQL row_number twin."""
+    from borges_ray.ops.stats import host_coverage
+
+    df = pd.DataFrame({"h": ["a"] * 6 + ["b"] * 3 + ["c"]})
+    row = host_coverage(rd.from_pandas(df).repartition(2), "h",
+                        ks=(1, 10)).iloc[0]
+    assert row["total"] == 10
+    assert row["share_top1"] == 0.6 and row["share_top10"] == 1.0
+
+
+def test_kwic_substr_semantics(ray_session):
+    """Early match clips the left window to position 1 (SQL greatest);
+    a match deep in the text gets the full ±window; non-matching docs
+    drop; pos is 1-based first occurrence."""
+    from borges_ray.ops.textops import kwic_extract
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["xdatay" + "z" * 50,
+                 "a" * 40 + "data" + "b" * 40,
+                 "nothing here"]})
+    out = (kwic_extract(rd.from_pandas(df).repartition(2), "data",
+                        window=30).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["pos"].tolist() == [2, 41]
+    # doc 1: start clips to 0 → first 64 chars of the 56-char string
+    assert out["snippet"][0] == ("xdatay" + "z" * 50)
+    # doc 2: chars 10..73 (0-based) = 30 a's + data + 30 b's
+    assert out["snippet"][1] == "a" * 30 + "data" + "b" * 30
