@@ -1691,6 +1691,31 @@ def _q_kwic(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_char_entropy(sf_dir: str):
+    """Per-document character-level Shannon entropy (gibberish / blob /
+    template-filler detector): one vectorized byte-bincount per batch,
+    no exchange; round-6 twin of a substr-explode SQL rebuild."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.textops import char_entropy
+
+    docs = load(sf_dir, "documents", columns=["doc_id", "text"])
+    out = char_entropy(docs).to_pandas()
+    for c in ("doc_id", "n_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_trimmed_mean(sf_dir: str):
+    """Per-type 5–95% trimmed mean of the event value: discrete
+    quantile cut points broadcast once, then a filtered sum/count
+    combiner — the robust dashboard number."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.stats import trimmed_mean
+
+    ev = load(sf_dir, "events", columns=["event_type", "value"])
+    return trimmed_mean(ev, "event_type", "value")
+
+
 def _q_trustrank(sf_dir: str):
     """TrustRank (Gyöngyi et al. 2004): PageRank with the teleport mass
     restricted to a trusted whitelist (suppliers ≡ 0 mod 7), so rank
@@ -3157,6 +3182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_health": _q_link_health,
         "host_coverage": _q_host_coverage,
         "kwic": _q_kwic,
+        "char_entropy": _q_char_entropy,
+        "trimmed_mean": _q_trimmed_mean,
         "trustrank": _q_trustrank,
         "crawl_depth": _q_crawl_depth,
         "mirror_detect": _q_mirror_detect,
@@ -4965,6 +4992,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(pos AS BIGINT) AS pos,
                    substr(text, greatest(1, pos - 30), 64) AS snippet
             FROM m ORDER BY doc_id
+        """,
+        "char_entropy": """
+            WITH pos AS (
+              SELECT doc_id, text,
+                     unnest(range(1, length(text) + 1)) AS i
+              FROM documents WHERE length(text) > 0
+            ), ch AS (
+              SELECT doc_id, substr(text, i, 1) AS c FROM pos
+            ), f AS (
+              SELECT doc_id, c, count(*) AS m FROM ch GROUP BY 1, 2
+            )
+            SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_chars,
+                   round(ln(sum(m)) - sum(m * ln(m)) / sum(m), 6)
+                       AS entropy
+            FROM f GROUP BY doc_id ORDER BY doc_id
+        """,
+        "trimmed_mean": """
+            WITH q AS (
+              SELECT event_type,
+                     quantile_disc(value, 0.05) AS lo,
+                     quantile_disc(value, 0.95) AS hi
+              FROM events GROUP BY 1
+            )
+            SELECT e.event_type, round(avg(e.value), 6) AS tmean,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM events e JOIN q USING (event_type)
+            WHERE e.value BETWEEN q.lo AND q.hi
+            GROUP BY e.event_type ORDER BY e.event_type
         """,
         "reciprocity": """
             WITH e AS (

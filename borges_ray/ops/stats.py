@@ -280,3 +280,41 @@ def host_coverage(ds: rd.Dataset, key_col: str,
         out[f"share_top{k}"] = [round(int(c[:k].sum()) / total, 6)
                                 if total else 0.0]
     return pd.DataFrame(out)
+
+
+def trimmed_mean(ds: rd.Dataset, key_col: str, value_col: str, *,
+                 lo_q: float = 0.05, hi_q: float = 0.95) -> pd.DataFrame:
+    """Per-group trimmed mean: the mean of values inside the
+    [lo_q, hi_q] DISCRETE-quantile band — the robust central-tendency
+    number for latency/quality dashboards where a handful of timeouts
+    or zeros would drag the plain mean.
+
+    Two combiner-collapsed passes: per-group discrete quantile cut
+    points via :func:`grouped_quantile` (exact elements, so the band
+    test ``lo ≤ v ≤ hi`` is bit-identical to the SQL twin's BETWEEN),
+    broadcast as a tiny dict, then a filtered sum/count
+    ``grouped_agg``.  Returns ``(key, tmean round-6, n_kept int64)``
+    sorted by key.
+    """
+    qcols = [f"q{int(lo_q * 100)}", f"q{int(hi_q * 100)}"]
+    slim = ds.select_columns([key_col, value_col])
+    cuts = grouped_quantile(slim, key_col, value_col,
+                            [lo_q, hi_q]).to_pandas()
+    lo_map = dict(zip(cuts[key_col], cuts[qcols[0]]))
+    hi_map = dict(zip(cuts[key_col], cuts[qcols[1]]))
+
+    def keep_band(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy("float64")
+        lo = df[key_col].map(lo_map).to_numpy("float64")
+        hi = df[key_col].map(hi_map).to_numpy("float64")
+        m = (v >= lo) & (v <= hi)
+        return pd.DataFrame({key_col: df[key_col][m], "v": v[m]})
+
+    agg = grouped_agg(slim.map_batches(keep_band, batch_format="pandas"),
+                      [key_col], {"s": ("sum", "v"),
+                                  "n_kept": ("count", "v")}).to_pandas()
+    return pd.DataFrame({
+        key_col: agg[key_col],
+        "tmean": (agg["s"] / agg["n_kept"]).round(6),
+        "n_kept": agg["n_kept"].astype("int64"),
+    }).sort_values(key_col, kind="mergesort").reset_index(drop=True)

@@ -2276,3 +2276,33 @@ def test_kwic_substr_semantics(ray_session):
     assert out["snippet"][0] == ("xdatay" + "z" * 50)
     # doc 2: chars 10..73 (0-based) = 30 a's + data + 30 b's
     assert out["snippet"][1] == "a" * 30 + "data" + "b" * 30
+
+
+def test_char_entropy_closed_forms(ray_session):
+    """'aaaa' has entropy 0; 'abab' has exactly ln 2; 'abcd' ln 4; an
+    empty doc drops (no distribution to score).  The batched bincount
+    kernel must keep per-doc histograms separate."""
+    from borges_ray.ops.textops import char_entropy
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": ["aaaa", "abab", "abcd", ""]})
+    out = (char_entropy(rd.from_pandas(df).repartition(2)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["n_chars"].tolist() == [4, 4, 4]
+    assert out["entropy"].tolist() == [
+        0.0, round(math.log(2), 6), round(math.log(4), 6)]
+
+
+def test_trimmed_mean_cuts_tails(ray_session):
+    """Group 'a' = 1..20 with lo_q=0.25, hi_q=0.75: discrete cuts are
+    the 5th and 15th elements (ceil rule), so the band keeps 5..15 and
+    the mean is exactly 10.  A singleton group keeps its one value."""
+    from borges_ray.ops.stats import trimmed_mean
+
+    df = pd.DataFrame({"k": ["a"] * 20 + ["b"],
+                       "v": [float(i) for i in range(1, 21)] + [42.0]})
+    out = trimmed_mean(rd.from_pandas(df).repartition(3), "k", "v",
+                       lo_q=0.25, hi_q=0.75).set_index("k")
+    assert out.loc["a", "tmean"] == 10.0 and out.loc["a", "n_kept"] == 11
+    assert out.loc["b", "tmean"] == 42.0 and out.loc["b", "n_kept"] == 1
