@@ -1691,6 +1691,27 @@ def _q_kwic(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_fetch_shards(sf_dir: str):
+    """Snake-placement fetch-shard plan: hosts (user_id mod 2048)
+    ranked by load desc via the histogram-base global rank (no
+    total-order materialization), dealt boustrophedon into 16 shards;
+    output is the per-shard host-count / load summary."""
+    from borges_ray.ops.relational import grouped_agg, load
+    from borges_ray.ops.sched import fetch_shard_plan
+
+    ev = load(sf_dir, "events", columns=["user_id"])
+
+    def to_hosts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"host": df["user_id"].to_numpy("int64") % 2048})
+
+    counts = grouped_agg(ev.map_batches(to_hosts, batch_format="pandas"),
+                         ["host"], {"c": ("count", "host")})
+    out = fetch_shard_plan(counts, 16).to_pandas()
+    for c in ("shard", "n_hosts", "load"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("shard").reset_index(drop=True)
+
+
 def _q_char_entropy(sf_dir: str):
     """Per-document character-level Shannon entropy (gibberish / blob /
     template-filler detector): one vectorized byte-bincount per batch,
@@ -3184,6 +3205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kwic": _q_kwic,
         "char_entropy": _q_char_entropy,
         "trimmed_mean": _q_trimmed_mean,
+        "fetch_shards": _q_fetch_shards,
         "trustrank": _q_trustrank,
         "crawl_depth": _q_crawl_depth,
         "mirror_detect": _q_mirror_detect,
@@ -5007,6 +5029,25 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(sum(m)) - sum(m * ln(m)) / sum(m), 6)
                        AS entropy
             FROM f GROUP BY doc_id ORDER BY doc_id
+        """,
+        "fetch_shards": """
+            WITH h AS (
+              SELECT user_id % 2048 AS host, count(*) AS c
+              FROM events GROUP BY 1
+            ), r AS (
+              SELECT host, c,
+                     row_number() OVER (ORDER BY c DESC, host) AS rk
+              FROM h
+            ), a AS (
+              SELECT host, c,
+                     CASE WHEN (rk - 1) % 32 < 16 THEN (rk - 1) % 32
+                          ELSE 31 - ((rk - 1) % 32) END AS shard
+              FROM r
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_hosts,
+                   CAST(sum(c) AS BIGINT) AS load
+            FROM a GROUP BY 1 ORDER BY 1
         """,
         "trimmed_mean": """
             WITH q AS (

@@ -305,6 +305,23 @@ def _add_key_bucket(df: pd.DataFrame, keys: list[str], n: int = N_KEY_BUCKETS) -
     # equal hash; ``fn`` regroups by the real keys inside the block, so a
     # hash collision merely shares a block, never merges keys.
     out = df.copy()
+    if all(pd.api.types.is_integer_dtype(df[k]) for k in keys):
+        # hot path: pure-integer keys hash with vectorized splitmix64 —
+        # the astype(str) fallback materializes a Python string PER ROW
+        # and dominated wide exchanges (e.g. 15M-row pair counts).
+        # Bucket layout differs from the string hash, but co-location
+        # only needs equal-key → equal-hash; results are invariant.
+        h = np.zeros(len(df), dtype=np.uint64)
+        GOLD = np.uint64(0x9E3779B97F4A7C15)
+        for k in keys:
+            v = df[k].to_numpy("int64").astype(np.uint64)
+            h ^= v + GOLD + (h << np.uint64(6)) + (h >> np.uint64(2))
+        z = h + GOLD
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+        out["__kb"] = z.view(np.int64)
+        return out
     h = pd.util.hash_pandas_object(df[keys].astype(str), index=False)  # deterministic
     out["__kb"] = h.to_numpy().view("int64")
     return out
@@ -1334,3 +1351,37 @@ def rollup_counts(ds: rd.Dataset, keys: list[str],
 
     return grouped_agg(ds.map_batches(partial, batch_format="pandas"),
                        keys, {"n": ("sum", "n")})
+
+
+def global_rank(ds: rd.Dataset, value_col: str, tiebreak_col: str, *,
+                descending: bool = True, out_col: str = "rank") -> rd.Dataset:
+    """Exact global dense row rank by ``(value_col, tiebreak_col)``
+    WITHOUT materializing a total order: the rank of a row is
+    (#rows with a strictly better value) + (its position among its own
+    value's rows ordered by tiebreak) — so a keys-only HISTOGRAM of
+    value multiplicities gives every value's rank BASE (tiny driver
+    frame, cumsum, broadcast), and one bucketed exchange on the value
+    co-locates each value group for a vectorized intra-rank.
+
+    Equals SQL ``row_number() OVER (ORDER BY value [DESC], tiebreak)``.
+    Partitioning note: a value shared by many rows lands in one bucket
+    (the mode's group is the skew bound) — fine for per-key COUNT
+    tables where the mode is the long-tail count, the intended use.
+    """
+
+    hist = grouped_agg(ds.select_columns([value_col]), [value_col],
+                       {"m": ("count", value_col)}).to_pandas()
+    hist = hist.sort_values(value_col, ascending=not descending,
+                            kind="mergesort")
+    base = dict(zip(hist[value_col],
+                    hist["m"].cumsum().shift(fill_value=0).astype("int64")))
+
+    def per_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([value_col, tiebreak_col], kind="mergesort")
+        intra = df.groupby(value_col, sort=False).cumcount().to_numpy()
+        out = df.copy()
+        out[out_col] = (df[value_col].map(base).to_numpy("int64")
+                        + intra + 1)
+        return out
+
+    return groupby_buckets(ds, [value_col], per_group)

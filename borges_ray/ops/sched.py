@@ -154,3 +154,39 @@ def politeness_audit(fetches: rd.Dataset, *, host_col: str = "host",
 
     return groupby_buckets(fetches.select_columns([host_col, ts_col]),
                            [host_col], per_bucket)
+
+
+def fetch_shard_plan(loads: rd.Dataset, n_shards: int, *,
+                     host_col: str = "host",
+                     load_col: str = "c") -> rd.Dataset:
+    """Plan the assignment of hosts to ``n_shards`` fetch workers with
+    deterministic SNAKE (boustrophedon) placement: hosts ranked by
+    (load desc, host), then dealt 0..n-1, n-1..0, 0..n-1, … — the
+    arithmetic balance heuristic that keeps every shard within one
+    top-host load of the others while staying pure SQL-twinnable
+    (``row_number`` + a CASE), unlike greedy LPT whose heap state no
+    SQL engine can express.
+
+    The global rank comes from :func:`~borges_ray.ops.relational.global_rank`
+    (histogram rank bases + one bucketed intra-rank — no total-order
+    materialization), so the plan never funnels the host table through
+    the driver.  Returns the per-shard summary ``(shard int64,
+    n_hosts int64, load int64)`` — the row-level assignment stays
+    distributed and is derivable from the same rank arithmetic.
+    """
+    from .relational import global_rank, grouped_agg
+
+    ranked = global_rank(loads, load_col, host_col, descending=True)
+    period = 2 * n_shards
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        r0 = (df["rank"].to_numpy("int64") - 1) % period
+        shard = np.where(r0 < n_shards, r0, period - 1 - r0)
+        return pd.DataFrame({"shard": shard.astype("int64"),
+                             "host": df[host_col],
+                             "c": df[load_col].astype("int64")})
+
+    assigned = ranked.map_batches(assign, batch_format="pandas")
+    return grouped_agg(assigned, ["shard"],
+                       {"n_hosts": ("count", "host"),
+                        "load": ("sum", "c")})

@@ -2306,3 +2306,34 @@ def test_trimmed_mean_cuts_tails(ray_session):
                        lo_q=0.25, hi_q=0.75).set_index("k")
     assert out.loc["a", "tmean"] == 10.0 and out.loc["a", "n_kept"] == 11
     assert out.loc["b", "tmean"] == 42.0 and out.loc["b", "n_kept"] == 1
+
+
+def test_global_rank_matches_row_number(ray_session):
+    """Ranks by (value desc, key asc) must equal SQL row_number: values
+    [5, 5, 3, 3, 3, 1] with keys breaking the ties — and the histogram
+    rank-base path must survive ties spanning partition boundaries."""
+    from borges_ray.ops.relational import global_rank
+
+    df = pd.DataFrame({"k": ["b", "a", "z", "x", "y", "q"],
+                       "v": [5, 5, 3, 3, 3, 1]})
+    ds = rd.from_pandas(df).repartition(3)
+    out = (global_rank(ds, "v", "k").to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    assert list(zip(out["rank"].astype(int), out["k"])) == [
+        (1, "a"), (2, "b"), (3, "x"), (4, "y"), (5, "z"), (6, "q")]
+
+
+def test_fetch_shard_plan_snake_balance(ray_session):
+    """8 hosts with loads 8..1 dealt snake-wise into 4 shards pair the
+    heaviest with the lightest: every shard gets exactly 2 hosts and
+    total load 9 — the boustrophedon balance property."""
+    from borges_ray.ops.sched import fetch_shard_plan
+
+    df = pd.DataFrame({"host": list(range(8)),
+                       "c": [8, 7, 6, 5, 4, 3, 2, 1]})
+    ds = rd.from_pandas(df).repartition(2)
+    out = (fetch_shard_plan(ds, 4).to_pandas()
+           .sort_values("shard").reset_index(drop=True))
+    assert out["shard"].astype(int).tolist() == [0, 1, 2, 3]
+    assert out["n_hosts"].astype(int).tolist() == [2, 2, 2, 2]
+    assert out["load"].astype(int).tolist() == [9, 9, 9, 9]
