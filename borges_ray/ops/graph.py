@@ -629,10 +629,29 @@ def triangle_counts(
     oriented = spill_point(
         withdeg.map_batches(orient, batch_format="pandas"), "tri_or")
 
+    # packed fast path: when node ids fit in 31 bits, the wedge pair
+    # (x, y) travels as ONE int64 and the closing probe joins on a
+    # single key — fewer wire bytes and a single-column bucket merge.
+    def rng_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"lo": pd.Series(dtype="int64"),
+                                 "hi": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "lo": [np.int64(min(df["a"].min(), df["b"].min()))],
+            "hi": [np.int64(max(df["a"].max(), df["b"].max()))]})
+
+    rng = oriented.map_batches(rng_partial, batch_format="pandas").to_pandas()
+    packable = bool(len(rng)) and int(rng["lo"].min()) >= 0 \
+        and int(rng["hi"].max()) < (1 << 31)
+    PACK = np.int64(1) << np.int64(32)
+
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"x": pd.Series(dtype="int64"),
-                              "y": pd.Series(dtype="int64"),
-                              "center": pd.Series(dtype="int64")})
+        empty = (pd.DataFrame({"xy": pd.Series(dtype="int64"),
+                               "center": pd.Series(dtype="int64")})
+                 if packable else
+                 pd.DataFrame({"x": pd.Series(dtype="int64"),
+                               "y": pd.Series(dtype="int64"),
+                               "center": pd.Series(dtype="int64")}))
         if not len(df):
             return empty
         order = np.lexsort((df["b"].to_numpy(), df["deg_b"].to_numpy(),
@@ -654,27 +673,47 @@ def triangle_counts(
             cs.append(np.full(len(ia), a[s], dtype=np.int64))
         if not xs:
             return empty
-        return pd.DataFrame({"x": np.concatenate(xs),
-                             "y": np.concatenate(ys),
-                             "center": np.concatenate(cs)})
+        x, y = np.concatenate(xs), np.concatenate(ys)
+        c = np.concatenate(cs)
+        if packable:
+            return pd.DataFrame({"xy": x * PACK + y, "center": c})
+        return pd.DataFrame({"x": x, "y": y, "center": c})
 
-    wset = schema_anchor(
-        groupby_buckets(oriented, ["a"], wedges),
-        pd.DataFrame({"x": pd.Series(dtype="int64"),
-                      "y": pd.Series(dtype="int64"),
-                      "center": pd.Series(dtype="int64")}))
-    # wedge pairs are emitted in the (deg, id) total order, the same
-    # order the closing edge is stored in — one equi-join probe suffices
-    closing = oriented.map_batches(
-        lambda df: pd.DataFrame({"x": df["a"], "y": df["b"], "__c": 1}),
-        batch_format="pandas")
-    tri = hash_join(wset, closing, on=["x", "y"])
-
-    corners = tri.map_batches(
-        lambda df: pd.DataFrame({"node": np.concatenate([
-            df["x"].to_numpy("int64"), df["y"].to_numpy("int64"),
-            df["center"].to_numpy("int64")])}),
-        batch_format="pandas")
+    if packable:
+        wset = schema_anchor(
+            groupby_buckets(oriented, ["a"], wedges),
+            pd.DataFrame({"xy": pd.Series(dtype="int64"),
+                          "center": pd.Series(dtype="int64")}))
+        closing = oriented.map_batches(
+            lambda df: pd.DataFrame({
+                "xy": df["a"].to_numpy("int64") * PACK
+                      + df["b"].to_numpy("int64"), "__c": 1}),
+            batch_format="pandas")
+        tri = hash_join(wset, closing, on=["xy"])
+        corners = tri.map_batches(
+            lambda df: pd.DataFrame({"node": np.concatenate([
+                (df["xy"].to_numpy("int64") // PACK),
+                (df["xy"].to_numpy("int64") % PACK),
+                df["center"].to_numpy("int64")])}),
+            batch_format="pandas")
+    else:
+        wset = schema_anchor(
+            groupby_buckets(oriented, ["a"], wedges),
+            pd.DataFrame({"x": pd.Series(dtype="int64"),
+                          "y": pd.Series(dtype="int64"),
+                          "center": pd.Series(dtype="int64")}))
+        # wedge pairs are emitted in the (deg, id) total order, the same
+        # order the closing edge is stored in — one equi-join suffices
+        closing = oriented.map_batches(
+            lambda df: pd.DataFrame({"x": df["a"], "y": df["b"],
+                                     "__c": 1}),
+            batch_format="pandas")
+        tri = hash_join(wset, closing, on=["x", "y"])
+        corners = tri.map_batches(
+            lambda df: pd.DataFrame({"node": np.concatenate([
+                df["x"].to_numpy("int64"), df["y"].to_numpy("int64"),
+                df["center"].to_numpy("int64")])}),
+            batch_format="pandas")
     out = grouped_agg(corners, ["node"], {"n_triangles": ("count", "node")})
     return out.map_batches(
         lambda df: pd.DataFrame({"node": df["node"].astype("int64"),
