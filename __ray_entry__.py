@@ -1691,6 +1691,19 @@ def _q_kwic(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_exact_quantiles(sf_dir: str):
+    """Exact global p50/p90/p99 of l_extendedprice by distributed
+    SELECTION (histogram-refinement binary search on the value space —
+    keys-only ≤4096-row exchanges, never a value shuffle or sort);
+    returns the exact input elements DuckDB's quantile_disc picks."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.stats import exact_quantile
+
+    li = load(sf_dir, "lineitem", columns=["l_extendedprice"])
+    out = exact_quantile(li, "l_extendedprice", [0.5, 0.9, 0.99])
+    return out.round(6)
+
+
 def _q_fetch_shards(sf_dir: str):
     """Snake-placement fetch-shard plan: hosts (user_id mod 2048)
     ranked by load desc via the histogram-base global rank (no
@@ -3206,6 +3219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": _q_char_entropy,
         "trimmed_mean": _q_trimmed_mean,
         "fetch_shards": _q_fetch_shards,
+        "exact_quantiles": _q_exact_quantiles,
         "trustrank": _q_trustrank,
         "crawl_depth": _q_crawl_depth,
         "mirror_detect": _q_mirror_detect,
@@ -5029,6 +5043,12 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(sum(m)) - sum(m * ln(m)) / sum(m), 6)
                        AS entropy
             FROM f GROUP BY doc_id ORDER BY doc_id
+        """,
+        "exact_quantiles": """
+            SELECT round(quantile_disc(l_extendedprice, 0.5), 6) AS q50,
+                   round(quantile_disc(l_extendedprice, 0.9), 6) AS q90,
+                   round(quantile_disc(l_extendedprice, 0.99), 6) AS q99
+            FROM lineitem
         """,
         "fetch_shards": """
             WITH h AS (

@@ -318,3 +318,108 @@ def trimmed_mean(ds: rd.Dataset, key_col: str, value_col: str, *,
         "tmean": (agg["s"] / agg["n_kept"]).round(6),
         "n_kept": agg["n_kept"].astype("int64"),
     }).sort_values(key_col, kind="mergesort").reset_index(drop=True)
+
+
+
+
+def exact_quantile(ds: rd.Dataset, value_col: str, qs: list[float], *,
+                   n_bins: int = 4096,
+                   pull_limit: int = 200_000) -> pd.DataFrame:
+    """EXACT global discrete quantiles of one column by distributed
+    SELECTION — no sort and no value shuffle, ever: binary search on the
+    VALUE SPACE with histogram refinement (the classic huge-stream
+    median shape).
+
+    Round 0 reduces (count, min, max) per block.  Each later round bins
+    the surviving candidate set into ``n_bins`` buckets — a keys-only
+    count exchange of ≤ n_bins rows regardless of input size — and
+    walks the cumulative histogram to the bucket holding the target
+    rank ``r = ceil(q·n)`` (DuckDB's ``quantile_disc`` rule).  When a
+    bucket's population falls under ``pull_limit``, its values are
+    pulled with one filtered scan and the rank is answered exactly.
+
+    Float-boundary discipline: bucket membership is defined ONLY by the
+    floor rule ``floor((v − lo)/width) == b`` and that exact predicate
+    chain is re-applied verbatim in every later round and in the final
+    pull — never re-derived as an interval test, whose rounded
+    endpoints could disagree with the floor by one ulp and silently
+    shift the rank bookkeeping.
+
+    Three or four scans end-to-end for doubles at any scale.  Returns
+    one row with a ``q{int(q*100)}`` column per requested q — exact
+    elements of the input, bit-identical to the SQL twin.
+    """
+
+    def cmm(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].dropna()
+        if not len(v):
+            return pd.DataFrame({"n": pd.Series(dtype="int64"),
+                                 "lo": pd.Series(dtype="float64"),
+                                 "hi": pd.Series(dtype="float64")})
+        return pd.DataFrame({"n": [np.int64(len(v))],
+                             "lo": [float(v.min())], "hi": [float(v.max())]})
+
+    base = ds.select_columns([value_col])
+    g = base.map_batches(cmm, batch_format="pandas").to_pandas()
+    n = int(g["n"].sum())
+    glo, ghi = float(g["lo"].min()), float(g["hi"].max())
+    out: dict[str, list[float]] = {}
+
+    def member(v: np.ndarray, chain) -> np.ndarray:
+        # EXACTLY the binning rule `hist` applies (incl. the clip to
+        # [0, n_bins-1]) so a value an ulp outside its bucket's nominal
+        # interval lands identically in count, recurse, and pull
+        m = np.ones(len(v), dtype=bool)
+        for lo_i, w_i, b_i in chain:
+            bb = np.clip(np.floor((v - lo_i) / w_i), 0, n_bins - 1)
+            m &= bb == b_i
+        return m
+
+    for q in qs:
+        r = max(1, int(math.ceil(q * n)))        # 1-based target rank
+        lo, hi, below = glo, ghi, 0              # `below` = ranks < bucket
+        chain: list[tuple[float, float, int]] = []
+
+        while True:
+            if lo >= hi:
+                out[f"q{int(q * 100)}"] = [lo]
+                break
+            width = (hi - lo) / n_bins
+
+            def hist(df: pd.DataFrame, lo=lo, width=width,
+                     chain=tuple(chain)) -> pd.DataFrame:
+                v = df[value_col].dropna().to_numpy("float64")
+                v = v[member(v, chain)]
+                b = np.clip(np.floor((v - lo) / width),
+                            0, n_bins - 1).astype("int64")
+                cnt = np.bincount(b, minlength=n_bins)
+                nz = np.flatnonzero(cnt)
+                return pd.DataFrame({"b": nz.astype("int64"),
+                                     "m": cnt[nz].astype("int64")})
+
+            h = grouped_agg(base.map_batches(hist, batch_format="pandas"),
+                            ["b"], {"m": ("sum", "m")}).to_pandas()
+            h = h.sort_values("b", kind="mergesort")
+            cum = below + h["m"].cumsum().to_numpy("int64")
+            idx = int(np.searchsorted(cum, r, side="left"))
+            b = int(h["b"].iloc[idx])
+            in_bucket = int(h["m"].iloc[idx])
+            below = int(cum[idx]) - in_bucket
+            chain = chain + [(lo, width, b)]
+
+            if in_bucket <= pull_limit:
+                def pull(df: pd.DataFrame, chain=tuple(chain)
+                         ) -> pd.DataFrame:
+                    v = df[value_col].dropna().to_numpy("float64")
+                    return pd.DataFrame({"v": v[member(v, chain)]})
+
+                vals = np.sort(base.map_batches(
+                    pull, batch_format="pandas").to_pandas()["v"]
+                    .to_numpy("float64"))
+                out[f"q{int(q * 100)}"] = [float(vals[r - below - 1])]
+                break
+            # next round: re-bin only inside the chosen bucket
+            lo = lo + b * width
+            hi = min(hi, lo + width)
+
+    return pd.DataFrame(out)

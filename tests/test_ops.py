@@ -2337,3 +2337,28 @@ def test_fetch_shard_plan_snake_balance(ray_session):
     assert out["shard"].astype(int).tolist() == [0, 1, 2, 3]
     assert out["n_hosts"].astype(int).tolist() == [2, 2, 2, 2]
     assert out["load"].astype(int).tolist() == [9, 9, 9, 9]
+
+
+def test_exact_quantile_small_exact(ray_session):
+    """Values 1..100 across partitions: disc quantiles are exact
+    elements — q50=50, q99=99 (ceil rule) — and a tiny pull_limit
+    forces at least one histogram refinement round."""
+    from borges_ray.ops.stats import exact_quantile
+
+    df = pd.DataFrame({"v": [float(i) for i in range(1, 101)]})
+    ds = rd.from_pandas(df).repartition(4)
+    out = exact_quantile(ds, "v", [0.5, 0.99], n_bins=8, pull_limit=5)
+    assert out["q50"].iloc[0] == 50.0
+    assert out["q99"].iloc[0] == 99.0
+
+
+def test_exact_quantile_duplicate_heavy(ray_session):
+    """A mode spanning the target rank: 1000 copies of 7.0 around a few
+    distinct values — the refinement must terminate via the lo>=hi
+    degenerate-interval exit and return the duplicated element."""
+    from borges_ray.ops.stats import exact_quantile
+
+    vals = [1.0, 2.0] + [7.0] * 1000 + [9.0]
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(3)
+    out = exact_quantile(ds, "v", [0.5], n_bins=4, pull_limit=10)
+    assert out["q50"].iloc[0] == 7.0

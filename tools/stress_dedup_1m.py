@@ -23,6 +23,7 @@ this scale (preserve-order UnionOperator buffers its whole input; see
 borges_ray.ops.relational.cogroup_spill).  With the disk-bucketed
 cogroup the full chain runs 1M docs in ~206-212 s on 32 sandbox CPUs.
 """
+import math
 import os
 import sys
 import time
@@ -583,6 +584,37 @@ def main_heavy_hitters() -> int:
     return 0 if got == want else 1
 
 
+def main_exact_quantile() -> int:
+    """Distributed selection at 2^25 (~33.5M) rows with a closed form:
+    values are the EXACT multiset {1..N} delivered in scrambled order
+    (odd-multiplier bijection mod 2^25), so quantile_disc(q) must
+    return exactly ceil(q·N) — any off-by-one in the rank bookkeeping,
+    any histogram bucket miscount across refinement rounds, or any
+    float-boundary drift between the count pass and the pull pass moves
+    an answer by at least 1."""
+    import ray.data as rd
+
+    from borges_ray.ops.stats import exact_quantile
+
+    N = 1 << 25
+    MUL = 2654435761 % N  # odd → bijection mod 2^25
+    T0 = time.time()
+
+    def mk_vals(df):
+        r = df["id"].to_numpy(np.int64)
+        return pd.DataFrame({"v": ((r * MUL) % N + 1).astype("float64")})
+
+    ds = rd.range(N).map_batches(mk_vals, batch_format="pandas")
+    qs = [0.5, 0.9, 0.999]
+    out = exact_quantile(ds, "v", qs)
+    dt = time.time() - T0
+    got = [float(out[f"q{int(q * 100)}"].iloc[0]) for q in qs]
+    want = [float(math.ceil(q * N)) for q in qs]
+    print(f"EXACT_QUANTILE {N} rows: {dt:.1f}s ({N / dt:.0f} rows/s); "
+          f"got={got} want={want}", flush=True)
+    return 0 if got == want else 1
+
+
 if __name__ == "__main__":
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=32, include_dashboard=False,
@@ -613,6 +645,8 @@ if __name__ == "__main__":
         rc = main_powerlaw()
     elif "--heavy-hitters" in sys.argv:
         rc = main_heavy_hitters()
+    elif "--quantile" in sys.argv:
+        rc = main_exact_quantile()
     else:
         rc = main("--planted" in sys.argv)
     ray.shutdown()
