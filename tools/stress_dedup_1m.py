@@ -615,6 +615,48 @@ def main_exact_quantile() -> int:
     return 0 if got == want else 1
 
 
+def main_cocitation() -> int:
+    """Co-citation at a ~31M-row pair fan-out with a closed form: 8192
+    disjoint groups, each with 32 sources all citing the SAME 16
+    targets (every edge emitted twice to exercise the distinct), so
+    every within-group target pair is co-cited by EXACTLY 32 sources
+    and nothing crosses groups.  All counts tie at 32, so the top-100
+    is the first 100 (x, y) pairs of group 0 in lexicographic order —
+    a pure combinatorial expectation; any lost wedge, mis-bucketed
+    packed key, or tie-break drift in the combiner-bounded top-k moves
+    a row."""
+    import itertools
+
+    import ray.data as rd
+
+    from borges_ray.ops.graph import cocitation
+
+    G, S, T = 8192, 32, 16
+    E = G * S * T
+    SRC_BASE = G * T
+    T0 = time.time()
+
+    def mk_edges(df):
+        r = df["id"].to_numpy(np.int64) % E   # 2E rows → every edge twice
+        g = r // (S * T)
+        rem = r % (S * T)
+        j, t = rem // T, rem % T
+        return pd.DataFrame({"src": SRC_BASE + g * S + j,
+                             "dst": g * T + t})
+
+    edges = rd.range(2 * E).map_batches(mk_edges, batch_format="pandas")
+    out = cocitation(edges, k=100, min_count=2, max_fanout=256)
+    dt = time.time() - T0
+    got = list(zip(out["x"].astype(int), out["y"].astype(int),
+                   out["n"].astype(int)))
+    want = [(x, y, S) for x, y in itertools.islice(
+        itertools.combinations(range(T), 2), 100)]
+    n_pairs = G * S * (T * (T - 1) // 2)
+    print(f"COCITATION {2*E} edge rows / {n_pairs} wedge pairs: {dt:.1f}s "
+          f"({n_pairs / dt:.0f} pairs/s); top3={got[:3]}", flush=True)
+    return 0 if got == want else 1
+
+
 if __name__ == "__main__":
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=32, include_dashboard=False,
@@ -647,6 +689,8 @@ if __name__ == "__main__":
         rc = main_heavy_hitters()
     elif "--quantile" in sys.argv:
         rc = main_exact_quantile()
+    elif "--cocitation" in sys.argv:
+        rc = main_cocitation()
     else:
         rc = main("--planted" in sys.argv)
     ray.shutdown()
