@@ -1691,6 +1691,32 @@ def _q_kwic(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_quality_percentile(sf_dir: str):
+    """Per-language percentile rank of document length (the
+    cross-language score-calibration step): SQL percent_rank tie
+    semantics — ties share their first member's rank."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.stats import percentile_rank
+
+    docs = load(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    out = percentile_rank(docs, "lang", "n_chars",
+                          id_col="doc_id").to_pandas()
+    for c in ("doc_id", "n_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_source_kl(sf_dir: str):
+    """Per-source char-bigram KL divergence from the corpus-global
+    distribution (drift / contamination detector): bincount combiners,
+    a ≤65536-row broadcast global, keys-only everything."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.textops import source_kl
+
+    docs = load(sf_dir, "documents", columns=["source", "text"])
+    return source_kl(docs)
+
+
 def _q_exact_quantiles(sf_dir: str):
     """Exact global p50/p90/p99 of l_extendedprice by distributed
     SELECTION (histogram-refinement binary search on the value space —
@@ -3220,6 +3246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean": _q_trimmed_mean,
         "fetch_shards": _q_fetch_shards,
         "exact_quantiles": _q_exact_quantiles,
+        "quality_percentile": _q_quality_percentile,
+        "source_kl": _q_source_kl,
         "trustrank": _q_trustrank,
         "crawl_depth": _q_crawl_depth,
         "mirror_detect": _q_mirror_detect,
@@ -5043,6 +5071,36 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(sum(m)) - sum(m * ln(m)) / sum(m), 6)
                        AS entropy
             FROM f GROUP BY doc_id ORDER BY doc_id
+        """,
+        "quality_percentile": """
+            SELECT doc_id, lang, n_chars,
+                   round(percent_rank() OVER (PARTITION BY lang
+                                              ORDER BY n_chars), 6)
+                       AS prank
+            FROM documents ORDER BY doc_id
+        """,
+        "source_kl": """
+            WITH pos AS (
+              SELECT source, text, unnest(range(1, length(text))) AS i
+              FROM documents WHERE length(text) >= 2
+            ), bg AS (
+              SELECT source, substr(text, i, 2) AS b FROM pos
+            ), sc AS (
+              SELECT source, b, count(*) AS m FROM bg GROUP BY 1, 2
+            ), st AS (
+              SELECT source, sum(m) AS n FROM sc GROUP BY 1
+            ), gc AS (
+              SELECT b, sum(m) AS gm FROM sc GROUP BY 1
+            ), gt AS (
+              SELECT sum(m) AS gn FROM sc
+            )
+            SELECT sc.source,
+                   round(sum((m * 1.0 / n) * ln((m * 1.0 / n)
+                             / (gm * 1.0 / gn))), 6) AS kl,
+                   CAST(any_value(n) AS BIGINT) AS n_bigrams
+            FROM sc JOIN st USING (source) JOIN gc USING (b)
+                 CROSS JOIN gt
+            GROUP BY sc.source ORDER BY sc.source
         """,
         "exact_quantiles": """
             SELECT round(quantile_disc(l_extendedprice, 0.5), 6) AS q50,

@@ -423,3 +423,49 @@ def exact_quantile(ds: rd.Dataset, value_col: str, qs: list[float], *,
             hi = min(hi, lo + width)
 
     return pd.DataFrame(out)
+
+
+def percentile_rank(ds: rd.Dataset, key_col: str, value_col: str, *,
+                    id_col: str, out_col: str = "prank") -> rd.Dataset:
+    """Per-group percentile rank of every row — the score-calibration
+    step that makes quality thresholds comparable ACROSS groups (a
+    0.9-percentile Hindi doc and a 0.9-percentile English doc survive
+    the same global cut even when their raw score scales differ).
+
+    SQL ``percent_rank() OVER (PARTITION BY key ORDER BY value)``
+    semantics exactly: ties share the RANK of their first member and
+    ``prank = (rank − 1) / (n_group − 1)`` (0 for singleton groups).
+    One bucketed exchange on the group key, then a vectorized
+    searchsorted per group block.  ``id_col`` rides through so callers
+    can join the calibrated score back; it plays no role in the rank
+    (ties stay ties, as in SQL).
+
+    Returns ``(id_col, key_col, value_col, out_col round-6)``.
+    """
+    from .relational import groupby_buckets
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, value_col], kind="mergesort")
+        out = []
+        for _, g in df.groupby(key_col, sort=False):
+            v = g[value_col].to_numpy()
+            n = len(v)
+            if n == 1:
+                pr = np.zeros(1)
+            else:
+                rank = np.searchsorted(v, v, side="left") + 1  # ties→first
+                pr = (rank - 1) / (n - 1)
+            out.append(pd.DataFrame({
+                id_col: g[id_col].to_numpy(),
+                key_col: g[key_col].to_numpy(),
+                value_col: v,
+                out_col: np.round(pr, 6)}))
+        if not out:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 key_col: df[key_col],
+                                 value_col: df[value_col],
+                                 out_col: pd.Series(dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    return groupby_buckets(ds.select_columns([id_col, key_col, value_col]),
+                           [key_col], per_bucket)

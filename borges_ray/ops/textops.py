@@ -584,3 +584,83 @@ def char_entropy(ds: rd.Dataset, *, id_col: str = "doc_id",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         per_batch, batch_format="pandas")
+
+
+def source_kl(ds: rd.Dataset, *, key_col: str = "source",
+              text_col: str = "text") -> pd.DataFrame:
+    """Per-source KL divergence of the character-BIGRAM distribution
+    from the corpus-global one — the drift/contamination detector that
+    flags a source whose text stopped looking like the rest of the
+    corpus (encoding bug, language flip, template takeover, injected
+    spam) without any model: KL(source ‖ corpus) in nats.
+
+    Pipeline: one vectorized bigram-count pass (per batch: texts
+    concatenate into a byte buffer, pair keys ``byte·256 + next``
+    bincount per source, doc boundaries masked out) collapses to
+    (source, bigram, m) rows — ≤ sources × 65 536 regardless of corpus
+    size; a keys-only ``grouped_agg`` merges them.  The GLOBAL
+    distribution is ≤ 65 536 rows, so it broadcasts whole; per-source
+    totals broadcast as a dict; one more scan over the counts computes
+    the partial KL sums and a final tiny exchange finishes.
+
+    Returns ``(key_col, kl round-6, n_bigrams int64)`` sorted by key.
+    """
+    from .relational import grouped_agg
+
+    def bigram_counts(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for key, g in df.groupby(key_col, sort=False):
+            enc = [t.encode("utf-8") for t in g[text_col].fillna("")]
+            enc = [b for b in enc if len(b) >= 2]
+            if not enc:
+                continue
+            buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+            lens = np.array([len(b) for b in enc], dtype=np.int64)
+            pair = buf[:-1].astype(np.int64) * 256 + buf[1:]
+            ends = np.cumsum(lens) - 1          # last byte index per doc
+            mask = np.ones(len(buf) - 1, dtype=bool)
+            mask[ends[:-1]] = False             # pairs spanning doc joins
+            cnt = np.bincount(pair[mask], minlength=65536)
+            nz = np.flatnonzero(cnt)
+            outs.append(pd.DataFrame({key_col: key,
+                                      "b": nz.astype("int64"),
+                                      "m": cnt[nz].astype("int64")}))
+        if not outs:
+            return pd.DataFrame({key_col: pd.Series(dtype="object"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "m": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    counts = grouped_agg(
+        ds.select_columns([key_col, text_col])
+          .map_batches(bigram_counts, batch_format="pandas"),
+        [key_col, "b"], {"m": ("sum", "m")})
+
+    per_source = grouped_agg(counts, [key_col],
+                             {"n": ("sum", "m")}).to_pandas()
+    n_map = dict(zip(per_source[key_col], per_source["n"].astype("int64")))
+    glob = grouped_agg(counts, ["b"], {"gm": ("sum", "m")}).to_pandas()
+    gn = int(glob["gm"].sum())
+    g_arr = np.zeros(65536, dtype="int64")
+    g_arr[glob["b"].astype(int)] = glob["gm"].astype("int64")
+
+    def kl_partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for key, g in df.groupby(key_col, sort=False):
+            n = n_map[key]
+            p = g["m"].to_numpy("float64") / n
+            q = g_arr[g["b"].astype(int)] / gn
+            outs.append(pd.DataFrame({key_col: [key],
+                                      "kl": [float((p * np.log(p / q))
+                                                   .sum())]}))
+        if not outs:
+            return pd.DataFrame({key_col: pd.Series(dtype="object"),
+                                 "kl": pd.Series(dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    kl = grouped_agg(counts.map_batches(kl_partial, batch_format="pandas"),
+                     [key_col], {"kl": ("sum", "kl")}).to_pandas()
+    kl["n_bigrams"] = kl[key_col].map(n_map).astype("int64")
+    kl["kl"] = kl["kl"].round(6)
+    return (kl[[key_col, "kl", "n_bigrams"]]
+            .sort_values(key_col, kind="mergesort").reset_index(drop=True))

@@ -2362,3 +2362,40 @@ def test_exact_quantile_duplicate_heavy(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(3)
     out = exact_quantile(ds, "v", [0.5], n_bins=4, pull_limit=10)
     assert out["q50"].iloc[0] == 7.0
+
+
+def test_percentile_rank_tie_semantics(ray_session):
+    """Values [10, 20, 20, 30] in one group: percent_rank gives
+    0, 1/3, 1/3, 1 — ties share their first member's rank (SQL RANK,
+    not row_number).  A singleton group gets 0."""
+    from borges_ray.ops.stats import percentile_rank
+
+    df = pd.DataFrame({"id": [1, 2, 3, 4, 5],
+                       "k": ["a"] * 4 + ["b"],
+                       "v": [10.0, 20.0, 20.0, 30.0, 99.0]})
+    out = (percentile_rank(rd.from_pandas(df).repartition(2), "k", "v",
+                           id_col="id").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert out["prank"].tolist() == [
+        0.0, round(1 / 3, 6), round(1 / 3, 6), 1.0, 0.0]
+
+
+def test_source_kl_identical_vs_divergent(ray_session):
+    """A source with exactly the corpus-average bigram mix scores near
+    0; a source made of one repeated bigram scores strictly higher —
+    and doc boundaries must NOT create phantom bigrams (two docs 'ab',
+    'ab' contain no 'ba')."""
+    from borges_ray.ops.textops import source_kl
+
+    df = pd.DataFrame({
+        "source": ["s1", "s1", "s2"],
+        "text": ["ab", "ab", "cdcdcdcdcd"]})
+    out = source_kl(rd.from_pandas(df).repartition(2))
+    s1 = out[out["source"] == "s1"].iloc[0]
+    s2 = out[out["source"] == "s2"].iloc[0]
+    # s1: two docs of one 'ab' bigram each → n=2 (no phantom 'ba')
+    assert s1["n_bigrams"] == 2 and s2["n_bigrams"] == 9
+    # both sources diverge from the mixed global; exact closed forms:
+    # s1: p(ab)=1, q(ab)=2/11 → kl = ln(11/2)
+    assert s1["kl"] == round(math.log(11 / 2), 6)
+    assert s2["kl"] > 0
