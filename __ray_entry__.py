@@ -627,6 +627,28 @@ def _q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, "doc_id", threshold=0.3)
 
 
+def _q_editdist_join(sf_dir: str):
+    """EXACT edit-distance similarity self-join over derived short titles
+    (first 3 tokens): all pairs with Levenshtein ≤ 2 via Ed-Join q-gram
+    prefix filtering (q=2, prefix q·k+1) + length filter + banded-DP
+    verify — the sub-token/typo member of the dedup family that
+    token-level Jaccard is blind to.  Oracle: DuckDB ``levenshtein`` over
+    the length-filtered all-pairs join on the same title expression."""
+    from borges_ray.ops.dedup import editdist_pairs
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def title(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "title": df["text"].fillna("").map(
+                lambda t: " ".join(t.split(" ")[:3]))})
+
+    titled = ds.map_batches(title, batch_format="pandas")
+    return editdist_pairs(titled, "doc_id", "title", max_dist=2, q=2)
+
+
 def _q_containment(sf_dir: str):
     """Asymmetric containment near-dup (Broder 1997: c(A,B) =
     |S(A)∩S(B)|/|S(A)|): catches quote inclusion / partial copies that
@@ -3171,6 +3193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "minhash_neardup": _q_minhash_neardup,
         "ngram_jaccard": _q_ngram_jaccard,
+        "editdist_join": _q_editdist_join,
         "containment_docs": _q_containment,
         "minhash_dedup_survivors": _q_minhash_dedup_survivors,
         "simhash_signatures": _q_simhash,
@@ -4013,6 +4036,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard": _jaccard_pairs_sql(0.3) + """
             SELECT id_a, id_b, jaccard FROM jpairs
+        """,
+        "editdist_join": """
+            WITH t AS (
+              SELECT doc_id,
+                     array_to_string(
+                       list_slice(string_split(text, ' '), 1, 3), ' ') AS s
+              FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+            FROM t a JOIN t b
+              ON a.doc_id < b.doc_id
+             AND abs(length(a.s) - length(b.s)) <= 2
+            WHERE levenshtein(a.s, b.s) <= 2
         """,
         "minhash_dedup_survivors": _MINHASH_PAIRS_SQL + """,
             edges AS (SELECT id_a AS a, id_b AS b FROM jpairs

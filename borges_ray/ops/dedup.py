@@ -1397,3 +1397,263 @@ def containment_pairs(
             "shared": sh[keep], "cont_a": ca[keep], "cont_b": cb[keep]})
 
     return j.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance similarity join (Ed-Join)
+# ---------------------------------------------------------------------------
+
+def _banded_levenshtein(a: str, b: str, k: int) -> int:
+    """Exact Levenshtein distance if ≤ ``k``, else any value > ``k``
+    (banded DP, O(len(a)·(2k+1)) — the verify step never needs the true
+    distance of a non-match)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return k + 1
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    INF = k + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [INF] * (lb + 1)
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        if i <= k:
+            cur[0] = i
+        ca = a[i - 1]
+        row_best = INF
+        for j in range(lo, hi + 1):
+            best = prev[j - 1] + (0 if ca == b[j - 1] else 1)
+            up = prev[j] + 1
+            if up < best:
+                best = up
+            left = cur[j - 1] + 1
+            if left < best:
+                best = left
+            if best > INF:
+                best = INF
+            cur[j] = best
+            if best < row_best:
+                row_best = best
+        if row_best > k:
+            return INF
+        prev = cur
+    return prev[lb]
+
+
+#: sentinel "gram" values for short strings are small ints (lengths);
+#: real grams are md5-u64 hashes, which land below this bound with
+#: probability ~2⁻⁵⁸ per gram — and a collision would only ADD
+#: candidates (merging a real bucket into a sentinel one), never lose
+#: a pair
+_EDJOIN_SENT_MAX = np.uint64(64)
+
+
+def editdist_pairs_ds(
+    ds: rd.Dataset,
+    id_col: str,
+    str_col: str,
+    *,
+    max_dist: int = 2,
+    q: int = 2,
+    max_bucket: int | None = None,
+) -> rd.Dataset:
+    """EXACT edit-distance self-join: all pairs with Levenshtein
+    distance ≤ ``max_dist`` — the string-similarity member of the dedup
+    family (complements token-level :func:`ngram_jaccard_pairs_ds`,
+    which is blind to sub-token typos/OCR noise).  Candidate generation
+    is Ed-Join's q-gram prefix filter (Xiao, Wang, Lin, VLDB'08): one
+    edit destroys at most ``q`` distinct q-grams, so two strings within
+    distance k share a gram among their first ``q·k + 1`` grams under
+    ANY global total order (here (document-frequency asc, gram-hash
+    asc) — rare grams first, so the Zipf head never spawns a bucket).
+    The length filter ``|len_a − len_b| ≤ k`` prunes inside each bucket,
+    and a banded-DP verify keeps precision exact.
+
+    The gram lemma is VACUOUS for short strings: a string with ≤ ``q·k``
+    grams (``len ≤ q·(k+1) − 1``) can sit within distance k of a string
+    sharing NO gram at all (e.g. q=2, k=2: "abcd" vs "xbxd").  Those
+    strings — and every possible partner, i.e. anything with
+    ``len ≤ q·(k+1) − 1 + k`` — additionally emit length-keyed sentinel
+    buckets ``len .. len+k``; a short pair (la ≤ lb ≤ la+k) always meets
+    in bucket ``max(la, lb)``, restoring completeness while keeping the
+    short tail sharded by length instead of one hot bucket.
+
+    Distributed shape — raw strings move only into the verify join:
+    distinct ``(id, gram)`` rows → groupby(gram) attach df →
+    groupby(id) keep (df, gram)-smallest ``q·k+1`` prefix →
+    groupby(gram) pair spawn with in-bucket length filter → distinct →
+    two hash-joins attach the strings → banded verify.  The reference
+    has no fuzzy-string notion at all (its nearest analogue is the
+    exact insert gate, ``Borges/db_scripts/insert_jl.py:28-41``).
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``, both int64,
+    ``dist`` int64 ≤ ``max_dist``.
+
+    ``max_bucket`` (None = exact) caps one gram bucket's pair spawn for
+    memory safety under adversarial skew (recall-only trade; verify
+    keeps precision exact)."""
+    from .relational import (distinct, groupby_buckets, hash_join,
+                             schema_anchor, spill_point)
+
+    k = int(max_dist)
+    prefix_len = q * k + 1
+    # len ≤ unsafe_max → the prefix lemma gives no shared-gram guarantee;
+    # len ≤ sent_max → could be within k of such a string
+    unsafe_max = q * (k + 1) - 1
+    sent_max = unsafe_max + k
+    if sent_max + k >= int(_EDJOIN_SENT_MAX):
+        raise ValueError(f"max_dist={k}/q={q} exceed the sentinel id space")
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[str_col].fillna("").astype(str)
+        return pd.DataFrame({id_col: df[id_col].astype("int64"),
+                             "__s": s,
+                             "__ln": s.str.len().astype("int64")})
+
+    strs = spill_point(ds.map_batches(norm, batch_format="pandas"),
+                       "edj_strs")
+
+    def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids_out: list[np.ndarray] = []
+        grams_out: list[np.ndarray] = []
+        lens_out: list[np.ndarray] = []
+        for i, s, ln in zip(df[id_col].to_numpy("int64"), df["__s"],
+                            df["__ln"].to_numpy("int64")):
+            if ln > unsafe_max:
+                # safe strings: gram prefix carries the guarantee
+                gs = list({s[p:p + q] for p in range(len(s) - q + 1)})
+                h = _md5_token_hashes(gs)
+            else:
+                # unsafe strings pair only through sentinel buckets
+                h = np.empty(0, np.uint64)
+            if ln <= sent_max:
+                h = np.concatenate(
+                    [h, np.arange(ln, ln + k + 1, dtype=np.uint64)])
+            if not len(h):
+                continue
+            ids_out.append(np.full(len(h), i, dtype=np.int64))
+            grams_out.append(h)
+            lens_out.append(np.full(len(h), ln, dtype=np.int64))
+        if not ids_out:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "gram": pd.Series(dtype="uint64"),
+                                 "__ln": pd.Series(dtype="int64")})
+        return pd.DataFrame({id_col: np.concatenate(ids_out),
+                             "gram": np.concatenate(grams_out),
+                             "__ln": np.concatenate(lens_out)})
+
+    rows = spill_point(strs.map_batches(gram_rows, batch_format="pandas"),
+                       "edj_rows")
+    # sentinel rows bypass the prefix selection entirely — a short
+    # string must ALWAYS surface in its length-keyed sentinel buckets
+    sent = rows.map_batches(
+        lambda df: df[df["gram"] <= _EDJOIN_SENT_MAX],
+        batch_format="pandas")
+    real = rows.map_batches(
+        lambda df: df[df["gram"] > _EDJOIN_SENT_MAX],
+        batch_format="pandas")
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        if not len(df):
+            out["df"] = pd.Series(dtype="int64")
+            return out
+        out["df"] = df.groupby("gram", sort=False)[id_col].transform("size")
+        return out
+
+    with_df = groupby_buckets(real, ["gram"], attach_df)
+
+    def prefix(df: pd.DataFrame) -> pd.DataFrame:
+        cols = [id_col, "gram", "__ln"]
+        if not len(df):
+            return df[cols]
+        f = df.sort_values([id_col, "df", "gram"], kind="mergesort")
+        rank = f.groupby(id_col, sort=False).cumcount().to_numpy()
+        return f.loc[rank < prefix_len, cols]
+
+    prefix_rows = groupby_buckets(with_df, [id_col], prefix)
+    cand_rows = prefix_rows.union(sent)
+
+    def gram_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64")})
+        if not len(df):
+            return empty
+        order = np.lexsort((df[id_col].to_numpy(), df["gram"].to_numpy()))
+        g = df["gram"].to_numpy()[order]
+        ids_all = df[id_col].to_numpy("int64")[order]
+        ln_all = df["__ln"].to_numpy("int64")[order]
+        cut = np.flatnonzero(g[1:] != g[:-1]) + 1
+        starts = np.concatenate(([0], cut))
+        ends = np.concatenate((cut, [len(g)]))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ids = ids_all[s:e]
+            lns = ln_all[s:e]
+            first = np.concatenate(([True], ids[1:] != ids[:-1]))
+            ids, lns = ids[first], lns[first]
+            if len(ids) < 2:
+                continue
+            if max_bucket is not None and len(ids) > max_bucket:
+                logger.warning(
+                    "editdist gram bucket (gram=%s) capped at %d of %d "
+                    "members; recall no longer exact", g[s], max_bucket,
+                    len(ids))
+                ids, lns = ids[:max_bucket], lns[:max_bucket]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = np.abs(lns[ia] - lns[ib]) <= k
+            if keep.any():
+                out_a.append(ids[ia][keep])
+                out_b.append(ids[ib][keep])
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
+
+    cands = distinct(groupby_buckets(cand_rows, ["gram"], gram_pairs),
+                     ["id_a", "id_b"])
+
+    sa = strs.map_batches(
+        lambda df: pd.DataFrame({"id_a": df[id_col], "s_a": df["__s"]}),
+        batch_format="pandas")
+    sb = strs.map_batches(
+        lambda df: pd.DataFrame({"id_b": df[id_col], "s_b": df["__s"]}),
+        batch_format="pandas")
+    j = hash_join(hash_join(cands, sa, on=["id_a"]), sb, on=["id_b"])
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        dist = np.fromiter(
+            (_banded_levenshtein(a, b, k)
+             for a, b in zip(df["s_a"], df["s_b"])),
+            dtype=np.int64, count=len(df))
+        keep = dist <= k
+        return pd.DataFrame({"id_a": df["id_a"].to_numpy("int64")[keep],
+                             "id_b": df["id_b"].to_numpy("int64")[keep],
+                             "dist": dist[keep]})
+
+    return schema_anchor(
+        j.map_batches(verify, batch_format="pandas"),
+        pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                      "id_b": pd.Series(dtype="int64"),
+                      "dist": pd.Series(dtype="int64")}))
+
+
+def editdist_pairs(
+    ds: rd.Dataset,
+    id_col: str,
+    str_col: str,
+    *,
+    max_dist: int = 2,
+    q: int = 2,
+    max_bucket: int | None = None,
+) -> pd.DataFrame:
+    """Thin pandas wrapper over :func:`editdist_pairs_ds` (small result
+    collection for oracle queries)."""
+    out = editdist_pairs_ds(ds, id_col, str_col, max_dist=max_dist, q=q,
+                            max_bucket=max_bucket).to_pandas()
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)

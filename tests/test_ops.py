@@ -2399,3 +2399,89 @@ def test_source_kl_identical_vs_divergent(ray_session):
     # s1: p(ab)=1, q(ab)=2/11 → kl = ln(11/2)
     assert s1["kl"] == round(math.log(11 / 2), 6)
     assert s2["kl"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance similarity join (Ed-Join)
+# ---------------------------------------------------------------------------
+
+def _lev_ref(a: str, b: str) -> int:
+    """Pure-python full-matrix Levenshtein reference."""
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        ndp = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            ndp[j] = min(dp[j] + 1, ndp[j - 1] + 1, dp[j - 1] + (ca != cb))
+        dp = ndp
+    return dp[-1]
+
+
+def test_banded_levenshtein_kernel():
+    """Banded DP equals the full matrix whenever the true distance ≤ k,
+    and reports > k otherwise — over random string pairs from a tiny
+    alphabet (forcing many near-misses at the band boundary) plus empty /
+    gramless / unicode edges."""
+    from borges_ray.ops.dedup import _banded_levenshtein
+
+    rng = np.random.default_rng(11)
+    alpha = "abc"
+    cases = [("", "", 0), ("", "abc", 3), ("a", "", 1),
+             ("kitten", "sitting", 3), ("héllo", "hello", 1)]
+    for _ in range(300):
+        la, lb = rng.integers(0, 9, 2)
+        a = "".join(rng.choice(list(alpha), la))
+        b = "".join(rng.choice(list(alpha), lb))
+        cases.append((a, b, _lev_ref(a, b)))
+    for k in (0, 1, 2, 3):
+        for a, b, d in cases:
+            got = _banded_levenshtein(a, b, k)
+            if d <= k:
+                assert got == d, (a, b, k, d, got)
+            else:
+                assert got > k, (a, b, k, d, got)
+
+
+def test_editdist_pairs_vs_brute(ray_session):
+    """The distributed Ed-Join returns EXACTLY the brute-force all-pairs
+    result — completeness from the q-gram prefix lemma plus the sentinel
+    bucket for gramless strings, precision from the banded verify.  The
+    corpus plants identical strings (dist 0), one-typo variants, strings
+    shorter than the gram width, and empties."""
+    import itertools
+
+    from borges_ray.ops.dedup import editdist_pairs
+
+    rng = np.random.default_rng(12)
+    vocab = ["spark", "sprak", "spa", "s", "", "batch", "bath",
+             "window join", "window joib", "windom join"]
+    strs = [vocab[i] for i in rng.integers(0, len(vocab), 40)]
+    strs += ["".join(rng.choice(list("abcd"), n))
+             for n in rng.integers(0, 7, 40)]
+    df = pd.DataFrame({"doc_id": range(len(strs)), "title": strs})
+    got = editdist_pairs(rd.from_pandas(df), "doc_id", "title", max_dist=2)
+    exp = []
+    for (ia, sa), (ib, sb) in itertools.combinations(
+            zip(df.doc_id, df.title), 2):
+        d = _lev_ref(sa, sb)
+        if d <= 2:
+            exp.append((ia, ib, d))
+    exp = pd.DataFrame(exp, columns=["id_a", "id_b", "dist"]).sort_values(
+        ["id_a", "id_b"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(exp) > 50  # the corpus actually exercises the join
+
+
+def test_editdist_bucket_cap_keeps_precision(ray_session):
+    """An adversarially tiny ``max_bucket`` may drop recall (logged) but
+    every returned pair still carries its TRUE distance ≤ k."""
+    from borges_ray.ops.dedup import editdist_pairs
+
+    strs = ["aaaa"] * 12 + ["aaab", "aabb", "zzzz"]
+    df = pd.DataFrame({"doc_id": range(len(strs)), "title": strs})
+    got = editdist_pairs(rd.from_pandas(df), "doc_id", "title",
+                         max_dist=2, max_bucket=4)
+    titles = dict(zip(df.doc_id, df.title))
+    assert len(got)
+    for r in got.itertuples(index=False):
+        assert _lev_ref(titles[r.id_a], titles[r.id_b]) == r.dist
+        assert r.dist <= 2
