@@ -1444,11 +1444,10 @@ def _banded_levenshtein(a: str, b: str, k: int) -> int:
 
 
 #: sentinel "gram" values for short strings are small ints (lengths);
-#: real grams are md5-u64 hashes, which land below this bound with
-#: probability ~2⁻⁵⁸ per gram — and a collision would only ADD
-#: candidates (merging a real bucket into a sentinel one), never lose
-#: a pair
+#: real gram hashes carry a forced top bit, so the two key spaces are
+#: disjoint by construction
 _EDJOIN_SENT_MAX = np.uint64(64)
+_EDJOIN_TOPBIT = np.uint64(1) << np.uint64(63)
 
 
 def editdist_pairs_ds(
@@ -1517,33 +1516,55 @@ def editdist_pairs_ds(
                        "edj_strs")
 
     def gram_rows(df: pd.DataFrame) -> pd.DataFrame:
-        ids_out: list[np.ndarray] = []
-        grams_out: list[np.ndarray] = []
-        lens_out: list[np.ndarray] = []
-        for i, s, ln in zip(df[id_col].to_numpy("int64"), df["__s"],
-                            df["__ln"].to_numpy("int64")):
-            if ln > unsafe_max:
-                # safe strings: gram prefix carries the guarantee
-                gs = list({s[p:p + q] for p in range(len(s) - q + 1)})
-                h = _md5_token_hashes(gs)
-            else:
-                # unsafe strings pair only through sentinel buckets
-                h = np.empty(0, np.uint64)
-            if ln <= sent_max:
-                h = np.concatenate(
-                    [h, np.arange(ln, ln + k + 1, dtype=np.uint64)])
-            if not len(h):
-                continue
-            ids_out.append(np.full(len(h), i, dtype=np.int64))
-            grams_out.append(h)
-            lens_out.append(np.full(len(h), ln, dtype=np.int64))
-        if not ids_out:
-            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
-                                 "gram": pd.Series(dtype="uint64"),
-                                 "__ln": pd.Series(dtype="int64")})
-        return pd.DataFrame({id_col: np.concatenate(ids_out),
-                             "gram": np.concatenate(grams_out),
-                             "__ln": np.concatenate(lens_out)})
+        """Distinct ``(id, gram, len)`` rows, fully vectorized: the batch's
+        strings concatenate into ONE uint32 codepoint array (UTF-32-LE —
+        gram semantics stay character-level for any unicode input), a
+        polynomial rolling hash covers every position in ``q`` vector
+        ops, boundary-crossing and gram-unsafe positions mask out, and
+        per-string dedup is one lexsort.  Hash collisions only ADD
+        candidates (a merged bucket), never lose a pair."""
+        empty = pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                              "gram": pd.Series(dtype="uint64"),
+                              "__ln": pd.Series(dtype="int64")})
+        if not len(df):
+            return empty
+        ids = df[id_col].to_numpy("int64")
+        lns = df["__ln"].to_numpy("int64")
+        parts = []
+        codes = np.frombuffer("".join(df["__s"]).encode("utf-32-le"),
+                              np.uint32).astype(np.uint64)
+        n_pos = len(codes) - q + 1
+        if n_pos > 0:
+            acc = codes[:n_pos].copy()
+            for j in range(1, q):
+                acc = acc * _SHINGLE_MIX + codes[j:j + n_pos]
+            row = np.repeat(np.arange(len(df), dtype=np.int64), lns)
+            pos_row = row[:n_pos]
+            # a gram is real iff it stays inside one string AND that
+            # string is long enough for the prefix lemma to bind
+            ok = (row[q - 1:] == pos_row) & (lns[pos_row] > unsafe_max)
+            g = acc[ok] | _EDJOIN_TOPBIT
+            r = pos_row[ok]
+            if len(r):
+                order = np.lexsort((g, r))
+                r, g = r[order], g[order]
+                keep = np.concatenate(
+                    ([True], (r[1:] != r[:-1]) | (g[1:] != g[:-1])))
+                r = r[keep]
+                parts.append((ids[r], g[keep], lns[r]))
+        sm = lns <= sent_max
+        if sm.any():
+            n_s = int(sm.sum())
+            parts.append((np.repeat(ids[sm], k + 1),
+                          (np.repeat(lns[sm], k + 1)
+                           + np.tile(np.arange(k + 1), n_s)).astype(np.uint64),
+                          np.repeat(lns[sm], k + 1)))
+        if not parts:
+            return empty
+        return pd.DataFrame(
+            {id_col: np.concatenate([p[0] for p in parts]),
+             "gram": np.concatenate([p[1] for p in parts]),
+             "__ln": np.concatenate([p[2] for p in parts])})
 
     rows = spill_point(strs.map_batches(gram_rows, batch_format="pandas"),
                        "edj_rows")

@@ -657,6 +657,67 @@ def main_cocitation() -> int:
     return 0 if got == want else 1
 
 
+
+def main_editdist() -> int:
+    """Ed-Join at 1.2M strings with a closed form: 400k clusters of 3
+    variants of a 24-char blake2b-derived letter string — v1 rotates
+    position 3 (dist 1 to base), v2 rotates positions 10 and 17 (dist 2
+    to base, dist 3 to v1, so the v1-v2 pair must NOT appear).  Letters
+    give 26⁵ ≈ 11.9M q=5 gram types, so accidental gram buckets stay
+    Poisson-thin while every cluster still shares rare grams; cross-
+    cluster near pairs are probabilistically impossible (fixed seed ⇒
+    deterministic).  Expectation: EXACTLY one dist-1 and one dist-2 pair
+    per cluster, ids in canonical order, nothing else."""
+    import ray.data as rd
+
+    from borges_ray.ops.dedup import editdist_pairs_ds
+
+    C = 400_000
+    T0 = time.time()
+
+    def mk_strings(df):
+        import hashlib
+        ids = df["id"].to_numpy(np.int64)
+        out_id, out_s = [], []
+        for i in ids:
+            c, v = divmod(int(i), 3)
+            d = hashlib.blake2b(str(c).encode(), digest_size=24).digest()
+            s = bytearray(97 + b % 26 for b in d)
+            if v == 1:
+                s[3] = 97 + (s[3] - 97 + 1) % 26
+            elif v == 2:
+                s[10] = 97 + (s[10] - 97 + 1) % 26
+                s[17] = 97 + (s[17] - 97 + 1) % 26
+            out_id.append(i)
+            out_s.append(s.decode())
+        return pd.DataFrame({"sid": np.asarray(out_id, np.int64),
+                             "s": out_s})
+
+    strs = rd.range(3 * C).map_batches(mk_strings, batch_format="pandas")
+    pairs = editdist_pairs_ds(strs, "sid", "s", max_dist=2, q=5)
+
+    def summarize(df):
+        a = df["id_a"].to_numpy(np.int64)
+        b = df["id_b"].to_numpy(np.int64)
+        d = df["dist"].to_numpy(np.int64)
+        same = (a // 3) == (b // 3)
+        canon = same & (a % 3 == 0) & (((b % 3 == 1) & (d == 1))
+                                       | ((b % 3 == 2) & (d == 2)))
+        return pd.DataFrame({"n": [len(df)], "canon": [int(canon.sum())],
+                             "d1": [int((d == 1).sum())],
+                             "d2": [int((d == 2).sum())]})
+
+    agg = pairs.map_batches(summarize, batch_format="pandas").to_pandas().sum()
+    dt = time.time() - T0
+    n, canon, d1, d2 = (int(agg["n"]), int(agg["canon"]),
+                        int(agg["d1"]), int(agg["d2"]))
+    ok = n == 2 * C and canon == n and d1 == C and d2 == C
+    print(f"EDITDIST {3*C} strings: {dt:.1f}s ({3*C/dt:.0f} strings/s); "
+          f"pairs={n} (want {2*C}) canonical={canon} d1={d1} d2={d2} "
+          f"ok={ok}", flush=True)
+    return 0 if ok else 1
+
+
 if __name__ == "__main__":
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=32, include_dashboard=False,
@@ -691,6 +752,8 @@ if __name__ == "__main__":
         rc = main_exact_quantile()
     elif "--cocitation" in sys.argv:
         rc = main_cocitation()
+    elif "--editdist" in sys.argv:
+        rc = main_editdist()
     else:
         rc = main("--planted" in sys.argv)
     ray.shutdown()
