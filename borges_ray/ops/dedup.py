@@ -455,51 +455,60 @@ def _make_band_pairs(id_col: str, max_bucket: int = 4096):
     members outright)."""
 
     def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64")})
         if not len(df):
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64")})
-        # ONE sort + run-length bucket boundaries: the former per-hot-key
-        # ``MultiIndex.loc`` lookup scanned the whole block per bucket —
-        # O(buckets × rows), the dominant cost of the spawn stage on
-        # collision-dense corpora
+            return empty
+        from .relational import run_pair_indices
+
+        # ONE sort + run-length bucket boundaries + vectorized in-run
+        # fan-out: the former per-hot-key ``MultiIndex.loc`` lookup
+        # scanned the whole block per bucket — O(buckets × rows), the
+        # dominant cost of the spawn stage on collision-dense corpora —
+        # and the per-bucket ``triu_indices`` loop that replaced it still
+        # paid Python overhead per COLLIDING bucket
         order = np.lexsort((df[id_col].to_numpy(),
                             df["band_hash"].to_numpy(),
                             df["band"].to_numpy()))
         bd = df["band"].to_numpy()[order]
         bh = df["band_hash"].to_numpy()[order]
         ids_all = df[id_col].to_numpy()[order]
+        # compress to distinct (band, band_hash, id) rows
+        kc = (bd[1:] != bd[:-1]) | (bh[1:] != bh[:-1])
+        keep = np.concatenate(([True], kc | (ids_all[1:] != ids_all[:-1])))
+        bd, bh, ids = bd[keep], bh[keep], ids_all[keep]
         cut = np.flatnonzero((bd[1:] != bd[:-1]) | (bh[1:] != bh[:-1])) + 1
         starts = np.concatenate(([0], cut))
-        ends = np.concatenate((cut, [len(bd)]))
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            ids = ids_all[s:e]
-            ids = ids[np.concatenate(([True], ids[1:] != ids[:-1]))]  # pre-sorted unique
-            if len(ids) < 2:
-                continue
-            if len(ids) > max_bucket:
-                logger.warning(
-                    "minhash band bucket (%d,%d) has %d members (> %d): "
-                    "emitting capped all-pairs + connectivity chain; pair "
-                    "recall no longer exact for this bucket",
-                    bd[s], bh[s], len(ids), max_bucket)
-                head = ids[:max_bucket]
-                ia, ib = np.triu_indices(len(head), k=1)
-                out_a.append(head[ia])
-                out_b.append(head[ib])
-                out_a.append(ids[:-1])       # chain: (i, i+1) over ALL ids
-                out_b.append(ids[1:])
-            else:
-                ia, ib = np.triu_indices(len(ids), k=1)
-                out_a.append(ids[ia])
-                out_b.append(ids[ib])
-        if not out_a:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64")})
-        return pd.DataFrame({"id_a": np.concatenate(out_a),
-                             "id_b": np.concatenate(out_b)}).drop_duplicates()
+        sizes = np.concatenate((cut, [len(bd)])) - starts
+        over = sizes > max_bucket
+        parts_a, parts_b = [], []
+        if over.any():
+            logger.warning(
+                "%d minhash band buckets exceed max_bucket=%d (largest "
+                "%d): emitting capped all-pairs + connectivity chains; "
+                "pair recall no longer exact for those buckets",
+                int(over.sum()), max_bucket, int(sizes.max()))
+            run_of = np.repeat(np.arange(len(sizes)), sizes)
+            # chain (i, i+1) over ALL members of each capped bucket:
+            # recall degrades but cluster CONNECTIVITY never does
+            loc = np.arange(len(ids), dtype=np.int64) - np.repeat(starts,
+                                                                  sizes)
+            cm = (loc[1:] > 0) & over[run_of[1:]]
+            parts_a.append(ids[:-1][cm])
+            parts_b.append(ids[1:][cm])
+            # all-pairs over each bucket's smallest ``max_bucket`` ids
+            hm = loc < max_bucket
+            ids = ids[hm]
+            sizes = np.minimum(sizes, max_bucket)
+        fst, snd = run_pair_indices(sizes)
+        parts_a.append(ids[fst])
+        parts_b.append(ids[snd])
+        a = np.concatenate(parts_a)
+        if not len(a):
+            return empty
+        return pd.DataFrame({"id_a": a,
+                             "id_b": np.concatenate(parts_b)}
+                            ).drop_duplicates()
 
     return band_pairs
 
@@ -765,36 +774,33 @@ def ngram_jaccard_pairs_ds(
                               "id_b": pd.Series(dtype="int64")})
         if not len(df):
             return empty
-        # ONE sort + run-length bucket boundaries (same shape as
-        # _make_band_pairs): per-key MultiIndex ``.loc`` re-scanned the
-        # whole block per bucket — O(buckets × rows)
+        from .relational import run_pair_indices
+
+        # ONE sort + run-length bucket boundaries + vectorized in-run
+        # fan-out (same shape as _make_band_pairs)
         order = np.lexsort((df[id_col].to_numpy(), df["shingle"].to_numpy()))
         sh = df["shingle"].to_numpy()[order]
         ids_all = df[id_col].to_numpy()[order]
+        keep = np.concatenate(([True], (sh[1:] != sh[:-1])
+                               | (ids_all[1:] != ids_all[:-1])))
+        sh, ids = sh[keep], ids_all[keep]
         cut = np.flatnonzero(sh[1:] != sh[:-1]) + 1
         starts = np.concatenate(([0], cut))
-        ends = np.concatenate((cut, [len(sh)]))
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            ids = ids_all[s:e]
-            ids = ids[np.concatenate(([True], ids[1:] != ids[:-1]))]
-            if len(ids) < 2:
-                continue
-            if max_bucket is not None and len(ids) > max_bucket:
-                logger.warning(
-                    "ngram_jaccard prefix bucket (shingle=%s) capped at %d "
-                    "of %d members; recall no longer exact", sh[s],
-                    max_bucket, len(ids))
-                ids = ids[:max_bucket]
-            ia, ib = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[ia])
-            out_b.append(ids[ib])
-        if not out_a:
+        sizes = np.concatenate((cut, [len(sh)])) - starts
+        if max_bucket is not None and (sizes > max_bucket).any():
+            logger.warning(
+                "%d ngram_jaccard prefix buckets capped at %d members "
+                "(largest %d); recall no longer exact",
+                int((sizes > max_bucket).sum()), max_bucket,
+                int(sizes.max()))
+            loc = np.arange(len(ids), dtype=np.int64) - np.repeat(starts,
+                                                                  sizes)
+            ids = ids[loc < max_bucket]
+            sizes = np.minimum(sizes, max_bucket)
+        fst, snd = run_pair_indices(sizes)
+        if not len(fst):
             return empty
-        return pd.DataFrame({"id_a": np.concatenate(out_a),
-                             "id_b": np.concatenate(out_b)})
+        return pd.DataFrame({"id_a": ids[fst], "id_b": ids[snd]})
 
     # candidate dedup is fused into verify_pairs_blob's id_a-keyed stage
     cands = groupby_buckets(prefix_rows, ["shingle"], shingle_pairs)
@@ -1603,38 +1609,34 @@ def editdist_pairs_ds(
                               "id_b": pd.Series(dtype="int64")})
         if not len(df):
             return empty
+        from .relational import run_pair_indices
+
         order = np.lexsort((df[id_col].to_numpy(), df["gram"].to_numpy()))
         g = df["gram"].to_numpy()[order]
         ids_all = df[id_col].to_numpy("int64")[order]
         ln_all = df["__ln"].to_numpy("int64")[order]
+        keep = np.concatenate(([True], (g[1:] != g[:-1])
+                               | (ids_all[1:] != ids_all[:-1])))
+        g, ids, lns = g[keep], ids_all[keep], ln_all[keep]
         cut = np.flatnonzero(g[1:] != g[:-1]) + 1
         starts = np.concatenate(([0], cut))
-        ends = np.concatenate((cut, [len(g)]))
-        out_a, out_b = [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            ids = ids_all[s:e]
-            lns = ln_all[s:e]
-            first = np.concatenate(([True], ids[1:] != ids[:-1]))
-            ids, lns = ids[first], lns[first]
-            if len(ids) < 2:
-                continue
-            if max_bucket is not None and len(ids) > max_bucket:
-                logger.warning(
-                    "editdist gram bucket (gram=%s) capped at %d of %d "
-                    "members; recall no longer exact", g[s], max_bucket,
-                    len(ids))
-                ids, lns = ids[:max_bucket], lns[:max_bucket]
-            ia, ib = np.triu_indices(len(ids), k=1)
-            keep = np.abs(lns[ia] - lns[ib]) <= k
-            if keep.any():
-                out_a.append(ids[ia][keep])
-                out_b.append(ids[ib][keep])
-        if not out_a:
+        sizes = np.concatenate((cut, [len(g)])) - starts
+        if max_bucket is not None and (sizes > max_bucket).any():
+            logger.warning(
+                "%d editdist gram buckets capped at %d members (largest "
+                "%d); recall no longer exact",
+                int((sizes > max_bucket).sum()), max_bucket,
+                int(sizes.max()))
+            loc = np.arange(len(ids), dtype=np.int64) - np.repeat(starts,
+                                                                  sizes)
+            hm = loc < max_bucket
+            ids, lns = ids[hm], lns[hm]
+            sizes = np.minimum(sizes, max_bucket)
+        fst, snd = run_pair_indices(sizes)
+        if not len(fst):
             return empty
-        return pd.DataFrame({"id_a": np.concatenate(out_a),
-                             "id_b": np.concatenate(out_b)})
+        km = np.abs(lns[fst] - lns[snd]) <= k
+        return pd.DataFrame({"id_a": ids[fst][km], "id_b": ids[snd][km]})
 
     cands = distinct(groupby_buckets(cand_rows, ["gram"], gram_pairs),
                      ["id_a", "id_b"])

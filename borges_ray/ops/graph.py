@@ -572,7 +572,8 @@ def triangle_counts(
     Returns ``(node int64, n_triangles int64)`` for nodes in ≥1 triangle.
     """
     from .relational import (distinct, grouped_agg, groupby_buckets,
-                             hash_join, schema_anchor, spill_point)
+                             hash_join, run_pair_indices, schema_anchor,
+                             spill_point)
 
     def undirect(df: pd.DataFrame) -> pd.DataFrame:
         a = df[src_col].to_numpy("int64")
@@ -661,20 +662,13 @@ def triangle_counts(
         cut = np.flatnonzero(a[1:] != a[:-1]) + 1
         starts = np.concatenate(([0], cut))
         ends_ = np.concatenate((cut, [len(a)]))
-        xs, ys, cs = [], [], []
-        for s, e in zip(starts, ends_):
-            m = e - s
-            if m < 2:
-                continue
-            nb = b[s:e]  # sorted out-neighborhood; orientation bounds m
-            ia, ib = np.triu_indices(m, k=1)
-            xs.append(nb[ia])
-            ys.append(nb[ib])
-            cs.append(np.full(len(ia), a[s], dtype=np.int64))
-        if not xs:
+        # vectorized in-run pair fan-out (orientation bounds run sizes);
+        # within a run b is sorted by (deg_b, b), so first < second in
+        # the (deg, id) total order — exactly how closing edges are stored
+        fst, snd = run_pair_indices(ends_ - starts)
+        if not len(fst):
             return empty
-        x, y = np.concatenate(xs), np.concatenate(ys)
-        c = np.concatenate(cs)
+        x, y, c = b[fst], b[snd], a[fst]
         if packable:
             return pd.DataFrame({"xy": x * PACK + y, "center": c})
         return pd.DataFrame({"x": x, "y": y, "center": c})

@@ -403,6 +403,33 @@ def distinct(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
     return groupby_buckets(pre, cols, lambda df: df.drop_duplicates())
 
 
+def run_pair_indices(sizes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized within-run all-pairs spawn: for runs of the given sizes
+    laid out consecutively in one array, return (first, second) GLOBAL
+    index arrays of every in-run pair with first-position < second-position
+    — the O(#pairs) vector replacement for the per-run Python loop +
+    ``np.triu_indices`` shape shared by every bucket pair spawner (MinHash
+    bands, Ed-Join grams, triangle wedges).  Runs of size < 2 contribute
+    nothing.  Derivation: the element at local index ``l`` pairs as the
+    SECOND element with each of the ``l`` elements before it, so its pair
+    block starts at ``cumsum(l) − l`` and its firsts are the ``l``
+    positions preceding it."""
+    sizes = np.asarray(sizes, dtype=np.int64)
+    n = int(sizes.sum())
+    starts = np.cumsum(sizes) - sizes
+    loc = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+    total = int(loc.sum())
+    if total == 0:
+        z = np.empty(0, np.int64)
+        return z, z
+    pos = np.arange(n, dtype=np.int64)
+    second = np.repeat(pos, loc)
+    block_start = np.cumsum(loc) - loc
+    within = np.arange(total, dtype=np.int64) - np.repeat(block_start, loc)
+    first = np.repeat(pos - loc, loc) + within
+    return first, second
+
+
 # ---------------------------------------------------------------------------
 # Joins
 # ---------------------------------------------------------------------------
