@@ -591,44 +591,91 @@ def triangle_counts(
             edges.map_batches(undirect, batch_format="pandas"), ["u", "v"]),
             "tri_und")
 
-    if deg_ds is not None:
-        # caller supplies the (node, deg) table of ``und`` (already pinned)
-        deg = deg_ds
-    else:
-        ends = und.map_batches(
-            lambda df: pd.DataFrame(
-                {"node": np.concatenate([df["u"].to_numpy("int64"),
-                                         df["v"].to_numpy("int64")])}),
-            batch_format="pandas")
-        # NOT pinned: deg feeds both du and dv, so the exchange runs
-        # twice, but the two branches overlap in the streaming executor —
-        # measured faster than a spill barrier here
-        deg = grouped_agg(ends, ["node"], {"deg": ("count", "node")})
-
-    du = deg.map_batches(
-        lambda df: pd.DataFrame({"u": df["node"], "deg_u": df["deg"]}),
-        batch_format="pandas")
-    dv = deg.map_batches(
-        lambda df: pd.DataFrame({"v": df["node"], "deg_v": df["deg"]}),
-        batch_format="pandas")
-    withdeg = hash_join(hash_join(und, du, on=["u"]), dv, on=["v"])
-
-    def orient(df: pd.DataFrame) -> pd.DataFrame:
-        u = df["u"].to_numpy("int64")
-        v = df["v"].to_numpy("int64")
-        # lexicographic (deg, id): u first iff deg_u < deg_v, tie on id
-        du_ = df["deg_u"].to_numpy("int64")
-        dv_ = df["deg_v"].to_numpy("int64")
-        a_first = (du_ < dv_) | ((du_ == dv_) & (u < v))
+    def orient_arrays(u: np.ndarray, v: np.ndarray, du_: np.ndarray,
+                      dv_: np.ndarray) -> pd.DataFrame:
+        # lexicographic (deg, id): u first iff deg_u < deg_v, tie on id.
         # deg_b rides along so wedge pairs can be emitted already in the
         # (deg, id) total order — the closing edge is then ALWAYS x→y
         # and the probe needs no reversed union
+        a_first = (du_ < dv_) | ((du_ == dv_) & (u < v))
         return pd.DataFrame({"a": np.where(a_first, u, v),
                              "b": np.where(a_first, v, u),
                              "deg_b": np.where(a_first, dv_, du_)})
 
-    oriented = spill_point(
-        withdeg.map_batches(orient, batch_format="pandas"), "tri_or")
+    if deg_ds is not None:
+        # caller supplies the (node, deg) table of ``und`` (already
+        # pinned) — attach via two hash joins
+        du = deg_ds.map_batches(
+            lambda df: pd.DataFrame({"u": df["node"], "deg_u": df["deg"]}),
+            batch_format="pandas")
+        dv = deg_ds.map_batches(
+            lambda df: pd.DataFrame({"v": df["node"], "deg_v": df["deg"]}),
+            batch_format="pandas")
+        withdeg = hash_join(hash_join(und, du, on=["u"]), dv, on=["v"])
+
+        def orient(df: pd.DataFrame) -> pd.DataFrame:
+            return orient_arrays(df["u"].to_numpy("int64"),
+                                 df["v"].to_numpy("int64"),
+                                 df["deg_u"].to_numpy("int64"),
+                                 df["deg_v"].to_numpy("int64"))
+
+        oriented = spill_point(
+            withdeg.map_batches(orient, batch_format="pandas"), "tri_or")
+    else:
+        # fused path, two exchanges instead of degree-agg + two joins:
+        # ONE node-keyed exchange counts each endpoint's degree in-bucket
+        # and re-emits the edge tagged with that endpoint's degree; ONE
+        # edge-keyed exchange zips the two tagged halves and orients.
+        # No degree table ever materializes, and the edge set is scanned
+        # once (the deg-feeding-two-joins shape ran the exchange twice).
+        def endpoint_rows(df: pd.DataFrame) -> pd.DataFrame:
+            u = df["u"].to_numpy("int64")
+            v = df["v"].to_numpy("int64")
+            return pd.DataFrame({
+                "node": np.concatenate([u, v]),
+                "other": np.concatenate([v, u]),
+                "is_u": np.concatenate([np.ones(len(u), np.int8),
+                                        np.zeros(len(v), np.int8)])})
+
+        ep = und.map_batches(endpoint_rows, batch_format="pandas")
+
+        def attach_deg(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                     "v": pd.Series(dtype="int64"),
+                                     "d": pd.Series(dtype="int64"),
+                                     "side": pd.Series(dtype="int8")})
+            deg = df.groupby("node", sort=False)["node"].transform("size")
+            isu = df["is_u"].to_numpy(np.int8) == 1
+            node = df["node"].to_numpy("int64")
+            other = df["other"].to_numpy("int64")
+            return pd.DataFrame({"u": np.where(isu, node, other),
+                                 "v": np.where(isu, other, node),
+                                 "d": deg.to_numpy("int64"),
+                                 "side": df["is_u"].to_numpy(np.int8)})
+
+        tagged = groupby_buckets(ep, ["node"], attach_deg)
+
+        def merge_orient(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                     "b": pd.Series(dtype="int64"),
+                                     "deg_b": pd.Series(dtype="int64")})
+            f = df.sort_values(["u", "v", "side"], kind="mergesort")
+            u = f["u"].to_numpy("int64")
+            v = f["v"].to_numpy("int64")
+            d = f["d"].to_numpy("int64")
+            # ``und`` is distinct, so each (u, v) contributes EXACTLY two
+            # consecutive rows here: side 0 carries deg_v, side 1 deg_u
+            if len(u) % 2 or (u[0::2] != u[1::2]).any() \
+                    or (v[0::2] != v[1::2]).any():
+                raise AssertionError(
+                    "triangle_counts: edge rows did not pair up — "
+                    "input edge set was not distinct")
+            return orient_arrays(u[0::2], v[0::2], d[1::2], d[0::2])
+
+        oriented = spill_point(
+            groupby_buckets(tagged, ["u", "v"], merge_orient), "tri_or")
 
     # packed fast path: when node ids fit in 31 bits, the wedge pair
     # (x, y) travels as ONE int64 and the closing probe joins on a
