@@ -2536,6 +2536,18 @@ def _q_bigram_pmi(sf_dir: str):
     return bigram_pmi(ds, min_count=5, k=50)
 
 
+def _q_skipgram_counts(sf_dir: str):
+    """Top-100 directional skip-gram co-occurrences within a 3-token
+    window (count ≥ 5) — the raw word2vec-SGNS / GloVe statistic; the
+    windowed generalization of bigram_pmi's adjacent-only table.  One
+    combiner-collapsed count exchange; driver sees 100 rows."""
+    from borges_ray.ops.lm import skipgram_counts
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    return skipgram_counts(ds, window=3, min_count=5, k=100)
+
+
 def _q_ppl_buckets(sf_dir: str):
     """CCNet's final step composed end-to-end: per-doc bigram-LM
     perplexity → corpus-wide head/middle/tail split at the exact discrete
@@ -3294,6 +3306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppl_buckets": _q_ppl_buckets,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
         "bigram_pmi": _q_bigram_pmi,
+        "skipgram_counts": _q_skipgram_counts,
         "hist_quantiles": _q_hist_quantiles,
         "url_canonicalize": _q_url_canonicalize,
         "stopword_fraction": _q_stopword_fraction,
@@ -4263,6 +4276,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE b.c12 >= 5
             ORDER BY pmi DESC, b.w1, b.w2
             LIMIT 50
+        """,
+        "skipgram_counts": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS p
+              FROM toks
+            ), pairs AS (
+              SELECT a.tok AS w1, b.tok AS w2, count(*) AS n
+              FROM pos a JOIN pos b
+                ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 3
+              GROUP BY 1, 2 HAVING count(*) >= 5
+            )
+            SELECT w1, w2, CAST(n AS BIGINT) AS n FROM pairs
+            ORDER BY n DESC, w1, w2 LIMIT 100
         """,
         "lang_id_confusion": _LANG_ID_SQL,
         "fingerprints": r"""

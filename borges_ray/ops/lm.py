@@ -328,3 +328,51 @@ def bigram_pmi(ds: rd.Dataset, id_col: str = "doc_id",
 
     return topk(joined.map_batches(score, batch_format="pandas"),
                 ["pmi"], k, descending=True, tiebreak=["w1", "w2"])
+
+
+def skipgram_counts(ds: rd.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text", *, window: int = 3,
+                    min_count: int = 5, k: int = 100) -> pd.DataFrame:
+    """Top-k directional skip-gram co-occurrence counts within a token
+    window (``1 ≤ pos(w2) − pos(w1) ≤ window``) — the raw statistic
+    word-embedding training consumes (word2vec SGNS positives / GloVe's
+    co-occurrence matrix) and the windowed generalization of
+    :func:`bigram_pmi`'s adjacent-only table.
+
+    Scale shape: per batch, each document's token list is exploded ONCE and
+    paired by ``window`` in-doc shifts (vectorized; a document never
+    straddles batches since one row = one doc), collapsed to distinct
+    ``(w1, w2, count)`` rows (combiner), then ONE count exchange; the
+    ``min_count`` prune runs before top-k, and top-k is per-block
+    partial + final-k, so the driver sees k rows only.
+
+    Ties break on (w1, w2) ascending — mirrored by the SQL twin's
+    ``ORDER BY n DESC, w1, w2``."""
+    from .relational import grouped_agg, topk
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = df[[id_col]].copy()
+        rows["w1"] = df[text_col].fillna("").str.lower().str.split()
+        ex = rows.explode("w1", ignore_index=True).dropna(subset=["w1"])
+        g = ex.groupby(id_col, sort=False)["w1"]
+        parts = []
+        for d in range(1, window + 1):
+            w2 = g.shift(-d)
+            m = w2.notna()
+            if m.any():
+                parts.append(pd.DataFrame({"w1": ex["w1"][m],
+                                           "w2": w2[m]}))
+        if not parts:
+            return pd.DataFrame({"w1": pd.Series(dtype="object"),
+                                 "w2": pd.Series(dtype="object"),
+                                 "k": pd.Series(dtype="int64")})
+        cnt = pd.concat(parts, ignore_index=True).groupby(
+            ["w1", "w2"], sort=False).size()
+        return cnt.rename("k").reset_index()
+
+    cnts = grouped_agg(ds.map_batches(partial, batch_format="pandas"),
+                       ["w1", "w2"], {"n": ("sum", "k")})
+    cand = cnts.map_batches(
+        lambda df: df[df["n"] >= min_count].astype({"n": "int64"}),
+        batch_format="pandas")
+    return topk(cand, ["n"], k, descending=True, tiebreak=["w1", "w2"])

@@ -2485,3 +2485,30 @@ def test_editdist_bucket_cap_keeps_precision(ray_session):
     for r in got.itertuples(index=False):
         assert _lev_ref(titles[r.id_a], titles[r.id_b]) == r.dist
         assert r.dist <= 2
+
+
+def test_skipgram_counts(ray_session):
+    """Windowed co-occurrence: directional pairs at 1..window token
+    distance, count threshold, count-desc/(w1,w2)-asc tie order."""
+    from borges_ray.ops.lm import skipgram_counts
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a b c a b", "a b a b", "x Y x y"],  # lowercase folding
+    })
+    got = skipgram_counts(rd.from_pandas(df), window=2, min_count=2, k=10)
+    # brute force
+    import itertools
+    from collections import Counter
+    c = Counter()
+    for t in df.text:
+        toks = t.lower().split()
+        for i, j in itertools.combinations(range(len(toks)), 2):
+            if 1 <= j - i <= 2:
+                c[(toks[i], toks[j])] += 1
+    exp = sorted(((w, n) for w, n in c.items() if n >= 2),
+                 key=lambda x: (-x[1], x[0]))[:10]
+    want = pd.DataFrame({"w1": [w[0] for w, _ in exp],
+                         "w2": [w[1] for w, _ in exp],
+                         "n": [n for _, n in exp]})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
