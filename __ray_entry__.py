@@ -3176,6 +3176,124 @@ def _q_url_features(sf_dir: str):
     return ds.map_batches(feats, batch_format="pandas")
 
 
+def _q_kmv_jaccard(sf_dir: str):
+    """Pairwise source-vocabulary similarity via KMV sketches (k=256):
+    Jaccard + distinct-union estimates between every pair of the 20
+    sources from ≤ 20·256 shipped hashes — the exact pairwise job would
+    shuffle every distinct token per source.  Estimators are integer /
+    single-division so the SQL twin reproduces them bit-for-bit."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.sketch import kmv_pairwise_jaccard
+
+    ds = load(sf_dir, "documents", columns=["source", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.set_index("source")["text"].fillna("").str.split().explode()
+        toks = toks.dropna()
+        return pd.DataFrame({"source": toks.index.astype(str),
+                             "tok": toks.to_numpy()}).drop_duplicates()
+
+    return kmv_pairwise_jaccard(ds.map_batches(explode, batch_format="pandas"),
+                                "source", "tok", k=256)
+
+
+def _q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking (Hernandez-Stolfo) over normalized
+    text prefixes: global rank by (key, doc_id) via an order-preserving
+    prefix-code exchange, windowed pairing (w=8) with ghost rows so every
+    candidate pair lies in exactly one task, 8-char-prefix verify."""
+    from borges_ray.ops.dedup import sorted_neighborhood_pairs
+    from borges_ray.ops.relational import load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        import re
+        k = (df["text"].fillna("").astype(str).str.lower()
+             .map(lambda s: re.sub(r"\s+", " ", s)[:12]))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy("int64"),
+                             "key": k.to_numpy()})
+
+    return sorted_neighborhood_pairs(
+        ds.map_batches(key, batch_format="pandas"),
+        "doc_id", "key", window=8, verify_prefix=8)
+
+
+def _q_bpe_merge_counts(sf_dir: str):
+    """Top adjacent-char-pair frequencies over the word-frequency-weighted
+    vocabulary — the statistic one BPE merge iteration maximizes; both
+    exchanges are vocabulary-bounded, never corpus-sized."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.textops import bpe_pair_counts
+
+    return bpe_pair_counts(load(sf_dir, "documents", columns=["text"]),
+                           text_col="text", top=30)
+
+
+def _q_bitext_candidates(sf_dir: str):
+    """Bitext candidate mining (CCMatrix/ParaCrawl shape): block EN and
+    non-EN documents by (source, page-key), score candidates by embedding
+    cosine, and keep each EN document's best foreign match.  The blocking
+    join and the per-EN argmax are both bucketed exchanges; cosine is a
+    vectorized float64 kernel per batch (rounded to 6 dp BEFORE the
+    argmax so tie-breaks match the SQL twin)."""
+    from borges_ray.ops.relational import groupby_buckets, hash_join, load
+
+    docs = load(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+    embs = load(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["pkey"] = (df["doc_id"].to_numpy("int64") % 40)
+        out["vec_id"] = df["doc_id"].to_numpy("int64")
+        return out
+
+    keyed = docs.map_batches(prep, batch_format="pandas")
+    with_vec = hash_join(keyed, embs, on=["vec_id"])
+
+    en = with_vec.map_batches(
+        lambda df: df.loc[df["lang"] == "en",
+                          ["doc_id", "source", "pkey", "embedding"]]
+        .rename(columns={"doc_id": "doc_en", "embedding": "emb_en"}),
+        batch_format="pandas")
+    xx = with_vec.map_batches(
+        lambda df: df.loc[df["lang"] != "en",
+                          ["doc_id", "source", "pkey", "lang", "embedding"]]
+        .rename(columns={"doc_id": "doc_xx", "lang": "lang_xx",
+                         "embedding": "emb_xx"}),
+        batch_format="pandas")
+
+    cand = hash_join(en, xx, on=["source", "pkey"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_en": pd.Series(dtype="int64"),
+                                 "doc_xx": pd.Series(dtype="int64"),
+                                 "lang_xx": pd.Series(dtype="object"),
+                                 "cos": pd.Series(dtype="float64")})
+        a = np.stack(df["emb_en"].to_numpy()).astype(np.float64)
+        b = np.stack(df["emb_xx"].to_numpy()).astype(np.float64)
+        cos = (a * b).sum(axis=1) / (np.linalg.norm(a, axis=1)
+                                     * np.linalg.norm(b, axis=1))
+        return pd.DataFrame({"doc_en": df["doc_en"].to_numpy("int64"),
+                             "doc_xx": df["doc_xx"].to_numpy("int64"),
+                             "lang_xx": df["lang_xx"].astype(str).to_numpy(),
+                             "cos": np.round(cos, 6)})
+
+    scored = cand.map_batches(score, batch_format="pandas")
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return (df.sort_values(["doc_en", "cos", "doc_xx"],
+                               ascending=[True, False, True],
+                               kind="mergesort")
+                .groupby("doc_en", sort=False).head(1))
+
+    out = groupby_buckets(scored, ["doc_en"], best).to_pandas()
+    return out.sort_values("doc_en", ignore_index=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "redirect_resolve": _q_redirect_resolve,
@@ -3329,6 +3447,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_having": _q_group_having,
         "union_distinct": _q_union_distinct,
         "knn_cosine": _q_knn,
+        "kmv_jaccard": _q_kmv_jaccard,
+        "sorted_neighborhood": _q_sorted_neighborhood,
+        "bpe_merge_counts": _q_bpe_merge_counts,
+        "bitext_candidates": _q_bitext_candidates,
     }
 
 
@@ -5888,5 +6010,111 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e,
                  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        "kmv_jaccard": r"""
+            WITH tok AS (
+              SELECT source,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                        x -> x <> '')) AS v
+              FROM documents
+            ), hh AS (
+              SELECT DISTINCT source, md5_number_lower(v) AS h FROM tok
+            ), rk AS (
+              SELECT source, h,
+                     row_number() OVER (PARTITION BY source ORDER BY h) AS r
+              FROM hh
+            ), sk AS (SELECT source, h FROM rk WHERE r <= 256),
+            srcs AS (SELECT DISTINCT source FROM sk),
+            pr AS (
+              SELECT a.source AS src_a, b.source AS src_b
+              FROM srcs a JOIN srcs b ON a.source < b.source
+            ), un AS (
+              SELECT p.src_a, p.src_b, s.h,
+                     max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+                     max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+              FROM pr p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+              GROUP BY 1, 2, 3
+            ), unr AS (
+              SELECT src_a, src_b, h, in_a, in_b,
+                     row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS r,
+                     count(*) OVER (PARTITION BY src_a, src_b) AS n_un
+              FROM un
+            ), agg AS (
+              SELECT src_a, src_b,
+                     least(256, max(n_un)) AS k_used,
+                     max(n_un) AS n_un,
+                     sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS m,
+                     max(h) AS hk
+              FROM unr WHERE r <= 256 GROUP BY 1, 2
+            )
+            SELECT src_a, src_b,
+                   CAST(k_used AS BIGINT) AS k_used,
+                   CAST(m AS BIGINT) AS m,
+                   CAST(m AS DOUBLE) / k_used AS j_est,
+                   CAST(CASE WHEN n_un > 256
+                             THEN (CAST(255 AS HUGEINT)
+                                   * (CAST(1 AS HUGEINT) << 64))
+                                  // CAST(hk AS HUGEINT)
+                             ELSE k_used END AS BIGINT) AS est_union
+            FROM agg ORDER BY src_a, src_b
+        """,
+        "sorted_neighborhood": r"""
+            WITH k AS (
+              SELECT doc_id,
+                     substr(regexp_replace(lower(coalesce(text, '')),
+                                           '\s+', ' ', 'g'), 1, 12) AS key
+              FROM documents
+            ), r AS (
+              SELECT doc_id, key,
+                     row_number() OVER (ORDER BY key, doc_id) AS rnk
+              FROM k
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(b.rnk - a.rnk AS BIGINT) AS gap
+            FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 8
+            WHERE substr(a.key, 1, 8) = substr(b.key, 1, 8)
+            ORDER BY id_a, id_b
+        """,
+        "bpe_merge_counts": r"""
+            WITH w AS (
+              SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                        x -> x <> '')) AS word
+              FROM documents
+            ), wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+            p AS (
+              SELECT unnest(list_transform(range(1, length(word)),
+                                           i -> substr(word, CAST(i AS INT), 2))) AS pair,
+                     cnt
+              FROM wc WHERE length(word) >= 2
+            )
+            SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt
+            FROM p GROUP BY 1
+            ORDER BY cnt DESC, pair LIMIT 30
+        """,
+        "bitext_candidates": """
+            WITH d AS (
+              SELECT doc_id, source, lang, doc_id % 40 AS pkey FROM documents
+            ), e AS (
+              SELECT d.doc_id AS doc_en, d.source, d.pkey, emb.embedding
+              FROM d JOIN embeddings emb ON emb.vec_id = d.doc_id
+              WHERE d.lang = 'en'
+            ), x AS (
+              SELECT d.doc_id AS doc_xx, d.source, d.pkey,
+                     d.lang AS lang_xx, emb.embedding
+              FROM d JOIN embeddings emb ON emb.vec_id = d.doc_id
+              WHERE d.lang <> 'en'
+            ), c AS (
+              SELECT e.doc_en, x.doc_xx, x.lang_xx,
+                     round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(x.embedding AS DOUBLE[])),
+                           6) AS cos
+              FROM e JOIN x ON x.source = e.source AND x.pkey = e.pkey
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_en
+                                           ORDER BY cos DESC, doc_xx) AS rn
+              FROM c
+            )
+            SELECT doc_en, doc_xx, lang_xx, cos
+            FROM r WHERE rn = 1 ORDER BY doc_en
         """,
     }

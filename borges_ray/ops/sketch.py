@@ -172,6 +172,91 @@ def heavy_hitters(ds: rd.Dataset, value_col: str, *, k: int,
     return hh[["v", "cnt"]]
 
 
+def kmv_pairwise_jaccard(ds: rd.Dataset, group_col: str, value_col: str,
+                         *, k: int = 256) -> pd.DataFrame:
+    """Pairwise set-similarity estimates between groups via KMV sketches
+    (Beyer et al. 2007, "On synopses for distinct-value estimation"):
+    each group keeps only its ``k`` smallest distinct ``md5_number_lower``
+    value hashes, so comparing G groups ships ≤ G·k u64s instead of the
+    full per-group value sets — at 10^10 tokens the exact pairwise Jaccard
+    would shuffle every distinct token per source.
+
+    Distributed shape: a per-batch combiner collapses each block to ≤ k
+    hashes per group it touches, one keys-only bucketed exchange merges
+    the partials (min-k of distinct), and the driver sees only the final
+    G·k sketch rows (G = #groups, bounded and small by construction — the
+    pairwise output is O(G²) anyway).
+
+    Estimators (all integer / single-division — bit-reproducible in SQL):
+
+    - ``k_used``   = min(k, |distinct union of the two sketches|)
+    - ``m``        = how many of the k_used smallest union hashes occur in
+      BOTH sketches (any union-top value from set A is necessarily in A's
+      sketch, so this is exact over the sample)
+    - ``j_est``    = m / k_used  (unrounded double: one IEEE division)
+    - ``est_union``= k_used if the union sketch is unsaturated (then it IS
+      the exact distinct union), else floor((k-1)·2^64 / h_k) with h_k the
+      k-th smallest union hash — exact integer arithmetic on both engines.
+    """
+    from .dedup import _md5_u64
+    from .relational import groupby_buckets
+
+    def partial_sketch(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df[[group_col, value_col]].drop_duplicates()
+        out_g, out_h = [], []
+        for g, grp in pairs.groupby(group_col, sort=False):
+            hs = np.unique(np.fromiter(
+                (_md5_u64(v) for v in grp[value_col].astype(str)),
+                dtype=np.uint64, count=len(grp)))
+            hs = hs[:k]  # np.unique sorts ascending → k smallest
+            out_g.extend([g] * len(hs))
+            out_h.append(hs)
+        h = np.concatenate(out_h) if out_h else np.array([], dtype=np.uint64)
+        return pd.DataFrame({group_col: pd.Series(out_g, dtype="object"),
+                             "h": pd.Series(h, dtype="uint64")})
+
+    def merge_sketch(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for g, grp in df.groupby(group_col, sort=False):
+            hs = np.unique(grp["h"].to_numpy("uint64"))[:k]
+            parts.append(pd.DataFrame({group_col: g, "h": hs}))
+        if not parts:
+            return pd.DataFrame({group_col: pd.Series(dtype="object"),
+                                 "h": pd.Series(dtype="uint64")})
+        return pd.concat(parts, ignore_index=True)
+
+    partials = ds.map_batches(partial_sketch, batch_format="pandas")
+    sketches = groupby_buckets(partials, [group_col], merge_sketch).to_pandas()
+
+    by_group = {g: np.sort(grp["h"].to_numpy("uint64"))
+                for g, grp in sketches.groupby(group_col, sort=False)}
+    groups = sorted(by_group)
+    out = {"src_a": [], "src_b": [], "k_used": [], "m": [],
+           "j_est": [], "est_union": []}
+    for i, a in enumerate(groups):
+        for b in groups[i + 1:]:
+            ha, hb = by_group[a], by_group[b]
+            union = np.union1d(ha, hb)          # sorted distinct
+            k_used = min(k, len(union))
+            top = union[:k_used]
+            m = int(np.isin(top, ha).sum() + np.isin(top, hb).sum()) - k_used
+            if len(union) > k:
+                hk = int(top[-1])
+                est_union = (k - 1) * (1 << 64) // hk
+            else:
+                est_union = k_used
+            out["src_a"].append(a)
+            out["src_b"].append(b)
+            out["k_used"].append(k_used)
+            out["m"].append(m)
+            out["j_est"].append(m / k_used if k_used else 0.0)
+            out["est_union"].append(est_union)
+    res = pd.DataFrame(out)
+    for c in ("k_used", "m", "est_union"):
+        res[c] = res[c].astype("int64")
+    return res.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
 def hll_count_by(ds: rd.Dataset, group_col: str, value_col: str) -> rd.Dataset:
     """Per-group approximate distinct count of ``value_col``.  Returns
     (group, empty_buckets, est_distinct) — ``est_distinct`` rounded to

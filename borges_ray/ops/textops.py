@@ -664,3 +664,71 @@ def source_kl(ds: rd.Dataset, *, key_col: str = "source",
     kl["kl"] = kl["kl"].round(6)
     return (kl[[key_col, "kl", "n_bigrams"]]
             .sort_values(key_col, kind="mergesort").reset_index(drop=True))
+
+
+def bpe_pair_counts(ds: rd.Dataset, *, text_col: str = "text",
+                    top: int = 30) -> pd.DataFrame:
+    """Frequency of adjacent character pairs over the word-frequency-
+    weighted vocabulary — the statistic ONE BPE merge iteration maximizes
+    (Sennrich et al. 2016, "Neural machine translation of rare words with
+    subword units"): the winning pair is the next merge rule a tokenizer
+    trained on this corpus would add.
+
+    Two keys-only exchanges, both vocabulary-bounded (never corpus-sized):
+
+    1. word counts — per-batch ``value_counts`` combiner → grouped sum
+       (the ONLY pass that reads the corpus text);
+    2. pair counts — each distinct (word, cnt) row expands to its
+       ``len(word)-1`` adjacent pairs weighted by ``cnt``, fully
+       vectorized through a UTF-32 code-point view (one np.frombuffer per
+       batch, pairs packed ``a·0x110000 + b`` into int64 — no per-word
+       Python loop), then a grouped sum over ≤ |alphabet|² pair keys.
+
+    Returns the ``top`` pairs as pandas (cnt desc, pair asc) — the merge
+    candidates a tokenizer trainer would inspect.
+    """
+    from .relational import grouped_agg
+
+    def word_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.lower().str.split()
+        vc = toks.explode().dropna().value_counts()
+        return pd.DataFrame({"word": vc.index.astype(str),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    vocab = grouped_agg(ds.map_batches(word_counts, batch_format="pandas"),
+                        ["word"], {"cnt": ("sum", "cnt")})
+
+    def pair_expand(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["word"].astype(str)
+        keep = words.str.len() >= 2
+        words, cnts = words[keep], df["cnt"].to_numpy(np.int64)[keep.to_numpy()]
+        if not len(words):
+            return pd.DataFrame({"pair": pd.Series(dtype="object"),
+                                 "cnt": pd.Series(dtype="int64")})
+        lens = words.str.len().to_numpy(np.int64)
+        blob = "".join(words)
+        codes = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        # positions of every pair's FIRST char: all indices except each
+        # word's last char
+        idx = np.arange(len(codes) - 1, dtype=np.int64)
+        last = ends - 1
+        mask = np.ones(len(codes) - 1, dtype=bool)
+        mask[last[last < len(codes) - 1]] = False
+        first = idx[mask]
+        packed = (codes[first].astype(np.int64) * 0x110000
+                  + codes[first + 1].astype(np.int64))
+        w = np.repeat(cnts, lens - 1)
+        agg = pd.DataFrame({"p": packed, "cnt": w}).groupby("p", sort=False)["cnt"].sum()
+        pcodes = agg.index.to_numpy(np.int64)
+        pairs = [chr(p // 0x110000) + chr(p % 0x110000) for p in pcodes]
+        return pd.DataFrame({"pair": pd.Series(pairs, dtype="object"),
+                             "cnt": agg.to_numpy(np.int64)})
+
+    counts = grouped_agg(vocab.map_batches(pair_expand, batch_format="pandas"),
+                         ["pair"], {"cnt": ("sum", "cnt")}).to_pandas()
+    counts["cnt"] = counts["cnt"].astype("int64")
+    return (counts.sort_values(["cnt", "pair"], ascending=[False, True],
+                               kind="mergesort")
+            .head(top).reset_index(drop=True))

@@ -2512,3 +2512,121 @@ def test_skipgram_counts(ray_session):
                          "w2": [w[1] for w, _ in exp],
                          "n": [n for _, n in exp]})
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+# ---------------------------------------------------------------------------
+# KMV pairwise Jaccard
+# ---------------------------------------------------------------------------
+
+def test_kmv_unsaturated_is_exact(ray_session):
+    """When every sketch holds its full value set (k >= distinct), the KMV
+    estimator degenerates to EXACT Jaccard and exact union size."""
+    from borges_ray.ops.sketch import kmv_pairwise_jaccard
+
+    rows = ([("a", f"t{i}") for i in range(40)]
+            + [("b", f"t{i}") for i in range(20, 60)]
+            + [("c", f"t{i}") for i in range(100, 110)])
+    df = pd.DataFrame(rows, columns=["g", "v"])
+    ds = rd.from_pandas(df.sample(frac=1.0, random_state=7)).repartition(5)
+    out = kmv_pairwise_jaccard(ds, "g", "v", k=256)
+    ab = out[(out["src_a"] == "a") & (out["src_b"] == "b")].iloc[0]
+    assert ab["m"] == 20 and ab["k_used"] == 60 and ab["est_union"] == 60
+    assert ab["j_est"] == 20 / 60
+    ac = out[(out["src_a"] == "a") & (out["src_b"] == "c")].iloc[0]
+    assert ac["m"] == 0 and ac["est_union"] == 50
+
+
+def test_kmv_saturated_matches_single_process_replay(ray_session):
+    """Saturated sketches (k << distinct) must equal a single-process
+    replay of the same estimator regardless of batching/partitioning."""
+    from borges_ray.ops.dedup import _md5_u64
+    from borges_ray.ops.sketch import kmv_pairwise_jaccard
+
+    k = 16
+    va = [f"x{i}" for i in range(300)]
+    vb = [f"x{i}" for i in range(150, 450)]
+    df = pd.DataFrame([("a", v) for v in va] + [("b", v) for v in vb],
+                      columns=["g", "v"])
+    ds = rd.from_pandas(df.sample(frac=1.0, random_state=3)).repartition(7)
+    out = kmv_pairwise_jaccard(ds, "g", "v", k=k).iloc[0]
+
+    ha = np.sort(np.array([_md5_u64(v) for v in set(va)], dtype=np.uint64))[:k]
+    hb = np.sort(np.array([_md5_u64(v) for v in set(vb)], dtype=np.uint64))[:k]
+    union = np.union1d(ha, hb)
+    top = union[:k]
+    m = int(np.isin(top, ha).sum() + np.isin(top, hb).sum()) - len(top)
+    assert out["m"] == m
+    assert out["k_used"] == k
+    assert out["est_union"] == (k - 1) * (1 << 64) // int(top[-1])
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+def _brute_snm(df: pd.DataFrame, window: int, verify_prefix: int) -> set:
+    s = df.sort_values(["key", "id"], kind="mergesort").reset_index(drop=True)
+    pairs = set()
+    for i in range(len(s)):
+        for j in range(i + 1, min(i + window + 1, len(s))):
+            if s["key"][i][:verify_prefix] == s["key"][j][:verify_prefix]:
+                pairs.add((int(s["id"][i]), int(s["id"][j]), j - i))
+    return pairs
+
+
+def test_sorted_neighborhood_vs_brute(ray_session):
+    """Random keys across 6 partitions with a tiny pairing-group size so
+    ghost rows are load-bearing: the pair set must equal the brute-force
+    windowed self-join over the globally sorted order."""
+    from borges_ray.ops.dedup import sorted_neighborhood_pairs
+
+    rng = np.random.default_rng(11)
+    keys = ["".join(rng.choice(list("abc"), size=10)) for _ in range(200)]
+    df = pd.DataFrame({"id": np.arange(200, dtype=np.int64), "key": keys})
+    ds = rd.from_pandas(df.sample(frac=1.0, random_state=5)).repartition(6)
+    out = sorted_neighborhood_pairs(ds, "id", "key", window=4,
+                                    verify_prefix=3, group_rows=16)
+    got = set(zip(out["id_a"], out["id_b"], out["gap"]))
+    assert got == _brute_snm(df, 4, 3)
+
+
+def test_sorted_neighborhood_duplicate_and_empty_keys(ray_session):
+    """Duplicate keys (rank ties broken by id) and empty-string keys must
+    rank deterministically and pair like the brute-force reference."""
+    from borges_ray.ops.dedup import sorted_neighborhood_pairs
+
+    df = pd.DataFrame({"id": np.arange(12, dtype=np.int64),
+                       "key": ["", "", "aa", "aa", "aa", "ab",
+                               "b", "b", "ba", "", "aa", "z"]})
+    ds = rd.from_pandas(df).repartition(4)
+    out = sorted_neighborhood_pairs(ds, "id", "key", window=3,
+                                    verify_prefix=2, group_rows=4)
+    got = set(zip(out["id_a"], out["id_b"], out["gap"]))
+    assert got == _brute_snm(df, 3, 2)
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counts
+# ---------------------------------------------------------------------------
+
+def test_bpe_pair_counts_hand_checked(ray_session):
+    """'aaab aaab ab' → vocab {aaab:2, ab:1}; pairs: aa 2×2, ab 1×2+1,
+    plus single-char words contribute nothing."""
+    from borges_ray.ops.textops import bpe_pair_counts
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "text": ["aaab aaab", "ab x", "AAAB"]})).repartition(2)
+    out = bpe_pair_counts(ds, top=10)
+    got = dict(zip(out["pair"], out["cnt"]))
+    # vocab: aaab×3 (case-folded), ab×1, x×1
+    assert got == {"aa": 6, "ab": 4}
+
+
+def test_bpe_pair_counts_multibyte(ray_session):
+    """CJK pairs survive the UTF-32 packing round-trip."""
+    from borges_ray.ops.textops import bpe_pair_counts
+
+    ds = rd.from_pandas(pd.DataFrame({"text": ["你好世界 你好"]}))
+    out = bpe_pair_counts(ds, top=10)
+    got = dict(zip(out["pair"], out["cnt"]))
+    assert got == {"你好": 2, "好世": 1, "世界": 1}
