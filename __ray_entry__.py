@@ -3294,6 +3294,30 @@ def _q_bitext_candidates(sf_dir: str):
     return out.sort_values("doc_en", ignore_index=True)
 
 
+def _q_kcore(sf_dir: str):
+    """4-core of the synthetic 16384-host link graph by iterative peeling
+    (spam farms live in dense cores).  Each round is two keys-only
+    semi-joins + one degree count; the driver sees one scalar per round
+    (the convergence test).  Node-set peeling over the original edges is
+    equivalent to the recursive CTE's edge-set peeling — see
+    `borges_ray.ops.graph.kcore`."""
+    from borges_ray.ops.graph import kcore
+    from borges_ray.ops.relational import load
+
+    li = load(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        p = (df["l_orderkey"].to_numpy("int64") * 7
+             + df["l_linenumber"].to_numpy("int64")) % 16384
+        q = (df["l_partkey"].to_numpy("int64") * 13) % 16384
+        return pd.DataFrame({"src": p, "dst": q})
+
+    out = kcore(li.map_batches(to_edges, batch_format="pandas"),
+                k=4, max_rounds=12).to_pandas()
+    return out.sort_values("node", ignore_index=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "redirect_resolve": _q_redirect_resolve,
@@ -3448,6 +3472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_distinct": _q_union_distinct,
         "knn_cosine": _q_knn,
         "kmv_jaccard": _q_kmv_jaccard,
+        "kcore": _q_kcore,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "bpe_merge_counts": _q_bpe_merge_counts,
         "bitext_candidates": _q_bitext_candidates,
@@ -6010,6 +6035,29 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e,
                  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        "kcore": """
+            WITH RECURSIVE raw AS (
+              SELECT (l_orderkey * 7 + l_linenumber) % 16384 AS p,
+                     (l_partkey * 13) % 16384 AS q
+              FROM lineitem
+            ), e AS (
+              SELECT DISTINCT least(p, q) AS u, greatest(p, q) AS v
+              FROM raw WHERE p <> q
+            ), sym AS (
+              SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+            ), alive(iter, u, v) AS (
+              SELECT 0, u, v FROM sym
+              UNION ALL
+              SELECT iter + 1, u, v FROM (
+                SELECT iter, u, v,
+                       count(*) OVER (PARTITION BY u) AS du,
+                       count(*) OVER (PARTITION BY v) AS dv
+                FROM alive
+              ) WHERE iter < 12 AND du >= 4 AND dv >= 4
+            )
+            SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM alive WHERE iter = 12 GROUP BY u ORDER BY node
         """,
         "kmv_jaccard": r"""
             WITH tok AS (

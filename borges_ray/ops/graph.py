@@ -1530,3 +1530,91 @@ def link_health(edges: rd.Dataset, *, src_col: str = "src",
         "self_loop_frac": [round(loops / n_all, 6) if n_all else 0.0],
         "dangling_frac": [round(dangling / n_nodes, 6) if n_nodes else 0.0],
         "avg_out": [round(n_edges / n_nodes, 6) if n_nodes else 0.0]})
+
+
+def kcore(
+    edges: rd.Dataset,
+    *,
+    k: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 12,
+) -> rd.Dataset:
+    """K-core decomposition by iterative peeling (Seidman 1983): drop
+    every node with degree < ``k``, recompute degrees, repeat to a
+    fixpoint — the classic link-spam / community-density signal (spam
+    farms live in dense cores; the k-core is the maximal subgraph with
+    min-degree ≥ k).
+
+    Distributed round = one grouped degree count + two keys-only
+    ANTI-joins removing edges that touch the round's DEAD set (nodes
+    whose degree fell under ``k``).  The dead set is the anti-join build
+    side — after round 1 it is a small fringe, so the wire carries the
+    shrinking edge list plus a handful of distinct node keys; the edge
+    list spills to parquet per round so lineage stays flat.  The driver
+    sees ONE scalar per round (the dead count, for the convergence
+    test).  Removing dead-incident edges from the surviving edge set is
+    exactly the recursive CTE's edge-set peel (the dead set only ever
+    shrinks the subgraph), which is what lets the SQL twin express the
+    same fixpoint.
+
+    ``max_rounds`` bounds the shuffle count; a path graph peels two
+    nodes per round, so pathological chains need ``max_rounds`` ≈
+    diameter — the convergence break exits early on real (short-fused)
+    web graphs.  Returns ``(node, deg)`` — degree within the core
+    subgraph — for every surviving node.
+    """
+    from .relational import grouped_agg, hash_semi_join, schema_anchor, spill_point
+
+    def undirect(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[src_col].to_numpy("int64")
+        v = df[dst_col].to_numpy("int64")
+        keep = u != v
+        u, v = u[keep], v[keep]
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        out = pd.DataFrame({"u": lo, "v": hi}).drop_duplicates()
+        return out
+
+    # distinct undirected edges, then both directions (degree = row count
+    # per u over the symmetric list)
+    und = grouped_agg(edges.map_batches(undirect, batch_format="pandas"),
+                      ["u", "v"], {"n": ("count", "u")}).select_columns(["u", "v"])
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat([df[["u", "v"]],
+                          df.rename(columns={"u": "v", "v": "u"})[["u", "v"]]],
+                         ignore_index=True)
+
+    surv = spill_point(und.map_batches(sym, batch_format="pandas"), "kcore_e")
+
+    def _swap(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"u": "v", "v": "u"})[["u", "v"]]
+
+    for rnd in range(max_rounds):
+        # one degree count per round; the DEAD set (usually a small
+        # fringe after round 1) is the anti-join build side — its
+        # distinct keys are all that cross the wire besides the
+        # shrinking edge list itself
+        deg = grouped_agg(surv, ["u"], {"deg": ("count", "v")})
+        dead = deg.map_batches(lambda df: df.loc[df["deg"] < k, ["u"]],
+                               batch_format="pandas")
+        n_dead = int(dead.count())
+        if n_dead == 0:
+            break
+        uv_tmpl = pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                "v": pd.Series(dtype="int64")})
+        on_u = schema_anchor(
+            hash_semi_join(surv, dead, on=["u"], anti=True)
+            .map_batches(_swap, batch_format="pandas"), uv_tmpl)
+        surv = schema_anchor(
+            spill_point(
+                hash_semi_join(on_u, dead, on=["u"], anti=True)
+                .map_batches(_swap, batch_format="pandas"),
+                f"kcore_e{rnd + 1}"),
+            uv_tmpl)
+
+    out = grouped_agg(surv, ["u"], {"deg": ("count", "v")})
+    return out.map_batches(
+        lambda df: df.rename(columns={"u": "node"}).astype(
+            {"node": "int64", "deg": "int64"}),
+        batch_format="pandas")

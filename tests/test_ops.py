@@ -2630,3 +2630,64 @@ def test_bpe_pair_counts_multibyte(ray_session):
     out = bpe_pair_counts(ds, top=10)
     got = dict(zip(out["pair"], out["cnt"]))
     assert got == {"你好": 2, "好世": 1, "世界": 1}
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+
+def _brute_kcore(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    import collections
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(vs) for n, vs in adj.items() if vs}
+
+
+def test_kcore_vs_brute(ray_session):
+    """Random graph across 5 partitions: the peeled core and its degrees
+    must equal the sequential reference."""
+    from borges_ray.ops.graph import kcore
+
+    rng = np.random.default_rng(23)
+    e = rng.integers(0, 60, size=(400, 2))
+    df = pd.DataFrame({"src": e[:, 0].astype("int64"),
+                       "dst": e[:, 1].astype("int64")})
+    ds = rd.from_pandas(df).repartition(5)
+    out = kcore(ds, k=5, max_rounds=30).to_pandas()
+    got = dict(zip(out["node"], out["deg"]))
+    assert got == _brute_kcore([tuple(r) for r in e.tolist()], 5)
+
+
+def test_kcore_clique_plus_tail(ray_session):
+    """A 6-clique with a pendant chain: the chain peels away over several
+    rounds (one node per round — the slow-convergence shape) and only the
+    clique survives at k=3."""
+    from borges_ray.ops.graph import kcore
+
+    clique = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    chain = [(5, 10), (10, 11), (11, 12), (12, 13)]
+    df = pd.DataFrame(clique + chain, columns=["src", "dst"]).astype("int64")
+    out = kcore(rd.from_pandas(df).repartition(3), k=3,
+                max_rounds=10).to_pandas()
+    got = dict(zip(out["node"], out["deg"]))
+    assert got == {n: 5 for n in range(6)}
+
+
+def test_kcore_empty_core(ray_session):
+    """A tree has no 2-core: typed empty result."""
+    from borges_ray.ops.graph import kcore
+
+    df = pd.DataFrame({"src": [0, 0, 1, 1], "dst": [1, 2, 3, 4]}).astype("int64")
+    out = kcore(rd.from_pandas(df), k=2, max_rounds=8).to_pandas()
+    assert len(out) == 0
