@@ -3318,6 +3318,28 @@ def _q_kcore(sf_dir: str):
     return out.sort_values("node", ignore_index=True)
 
 
+def _q_zipf_fit(sf_dir: str):
+    """Zipf rank-frequency audit: log-log LSQ fit over the top-1000
+    vocabulary (slope ≈ -1 for natural text; flat/steep flags
+    boilerplate floods or gibberish).  Counts are combiner-collapsed;
+    only the top-k rank table reaches the driver."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.textops import zipf_fit
+
+    return zipf_fit(load(sf_dir, "documents", columns=["text"]), top=1000)
+
+
+def _q_heaps_law(sf_dir: str):
+    """Heaps-law vocabulary-growth fit V(N) = K·N^beta sampled every 50
+    docs — tokenizer-budget planning.  One vocabulary-keyed min-doc
+    exchange; both cumsum inputs are ≤ n_docs/50 rows."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.textops import heaps_law
+
+    return heaps_law(load(sf_dir, "documents", columns=["doc_id", "text"]),
+                     step=50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "redirect_resolve": _q_redirect_resolve,
@@ -3473,6 +3495,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn,
         "kmv_jaccard": _q_kmv_jaccard,
         "kcore": _q_kcore,
+        "zipf_fit": _q_zipf_fit,
+        "heaps_law": _q_heaps_law,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "bpe_merge_counts": _q_bpe_merge_counts,
         "bitext_candidates": _q_bitext_candidates,
@@ -6035,6 +6059,44 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e,
                  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        "zipf_fit": r"""
+            WITH w AS (
+              SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                        x -> x <> '')) AS word
+              FROM documents
+            ), wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+            top AS (
+              SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS r
+              FROM wc QUALIFY r <= 1000
+            )
+            SELECT round(regr_slope(ln(cnt), ln(r)), 6) AS slope,
+                   round(regr_intercept(ln(cnt), ln(r)), 6) AS intercept,
+                   CAST(count(*) AS BIGINT) AS n_points
+            FROM top
+        """,
+        "heaps_law": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ), fo AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY 1),
+            vb AS (SELECT fd // 50 AS b, count(*) AS nv FROM fo GROUP BY 1),
+            tb AS (SELECT doc_id // 50 AS b, count(*) AS nt FROM toks GROUP BY 1),
+            j AS (
+              SELECT coalesce(tb.b, vb.b) AS b,
+                     coalesce(nt, 0) AS nt, coalesce(nv, 0) AS nv
+              FROM tb FULL JOIN vb ON tb.b = vb.b
+            ), c AS (
+              SELECT b, sum(nt) OVER (ORDER BY b) AS N,
+                     sum(nv) OVER (ORDER BY b) AS V
+              FROM j
+            )
+            SELECT round(regr_slope(ln(V), ln(N)), 6) AS beta,
+                   round(regr_intercept(ln(V), ln(N)), 6) AS lnk,
+                   CAST(count(*) AS BIGINT) AS n_points
+            FROM c WHERE N > 0 AND V > 0
         """,
         "kcore": """
             WITH RECURSIVE raw AS (

@@ -732,3 +732,107 @@ def bpe_pair_counts(ds: rd.Dataset, *, text_col: str = "text",
     return (counts.sort_values(["cnt", "pair"], ascending=[False, True],
                                kind="mergesort")
             .head(top).reset_index(drop=True))
+
+
+def zipf_fit(ds: rd.Dataset, *, text_col: str = "text", top: int = 1000,
+             round_to: int = 6) -> pd.DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: least-squares
+    slope/intercept of ``ln(count)`` vs ``ln(rank)`` for the ``top``
+    most frequent tokens (Zipf's law: slope ≈ -1 for natural language;
+    a much flatter or steeper slope flags boilerplate floods or
+    synthetic/gibberish corpora — a standard crawl-quality audit).
+
+    Word counts are per-batch combiners → one vocabulary-keyed exchange;
+    the rank table is the combiner-bounded global top-k (≤ top rows ever
+    reach the driver), and the fit itself is the same five-scalar normal
+    equations as :func:`borges_ray.ops.graph.degree_powerlaw`, rounded
+    to ``round_to`` to absorb summation-order noise vs the SQL twin's
+    ``regr_slope``/``regr_intercept``."""
+    from .relational import grouped_agg, topk
+
+    def word_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[text_col].fillna("").astype(str).str.lower().str.split() \
+            .explode().dropna().value_counts()
+        return pd.DataFrame({"word": vc.index.astype(str),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    vocab = grouped_agg(ds.map_batches(word_counts, batch_format="pandas"),
+                        ["word"], {"cnt": ("sum", "cnt")})
+    head = topk(vocab, ["cnt"], top, tiebreak=["word"])
+    n = len(head)
+    if n < 2:
+        return pd.DataFrame({"slope": [np.nan], "intercept": [np.nan],
+                             "n_points": pd.Series([n], dtype="int64")})
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(head["cnt"].to_numpy(np.float64))
+    den = n * (x * x).sum() - x.sum() ** 2
+    slope = (n * (x * y).sum() - x.sum() * y.sum()) / den
+    intercept = (y.sum() - slope * x.sum()) / n
+    return pd.DataFrame({"slope": [round(slope, round_to)],
+                         "intercept": [round(intercept, round_to)],
+                         "n_points": pd.Series([n], dtype="int64")})
+
+
+def heaps_law(ds: rd.Dataset, *, id_col: str = "doc_id",
+              text_col: str = "text", step: int = 50,
+              round_to: int = 6) -> pd.DataFrame:
+    """Heaps-law vocabulary-growth fit: V(N) ≈ K·N^β — slope β of
+    ``ln(distinct vocabulary)`` vs ``ln(cumulative tokens)`` sampled at
+    every ``step`` documents in ``id_col`` order (β ≈ 0.4-0.6 for
+    natural text; tokenizer-budget planning reads vocabulary size at a
+    target corpus size straight off this fit).
+
+    Distributed shape: ONE vocabulary-keyed exchange computes each
+    token's first-occurrence document (``min(doc_id)`` — keys only);
+    both the first-occurrence histogram and the per-bucket token totals
+    collapse to ≤ ``n_docs/step`` rows before the driver-side cumsum +
+    normal-equations fit.  Pick ``step`` so that points stay bounded
+    (64-1000 buckets) at any corpus size — the exchange cost never
+    depends on it."""
+    from .relational import grouped_agg
+
+    def tok_doc(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.set_index(id_col)[text_col].fillna("").astype(str) \
+            .str.lower().str.split().explode().dropna()
+        out = pd.DataFrame({"tok": toks.to_numpy(),
+                            id_col: toks.index.to_numpy()})
+        # per-batch combiner: one row per (tok, min doc) in the batch
+        return out.groupby("tok", sort=False)[id_col].min().reset_index()
+
+    first = grouped_agg(ds.map_batches(tok_doc, batch_format="pandas"),
+                        ["tok"], {"fd": ("min", id_col)})
+
+    vb = grouped_agg(
+        first.map_batches(
+            lambda df: pd.DataFrame(
+                {"b": df["fd"].to_numpy("int64") // step,
+                 "nv": np.ones(len(df), dtype=np.int64)}),
+            batch_format="pandas"),
+        ["b"], {"nv": ("sum", "nv")}).to_pandas()
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        nt = df[text_col].fillna("").astype(str).str.lower().str.split() \
+            .map(len).to_numpy(np.int64)
+        out = pd.DataFrame({"b": df[id_col].to_numpy("int64") // step,
+                            "nt": nt})
+        return out.groupby("b", sort=False)["nt"].sum().reset_index()
+
+    tb = grouped_agg(ds.map_batches(tok_counts, batch_format="pandas"),
+                     ["b"], {"nt": ("sum", "nt")}).to_pandas()
+
+    j = tb.merge(vb, on="b", how="outer").fillna(0).sort_values("b")
+    N = j["nt"].cumsum().to_numpy(np.float64)
+    V = j["nv"].cumsum().to_numpy(np.float64)
+    keep = (N > 0) & (V > 0)
+    N, V = N[keep], V[keep]
+    n = len(N)
+    if n < 2:
+        return pd.DataFrame({"beta": [np.nan], "lnk": [np.nan],
+                             "n_points": pd.Series([n], dtype="int64")})
+    x, y = np.log(N), np.log(V)
+    den = n * (x * x).sum() - x.sum() ** 2
+    beta = (n * (x * y).sum() - x.sum() * y.sum()) / den
+    lnk = (y.sum() - beta * x.sum()) / n
+    return pd.DataFrame({"beta": [round(beta, round_to)],
+                         "lnk": [round(lnk, round_to)],
+                         "n_points": pd.Series([n], dtype="int64")})

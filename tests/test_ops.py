@@ -2691,3 +2691,54 @@ def test_kcore_empty_core(ray_session):
     df = pd.DataFrame({"src": [0, 0, 1, 1], "dst": [1, 2, 3, 4]}).astype("int64")
     out = kcore(rd.from_pandas(df), k=2, max_rounds=8).to_pandas()
     assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics fits
+# ---------------------------------------------------------------------------
+
+def test_zipf_fit_exact_power_law(ray_session):
+    """A synthetic corpus with counts exactly 64/32/16/8 over ranks
+    1,2,3,4 fits slope = -1 (in log2 ratio terms: ln space slope
+    = -ln2/ln2 ... verified against the closed form)."""
+    from borges_ray.ops.textops import zipf_fit
+
+    words = ["a"] * 64 + ["b"] * 32 + ["c"] * 16 + ["d"] * 8
+    ds = rd.from_pandas(pd.DataFrame({"text": [" ".join(words)] })).repartition(1)
+    out = zipf_fit(ds, top=4)
+    # closed form: y = ln(64) - x * ln2/... ranks 1..4, counts 64,32,16,8
+    x = np.log(np.arange(1, 5)); y = np.log([64, 32, 16, 8])
+    n = 4
+    den = n * (x * x).sum() - x.sum() ** 2
+    slope = (n * (x * y).sum() - x.sum() * y.sum()) / den
+    assert out["n_points"][0] == 4
+    assert abs(out["slope"][0] - round(slope, 6)) < 1e-9
+
+
+def test_zipf_fit_partition_invariant(ray_session):
+    """Same corpus, different partitioning → identical fit (combiner
+    associativity)."""
+    from borges_ray.ops.textops import zipf_fit
+
+    rng = np.random.default_rng(5)
+    docs = [" ".join(rng.choice([f"w{i}" for i in range(50)],
+                                size=200, p=None)) for _ in range(40)]
+    a = zipf_fit(rd.from_pandas(pd.DataFrame({"text": docs})).repartition(1), top=30)
+    b = zipf_fit(rd.from_pandas(pd.DataFrame({"text": docs})).repartition(13), top=30)
+    assert a.equals(b)
+
+
+def test_heaps_law_hand_checked(ray_session):
+    """Two buckets: docs 0-1 (bucket 0) introduce 3 distinct tokens over
+    4 tokens; docs 2-3 (bucket 1) add 2 new over 4 more.  Points:
+    (4,3), (8,5) → beta = ln(5/3)/ln2."""
+    from borges_ray.ops.textops import heaps_law
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                       "text": ["a b", "a c", "d b", "e a"]})
+    out = heaps_law(rd.from_pandas(df).repartition(2), step=2)
+    x = np.log([4.0, 8.0]); y = np.log([3.0, 5.0])
+    den = 2 * (x * x).sum() - x.sum() ** 2
+    beta = (2 * (x * y).sum() - x.sum() * y.sum()) / den
+    assert out["n_points"][0] == 2
+    assert abs(out["beta"][0] - round(beta, 6)) < 1e-9
