@@ -3340,6 +3340,33 @@ def _q_heaps_law(sf_dir: str):
                      step=50)
 
 
+def _q_vocab_ids(sf_dir: str):
+    """Stable contiguous dictionary-id assignment for the min_df-pruned
+    vocabulary (embedding tables / hash layers need dense ids): word
+    counts combine map-side, then `global_rank` assigns
+    row_number()-style ids with one order-preserving prefix-code
+    exchange — no global sort materialization, no driver rows beyond
+    the prefix offset table."""
+    from borges_ray.ops.relational import global_rank, grouped_agg, load
+
+    ds = load(sf_dir, "documents", columns=["text"])
+
+    def word_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].fillna("").astype(str).str.lower().str.split() \
+            .explode().dropna().value_counts()
+        return pd.DataFrame({"word": vc.index.astype(str),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    vocab = grouped_agg(ds.map_batches(word_counts, batch_format="pandas"),
+                        ["word"], {"cnt": ("sum", "cnt")})
+    kept = vocab.map_batches(lambda df: df.loc[df["cnt"] >= 2],
+                             batch_format="pandas")
+    out = global_rank(kept, "word", "cnt", "term_id").to_pandas()
+    out = out.rename(columns={})[["word", "term_id", "cnt"]]
+    out["cnt"] = out["cnt"].astype("int64")
+    return out.sort_values("word", ignore_index=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "redirect_resolve": _q_redirect_resolve,
@@ -3497,6 +3524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": _q_kcore,
         "zipf_fit": _q_zipf_fit,
         "heaps_law": _q_heaps_law,
+        "vocab_ids": _q_vocab_ids,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "bpe_merge_counts": _q_bpe_merge_counts,
         "bitext_candidates": _q_bitext_candidates,
@@ -6059,6 +6087,18 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e,
                  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        "vocab_ids": r"""
+            WITH w AS (
+              SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                        x -> x <> '')) AS word
+              FROM documents
+            ), wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1)
+            SELECT word,
+                   CAST(row_number() OVER (ORDER BY word) - 1 AS BIGINT)
+                       AS term_id,
+                   CAST(cnt AS BIGINT) AS cnt
+            FROM wc WHERE cnt >= 2 ORDER BY word
         """,
         "zipf_fit": r"""
             WITH w AS (

@@ -1721,41 +1721,9 @@ def sorted_neighborhood_pairs_ds(
     says so up front); widen the prefix code there.  Returns
     ``(id_a, id_b, gap)`` with ``id_a`` the lower-RANK endpoint.
     """
-    from .relational import groupby_buckets, grouped_agg, schema_anchor
+    from .relational import global_rank, groupby_buckets, schema_anchor
 
-    def add_prefix_code(df: pd.DataFrame) -> pd.DataFrame:
-        key = df[key_col].astype(str)
-        c0 = key.str.slice(0, 1).map(lambda s: ord(s) if s else -1)
-        c1 = key.str.slice(1, 2).map(lambda s: ord(s) if s else -1)
-        out = df[[id_col, key_col]].copy()
-        out["__pfx"] = ((c0 + 1) * 0x110000 + (c1 + 1)).astype("int64")
-        return out
-
-    coded = ds.map_batches(add_prefix_code, batch_format="pandas")
-
-    counts = grouped_agg(
-        coded.map_batches(
-            lambda df: df.assign(__one=np.int64(1))[["__pfx", "__one"]],
-            batch_format="pandas"),
-        ["__pfx"], {"n": ("sum", "__one")},
-    ).to_pandas().sort_values("__pfx")  # O(#distinct 2-char prefixes)
-    offsets = dict(zip(counts["__pfx"].astype("int64"),
-                       (counts["n"].cumsum() - counts["n"]).astype("int64")))
-
-    def rank_block(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            out = df[[id_col, key_col]].copy()
-            out["rnk"] = pd.Series(dtype="int64")
-            return out
-        parts = []
-        for code, grp in df.groupby("__pfx", sort=False):
-            grp = grp.sort_values([key_col, id_col], kind="mergesort")
-            grp = grp[[id_col, key_col]].copy()
-            grp["rnk"] = offsets[int(code)] + np.arange(len(grp), dtype=np.int64)
-            parts.append(grp)
-        return pd.concat(parts, ignore_index=True)
-
-    ranked = groupby_buckets(coded, ["__pfx"], rank_block)
+    ranked = global_rank(ds, key_col, id_col, "rnk")
 
     def to_groups(df: pd.DataFrame) -> pd.DataFrame:
         rnk = df["rnk"].to_numpy("int64")

@@ -2742,3 +2742,21 @@ def test_heaps_law_hand_checked(ray_session):
     beta = (2 * (x * y).sum() - x.sum() * y.sum()) / den
     assert out["n_points"][0] == 2
     assert abs(out["beta"][0] - round(beta, 6)) < 1e-9
+
+
+def test_global_rank_matches_row_number(ray_session):
+    """global_rank over shuffled partitions equals pandas row_number by
+    (key, id), including empty keys and duplicate keys."""
+    from borges_ray.ops.relational import global_rank
+
+    rng = np.random.default_rng(9)
+    keys = ["", "zz", "ab"] + ["".join(rng.choice(list("abz"), size=4))
+                               for _ in range(120)]
+    df = pd.DataFrame({"id": np.arange(len(keys), dtype=np.int64),
+                       "key": keys})
+    ds = rd.from_pandas(df.sample(frac=1.0, random_state=1)).repartition(7)
+    out = global_rank(ds, "key", "id").to_pandas()
+    want = df.sort_values(["key", "id"], kind="mergesort").reset_index(drop=True)
+    want["rnk"] = np.arange(len(want), dtype=np.int64)
+    got = out.sort_values("rnk", ignore_index=True)
+    assert got[["id", "key", "rnk"]].equals(want[["id", "key", "rnk"]])
