@@ -3343,11 +3343,11 @@ def _q_heaps_law(sf_dir: str):
 def _q_vocab_ids(sf_dir: str):
     """Stable contiguous dictionary-id assignment for the min_df-pruned
     vocabulary (embedding tables / hash layers need dense ids): word
-    counts combine map-side, then `global_rank` assigns
+    counts combine map-side, then `global_rank_str` assigns
     row_number()-style ids with one order-preserving prefix-code
     exchange — no global sort materialization, no driver rows beyond
     the prefix offset table."""
-    from borges_ray.ops.relational import global_rank, grouped_agg, load
+    from borges_ray.ops.relational import global_rank_str, grouped_agg, load
 
     ds = load(sf_dir, "documents", columns=["text"])
 
@@ -3361,10 +3361,24 @@ def _q_vocab_ids(sf_dir: str):
                         ["word"], {"cnt": ("sum", "cnt")})
     kept = vocab.map_batches(lambda df: df.loc[df["cnt"] >= 2],
                              batch_format="pandas")
-    out = global_rank(kept, "word", "cnt", "term_id").to_pandas()
+    out = global_rank_str(kept, "word", "cnt", "term_id").to_pandas()
     out = out.rename(columns={})[["word", "term_id", "cnt"]]
     out["cnt"] = out["cnt"].astype("int64")
     return out.sort_values("word", ignore_index=True)
+
+
+def _q_winnow(sf_dir: str):
+    """Winnowing (MOSS) fingerprint selection: byte 8-gram rolling hashes,
+    rightmost-min per 4-window, dedup — any ≥11-byte match shares a
+    fingerprint.  One map, no exchange; the SQL twin recomputes the
+    Horner hashes and the windowed argmin from the raw bytes."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.textops import winnow_fingerprints
+
+    out = winnow_fingerprints(
+        load(sf_dir, "documents", columns=["doc_id", "text"]),
+        k=8, w=4).to_pandas()
+    return out.sort_values(["doc_id", "pos"], ignore_index=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -3525,6 +3539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": _q_zipf_fit,
         "heaps_law": _q_heaps_law,
         "vocab_ids": _q_vocab_ids,
+        "winnow_fps": _q_winnow,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "bpe_merge_counts": _q_bpe_merge_counts,
         "bitext_candidates": _q_bitext_candidates,
@@ -6087,6 +6102,45 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e,
                  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        "winnow_fps": r"""
+            -- byte-exact SQL twin of textops.winnow_fingerprints: Horner
+            -- 8-gram hashes (base 1000003 mod 2^64) over the ws-normalized
+            -- utf-8 bytes, rightmost-min selection per 4-gram window
+            WITH norm AS (
+              SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+              FROM documents
+            ), b AS (
+              SELECT doc_id, to_hex(encode(t)) AS hx,
+                     octet_length(encode(t)) AS n
+              FROM norm
+            ), bytes AS (
+              SELECT doc_id, n,
+                     list_transform(range(1, n + 1),
+                       i -> CAST(CAST(('0x' || substr(hx, 2*i-1, 2)) AS INTEGER) AS HUGEINT)) AS bl
+              FROM b WHERE n >= 8
+            ), posns AS (
+              SELECT doc_id, bl, unnest(range(0, n - 7)) AS pos FROM bytes
+            ), g2 AS (
+              SELECT doc_id, pos,
+                     CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                                                   bl[pos+1:pos+8]),
+                          (acc, x) -> (acc * 1000003 + x)
+                                      % CAST('18446744073709551616' AS HUGEINT))
+                          AS UBIGINT) AS h
+              FROM posns
+            ), j AS (
+              SELECT e.doc_id, e.pos AS wend, g.pos, g.h
+              FROM g2 e JOIN g2 g ON g.doc_id = e.doc_id
+                                 AND g.pos BETWEEN e.pos - 3 AND e.pos
+              WHERE e.pos >= 3
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id, wend
+                                           ORDER BY h, pos DESC) AS rn
+              FROM j
+            )
+            SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp
+            FROM r WHERE rn = 1 ORDER BY doc_id, pos
         """,
         "vocab_ids": r"""
             WITH w AS (

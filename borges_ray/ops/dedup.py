@@ -1721,9 +1721,9 @@ def sorted_neighborhood_pairs_ds(
     says so up front); widen the prefix code there.  Returns
     ``(id_a, id_b, gap)`` with ``id_a`` the lower-RANK endpoint.
     """
-    from .relational import global_rank, groupby_buckets, schema_anchor
+    from .relational import global_rank_str, groupby_buckets, schema_anchor
 
-    ranked = global_rank(ds, key_col, id_col, "rnk")
+    ranked = global_rank_str(ds, key_col, id_col, "rnk")
 
     def to_groups(df: pd.DataFrame) -> pd.DataFrame:
         rnk = df["rnk"].to_numpy("int64")

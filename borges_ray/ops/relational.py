@@ -1414,9 +1414,12 @@ def global_rank(ds: rd.Dataset, value_col: str, tiebreak_col: str, *,
     return groupby_buckets(ds, [value_col], per_group)
 
 
-def global_rank(ds: rd.Dataset, key_col: str, id_col: str,
-                out_col: str = "rnk") -> rd.Dataset:
+def global_rank_str(ds: rd.Dataset, key_col: str, id_col: str,
+                    out_col: str = "rnk") -> rd.Dataset:
     """Exact dense global ``row_number() OVER (ORDER BY key, id) - 1``
+    for HIGH-CARDINALITY STRING keys (contrast :func:`global_rank`,
+    whose per-distinct-value driver histogram suits count tables):
+    here the driver sees only 2-char-PREFIX counts, never values.
     without materializing a global sort on the driver: rows bucket by an
     ORDER-PRESERVING 2-char prefix code of ``key_col`` (UTF-8 byte order
     == code-point order, so per-prefix local sorts concatenate into the

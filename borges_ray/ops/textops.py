@@ -169,6 +169,25 @@ def _pow_table(n: int) -> np.ndarray:
     return _POW_CACHE
 
 
+_INV_POW_CACHE = np.ones(1, dtype=np.uint64)
+_FP_BASE_INV = pow(int(FP_BASE), -1, 1 << 64)
+
+
+def _inv_pow_table(n: int) -> np.ndarray:
+    """FP_BASE^-k mod 2^64 for k in [0, n) (module-cached, grown on
+    demand; the base is odd, hence invertible mod 2^64)."""
+    global _INV_POW_CACHE
+    if len(_INV_POW_CACHE) < n:
+        m = len(_INV_POW_CACHE)
+        ext = np.empty(n, dtype=np.uint64)
+        ext[:m] = _INV_POW_CACHE
+        inv = np.uint64(_FP_BASE_INV)
+        for j in range(m, n):
+            ext[j] = np.multiply(ext[j - 1], inv, dtype=np.uint64)
+        _INV_POW_CACHE = ext
+    return _INV_POW_CACHE
+
+
 def fingerprint_batch(texts: pd.Series) -> pd.Series:
     """Deterministic polynomial rolling-hash fingerprint (mod 2^64) of the
     whitespace-normalized text (document identity for exact/near dedup
@@ -836,3 +855,66 @@ def heaps_law(ds: rd.Dataset, *, id_col: str = "doc_id",
     return pd.DataFrame({"beta": [round(beta, round_to)],
                          "lnk": [round(lnk, round_to)],
                          "n_points": pd.Series([n], dtype="int64")})
+
+
+def winnow_fingerprints(ds: rd.Dataset, *, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        w: int = 4) -> rd.Dataset:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS local fingerprinting scheme): polynomial rolling hashes of
+    byte ``k``-grams over the whitespace-normalized text, then in every
+    window of ``w`` consecutive grams select the minimum hash (RIGHTMOST
+    position on ties — the winnowing guarantee needs the deterministic
+    tie-break), deduplicating repeated selections.  Guarantees any match
+    of length ≥ k + w - 1 shares a fingerprint, with density 2/(w+1) —
+    the standard plagiarism/overlap index for corpora too large for
+    all-pairs comparison.
+
+    Embarrassingly parallel (one map, no exchange): per document the
+    gram hashes come from a Horner PREFIX fold (``h_i = P[i+k] -
+    P[i]·B^k`` in wrap-around uint64 — identical to hashing each gram
+    directly), and the windowed rightmost-argmin is one
+    ``sliding_window_view`` argmin over the reversed window axis.
+    Documents shorter than ``k + w - 1`` normalized bytes emit nothing
+    (below matchable granularity).  Returns ``(id, pos, fp)`` rows,
+    ``pos`` the gram's byte offset."""
+    pows = _pow_table(max(k + 1, 2))
+    bk = pows[k]
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        ids_out, pos_out, fp_out = [], [], []
+        texts = df[text_col].fillna("").astype(str)
+        ids = df[id_col].to_numpy()
+        for i, t in enumerate(texts):
+            b = _WS_RE.sub(" ", t.strip()).encode("utf-8")
+            n = len(b)
+            ng = n - k + 1
+            if ng < w:
+                continue
+            arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+            # vectorized Horner prefix fold in wrap-around uint64: with
+            # Q[i] = P[i]·B^-i, Q is a plain cumsum of b[j]·B^-(j+1)
+            # (FP_BASE is odd, so it is invertible mod 2^64)
+            pows = _pow_table(n + 1)
+            ipows = _inv_pow_table(n + 1)
+            q = np.cumsum(arr * ipows[1:n + 1], dtype=np.uint64)
+            pref = np.empty(n + 1, dtype=np.uint64)
+            pref[0] = 0
+            pref[1:] = q * pows[1:n + 1]
+            h = pref[k:] - pref[:-k] * bk  # wrap-around == per-gram Horner
+            sw = np.lib.stride_tricks.sliding_window_view(h, w)
+            am = sw[:, ::-1].argmin(axis=1)
+            sel = (np.arange(len(sw), dtype=np.int64) + w - 1) - am
+            sel = np.unique(sel)
+            ids_out.extend([ids[i]] * len(sel))
+            pos_out.append(sel)
+            fp_out.append(h[sel])
+        if not ids_out:
+            return pd.DataFrame({id_col: pd.Series(dtype=df[id_col].dtype),
+                                 "pos": pd.Series(dtype="int64"),
+                                 "fp": pd.Series(dtype="uint64")})
+        return pd.DataFrame({id_col: ids_out,
+                             "pos": np.concatenate(pos_out),
+                             "fp": np.concatenate(fp_out)})
+
+    return ds.map_batches(per_batch, batch_format="pandas")

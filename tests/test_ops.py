@@ -2745,9 +2745,9 @@ def test_heaps_law_hand_checked(ray_session):
 
 
 def test_global_rank_matches_row_number(ray_session):
-    """global_rank over shuffled partitions equals pandas row_number by
-    (key, id), including empty keys and duplicate keys."""
-    from borges_ray.ops.relational import global_rank
+    """global_rank_str over shuffled partitions equals pandas row_number
+    by (key, id), including empty keys and duplicate keys."""
+    from borges_ray.ops.relational import global_rank_str
 
     rng = np.random.default_rng(9)
     keys = ["", "zz", "ab"] + ["".join(rng.choice(list("abz"), size=4))
@@ -2755,8 +2755,41 @@ def test_global_rank_matches_row_number(ray_session):
     df = pd.DataFrame({"id": np.arange(len(keys), dtype=np.int64),
                        "key": keys})
     ds = rd.from_pandas(df.sample(frac=1.0, random_state=1)).repartition(7)
-    out = global_rank(ds, "key", "id").to_pandas()
+    out = global_rank_str(ds, "key", "id").to_pandas()
     want = df.sort_values(["key", "id"], kind="mergesort").reset_index(drop=True)
     want["rnk"] = np.arange(len(want), dtype=np.int64)
     got = out.sort_values("rnk", ignore_index=True)
     assert got[["id", "key", "rnk"]].equals(want[["id", "key", "rnk"]])
+
+
+def test_winnow_guarantee_and_density(ray_session):
+    """The winnowing guarantee: any shared substring of length ≥ k+w-1
+    (= 11 here) yields a shared fingerprint; density ≈ 2/(w+1)."""
+    from borges_ray.ops.textops import winnow_fingerprints
+
+    rng = np.random.default_rng(3)
+    alph = list("abcdefghij ")
+    mk = lambda n: "".join(rng.choice(alph, size=n))
+    shared = mk(40)
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": [mk(120) + shared + mk(80),
+                                mk(60) + shared + mk(150),
+                                mk(200)]})
+    out = winnow_fingerprints(rd.from_pandas(df).repartition(2),
+                              k=8, w=4).to_pandas()
+    f1 = set(out.loc[out["doc_id"] == 1, "fp"])
+    f2 = set(out.loc[out["doc_id"] == 2, "fp"])
+    assert f1 & f2, "docs sharing a 40-char substring must share a fp"
+    # density: selected fraction of grams near 2/(w+1) = 0.4
+    n_grams = len(df.loc[0, "text"].replace("  ", " ")) - 8 + 1
+    dens = (out["doc_id"] == 1).sum() / n_grams
+    assert 0.2 < dens < 0.6
+
+
+def test_winnow_short_doc_emits_nothing(ray_session):
+    """Docs shorter than k+w-1 normalized bytes emit no fingerprints."""
+    from borges_ray.ops.textops import winnow_fingerprints
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["tiny text", "x" * 10]})
+    out = winnow_fingerprints(rd.from_pandas(df), k=8, w=4).to_pandas()
+    assert len(out) == 0
