@@ -3381,6 +3381,41 @@ def _q_winnow(sf_dir: str):
     return out.sort_values(["doc_id", "pos"], ignore_index=True)
 
 
+def _q_winnow_overlap(sf_dir: str):
+    """MOSS overlap ranking: top-100 document pairs by shared winnowing
+    fingerprints, stop-fingerprint rule at 64 docs (exact, mirrored in
+    SQL).  winnow map → keys-only inverted index → capped in-run pair
+    fan-out → combiner-bounded top-k."""
+    from borges_ray.ops.dedup import winnow_overlap_pairs
+    from borges_ray.ops.relational import load
+
+    return winnow_overlap_pairs(
+        load(sf_dir, "documents", columns=["doc_id", "text"]),
+        k=8, w=4, stop=64, top=100)
+
+
+def _q_rendezvous(sf_dir: str):
+    """Rendezvous-hash frontier sharding audit: per-shard key counts at
+    W=16 plus how many keys a resize to W=17 would move (HRW minimal
+    churn ≈ 1/17, vs ~16/17 for hash%W).  Per-row map + one shard-keyed
+    aggregate."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.sched import rendezvous_shards
+
+    docs = load(sf_dir, "documents", columns=["doc_id"])
+
+    def urls(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy("int64")
+        return pd.DataFrame({"url": [
+            f"http://site{x % 97}.example.com/p/{x}" for x in d]})
+
+    out = rendezvous_shards(docs.map_batches(urls, batch_format="pandas"),
+                            "url", n_old=16, n_new=17).to_pandas()
+    for c in ("shard", "n", "n_moved"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("shard", ignore_index=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "redirect_resolve": _q_redirect_resolve,
@@ -3540,6 +3575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_law": _q_heaps_law,
         "vocab_ids": _q_vocab_ids,
         "winnow_fps": _q_winnow,
+        "winnow_overlap": _q_winnow_overlap,
+        "rendezvous_shards": _q_rendezvous,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "bpe_merge_counts": _q_bpe_merge_counts,
         "bitext_candidates": _q_bitext_candidates,
@@ -6141,6 +6178,82 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, h AS fp
             FROM r WHERE rn = 1 ORDER BY doc_id, pos
+        """,
+        "rendezvous_shards": """
+            WITH d AS (
+              SELECT doc_id,
+                     'http://site' || (doc_id % 97) || '.example.com/p/' || doc_id AS url
+              FROM documents
+            ), a AS (
+              SELECT doc_id, url, unnest(range(0, 17)) AS w FROM d
+            ), h AS (
+              SELECT doc_id, w, md5_number_lower(url || '#' || w) AS hv FROM a
+            ), s16 AS (
+              SELECT doc_id, w AS shard FROM (
+                SELECT doc_id, w,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY hv DESC, w) AS rn
+                FROM h WHERE w < 16
+              ) WHERE rn = 1
+            ), s17 AS (
+              SELECT doc_id, w AS shard17 FROM (
+                SELECT doc_id, w,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY hv DESC, w) AS rn
+                FROM h
+              ) WHERE rn = 1
+            )
+            SELECT s16.shard, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN s17.shard17 <> s16.shard
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+            FROM s16 JOIN s17 USING (doc_id)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "winnow_overlap": r"""
+            WITH norm AS (
+              SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+              FROM documents
+            ), b AS (
+              SELECT doc_id, to_hex(encode(t)) AS hx,
+                     octet_length(encode(t)) AS n
+              FROM norm
+            ), bytes AS (
+              SELECT doc_id, n,
+                     list_transform(range(1, n + 1),
+                       i -> CAST(CAST(('0x' || substr(hx, 2*i-1, 2)) AS INTEGER) AS HUGEINT)) AS bl
+              FROM b WHERE n >= 8
+            ), posns AS (
+              SELECT doc_id, bl, unnest(range(0, n - 7)) AS pos FROM bytes
+            ), g2 AS (
+              SELECT doc_id, pos,
+                     CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                                                   bl[pos+1:pos+8]),
+                          (acc, x) -> (acc * 1000003 + x)
+                                      % CAST('18446744073709551616' AS HUGEINT))
+                          AS UBIGINT) AS h
+              FROM posns
+            ), j AS (
+              SELECT e.doc_id, e.pos AS wend, g.pos, g.h
+              FROM g2 e JOIN g2 g ON g.doc_id = e.doc_id
+                                 AND g.pos BETWEEN e.pos - 3 AND e.pos
+              WHERE e.pos >= 3
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id, wend
+                                           ORDER BY h, pos DESC) AS rn
+              FROM j
+            ), sel AS (
+              SELECT DISTINCT doc_id, h FROM r WHERE rn = 1
+            ), ok AS (
+              SELECT h FROM sel GROUP BY h HAVING count(*) BETWEEN 2 AND 64
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+              JOIN ok ON ok.h = a.h
+            ), c AS (
+              SELECT id_a, id_b, count(*) AS shared FROM p GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared
+            FROM c ORDER BY shared DESC, id_a, id_b LIMIT 100
         """,
         "vocab_ids": r"""
             WITH w AS (

@@ -190,3 +190,40 @@ def fetch_shard_plan(loads: rd.Dataset, n_shards: int, *,
     return grouped_agg(assigned, ["shard"],
                        {"n_hosts": ("count", "host"),
                         "load": ("sum", "c")})
+
+
+def rendezvous_shards(ds: rd.Dataset, key_col: str, *, n_old: int = 16,
+                      n_new: int = 17) -> rd.Dataset:
+    """Rendezvous (highest-random-weight) shard assignment audit
+    (Thaler & Ravishankar 1998): each key goes to
+    ``argmax_w md5(key '#' w)`` — the frontier-sharding scheme whose
+    resize churn is provably minimal (growing ``n_old`` → ``n_new``
+    workers moves only the keys whose new worker wins, E[moved] =
+    1 - n_old/n_new, vs ~100% for ``hash % W``).
+
+    Emits per-OLD-shard rows ``(shard, n, n_moved)`` comparing the two
+    worker-set sizes — the audit a frontier operator reads before
+    resizing a crawl fleet.  Pure per-row map (W hashes per key, no
+    exchange) + one shard-keyed count aggregate; ties are broken by the
+    lower worker index (deterministic, and reproduced by the SQL twin's
+    ``ORDER BY h DESC, w``)."""
+    from .dedup import _md5_u64
+    from .relational import grouped_agg
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[key_col].astype(str)
+        n = len(df)
+        old = np.zeros(n, dtype=np.int64)
+        new = np.zeros(n, dtype=np.int64)
+        for i, s in enumerate(keys):
+            hs = [_md5_u64(f"{s}#{w}") for w in range(n_new)]
+            old[i] = int(np.argmax(hs[:n_old]))
+            new[i] = int(np.argmax(hs))
+        return pd.DataFrame({
+            "shard": old,
+            "n": np.ones(n, dtype=np.int64),
+            "n_moved": (old != new).astype(np.int64)})
+
+    rows = ds.map_batches(assign, batch_format="pandas")
+    return grouped_agg(rows, ["shard"], {"n": ("sum", "n"),
+                                         "n_moved": ("sum", "n_moved")})

@@ -2793,3 +2793,47 @@ def test_winnow_short_doc_emits_nothing(ray_session):
     df = pd.DataFrame({"doc_id": [1, 2], "text": ["tiny text", "x" * 10]})
     out = winnow_fingerprints(rd.from_pandas(df), k=8, w=4).to_pandas()
     assert len(out) == 0
+
+
+def test_winnow_overlap_ranks_shared_passage(ray_session):
+    """Two docs sharing a long passage must outrank unrelated pairs, and
+    a boilerplate string present in EVERY doc must not create pairs by
+    itself (stop-fingerprint rule with stop < n_docs)."""
+    from borges_ray.ops.dedup import winnow_overlap_pairs
+
+    rng = np.random.default_rng(17)
+    alph = list("abcdefgh ")
+    mk = lambda n: "".join(rng.choice(alph, size=n))
+    boiler = "copyright footer all rights reserved"
+    shared = mk(60)
+    texts = [mk(150) + boiler, mk(150) + boiler]  # unrelated but for boiler
+    texts += [shared + mk(100) + boiler, mk(100) + shared + boiler]  # pair
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                       "text": texts})
+    out = winnow_overlap_pairs(rd.from_pandas(df).repartition(2),
+                               stop=3, top=10)
+    assert len(out) >= 1
+    assert (out.iloc[0]["id_a"], out.iloc[0]["id_b"]) == (2, 3)
+    # boiler fps are shared by all 4 docs > stop=3 → dropped; the
+    # unrelated pair (0,1) may share random fps but far fewer
+    top = out.iloc[0]["shared"]
+    rest = out[(out["id_a"] != 2) | (out["id_b"] != 3)]["shared"]
+    assert rest.empty or rest.max() < top
+
+
+def test_rendezvous_minimal_churn(ray_session):
+    """HRW resize 16→17 moves ≈ 1/17 of keys (binomial tolerance), and
+    shards are deterministically reproducible."""
+    from borges_ray.ops.sched import rendezvous_shards
+
+    keys = pd.DataFrame({"url": [f"http://h{i % 50}.com/p{i}"
+                                 for i in range(3000)]})
+    out = rendezvous_shards(rd.from_pandas(keys).repartition(5),
+                            "url", n_old=16, n_new=17).to_pandas()
+    assert out["n"].sum() == 3000
+    frac = out["n_moved"].sum() / 3000
+    assert 0.02 < frac < 0.10   # E = 1/17 ≈ 0.059
+    out2 = rendezvous_shards(rd.from_pandas(keys).repartition(11),
+                             "url", n_old=16, n_new=17).to_pandas()
+    assert out.sort_values("shard", ignore_index=True).equals(
+        out2.sort_values("shard", ignore_index=True))
