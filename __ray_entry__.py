@@ -3416,6 +3416,37 @@ def _q_rendezvous(sf_dir: str):
     return out.sort_values("shard", ignore_index=True)
 
 
+def _q_leakfree_split(sf_dir: str):
+    """Leakage-free train/val/test split: each document is gated by the
+    md5 of its NEAR-DUP CLUSTER id (MinHash pairs → tree-forest CC
+    labels), so near-duplicates can never straddle train and eval — the
+    contamination guard a per-document hash gate lacks.  Pairs, labels
+    and the label join all stay Datasets; the oracle recomputes clusters
+    from the exact-Jaccard pair set."""
+    from borges_ray.ops.dedup import _md5_u64, minhash_near_dup_pairs_ds, \
+        near_dup_labels_ds
+    from borges_ray.ops.relational import hash_join, load
+
+    ds = load(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_near_dup_pairs_ds(ds, "doc_id", threshold=0.5)
+    labels = near_dup_labels_ds(pairs).map_batches(
+        lambda df: df.rename(columns={"id": "doc_id", "group": "grp"}),
+        batch_format="pandas")
+    docs = load(sf_dir, "documents", columns=["doc_id"])
+    joined = hash_join(docs, labels, on=["doc_id"], join_type="left")
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        grp = df["grp"].fillna(df["doc_id"]).astype("int64")
+        g10 = np.fromiter((_md5_u64(str(g)) % 10 for g in grp),
+                          dtype=np.int64, count=len(grp))
+        split = np.where(g10 < 8, "train", np.where(g10 == 8, "val", "test"))
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "grp": grp, "split": split})
+
+    out = joined.map_batches(gate, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "redirect_resolve": _q_redirect_resolve,
@@ -3577,6 +3608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fps": _q_winnow,
         "winnow_overlap": _q_winnow_overlap,
         "rendezvous_shards": _q_rendezvous,
+        "leakfree_split": _q_leakfree_split,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "bpe_merge_counts": _q_bpe_merge_counts,
         "bitext_candidates": _q_bitext_candidates,
@@ -4326,6 +4358,26 @@ def oracle_sql() -> dict[str, str]:
             comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT id FROM comp WHERE root < id)
+        """,
+        "leakfree_split": _MINHASH_PAIRS_SQL + """,
+            edges AS (SELECT id_a AS a, id_b AS b FROM jpairs
+                      UNION ALL SELECT id_b, id_a FROM jpairs),
+            reach(id, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+            ),
+            comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+            lbl AS (
+                SELECT d.doc_id, coalesce(c.root, d.doc_id) AS grp
+                FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+            )
+            SELECT doc_id, CAST(grp AS BIGINT) AS grp,
+                   CASE WHEN md5_number_lower(CAST(grp AS VARCHAR)) % 10 < 8
+                        THEN 'train'
+                        WHEN md5_number_lower(CAST(grp AS VARCHAR)) % 10 = 8
+                        THEN 'val' ELSE 'test' END AS split
+            FROM lbl ORDER BY doc_id
         """,
         "dup_cluster_sizes": _MINHASH_PAIRS_SQL + """,
             edges AS (SELECT id_a AS a, id_b AS b FROM jpairs

@@ -2837,3 +2837,41 @@ def test_rendezvous_minimal_churn(ray_session):
                              "url", n_old=16, n_new=17).to_pandas()
     assert out.sort_values("shard", ignore_index=True).equals(
         out2.sort_values("shard", ignore_index=True))
+
+
+def test_leakfree_split_keeps_clusters_together(ray_session):
+    """Near-dup clusters must never straddle splits: plant 10 clusters
+    of 4 near-identical docs each; every cluster's members get one
+    split, and split sizes are roughly 80/10/10 over groups."""
+    import __ray_entry__ as entry_mod
+    from borges_ray.ops.dedup import minhash_near_dup_pairs_ds, near_dup_labels_ds
+
+    rng = np.random.default_rng(31)
+    vocab = [f"tok{i}" for i in range(500)]
+    rows = []
+    did = 0
+    for c in range(10):
+        base = list(rng.choice(vocab, size=120))
+        for v in range(4):
+            t = list(base)
+            t[v] = f"var{c}_{v}"          # 1-token variant → J ≈ 0.98
+            rows.append((did, " ".join(t)))
+            did += 1
+    for _ in range(60):                    # singletons
+        rows.append((did, " ".join(rng.choice(vocab, size=60))))
+        did += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        out = entry_mod._q_leakfree_split(d)
+
+    # each planted cluster of 4 shares one grp and one split
+    for c in range(10):
+        ids = list(range(c * 4, c * 4 + 4))
+        sub = out[out["doc_id"].isin(ids)]
+        assert sub["grp"].nunique() == 1, f"cluster {c} split across groups"
+        assert sub["split"].nunique() == 1, f"cluster {c} leaks across splits"
+    assert set(out["split"]) <= {"train", "val", "test"}
+    assert (out["split"] == "train").mean() > 0.5
