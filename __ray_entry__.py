@@ -3447,6 +3447,26 @@ def _q_leakfree_split(sf_dir: str):
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def _q_hll_union(sf_dir: str):
+    """Cross-source vocabulary-overlap audit from ONE register pass: HLL
+    registers per source merge by per-bucket max into the union estimate
+    (the mergeability payoff — no second corpus scan), dup_factor =
+    Σ per-source / union."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.sketch import hll_union_by
+
+    ds = load(sf_dir, "documents", columns=["source", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df.set_index("source")["text"].fillna("").str.split() \
+            .explode().dropna()
+        return pd.DataFrame({"source": toks.index.astype(str),
+                             "tok": toks.to_numpy()})
+
+    return hll_union_by(ds.map_batches(explode, batch_format="pandas"),
+                        "source", "tok")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "redirect_resolve": _q_redirect_resolve,
@@ -3609,6 +3629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_overlap": _q_winnow_overlap,
         "rendezvous_shards": _q_rendezvous,
         "leakfree_split": _q_leakfree_split,
+        "hll_union": _q_hll_union,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "bpe_merge_counts": _q_bpe_merge_counts,
         "bitext_candidates": _q_bitext_candidates,
@@ -4919,6 +4940,58 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN e <= 2.5 * 64 AND v > 0
                               THEN 64 * ln(64.0 / v) ELSE e END, 3) AS est_distinct
             FROM est
+        """,
+        "hll_union": r"""
+            WITH tok AS (
+              SELECT source,
+                     unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS v
+              FROM documents
+            ), h AS (
+              SELECT source, md5_number_lower(v) AS h FROM tok
+            ), r AS (
+              SELECT source, CAST(h >> 58 AS BIGINT) AS bucket,
+                     CAST(CASE WHEN (h & ((CAST(1 AS UBIGINT) << 58) - 1)) = CAST(0 AS UBIGINT)
+                               THEN 59
+                               ELSE 58 - length(bin(h & ((CAST(1 AS UBIGINT) << 58) - 1))) + 1
+                          END AS BIGINT) AS rho
+              FROM h
+            ), reg AS (
+              SELECT source, bucket, max(rho) AS m FROM r GROUP BY 1, 2
+            ), agg AS (
+              SELECT source, count(*) AS present,
+                     sum(CAST(1 AS HUGEINT) << (59 - m)) AS s_present
+              FROM reg GROUP BY source
+            ), est AS (
+              SELECT source, 64 - present AS v,
+                     (CAST(0.709 AS DOUBLE) * 64 * 64 * CAST(CAST(1 AS HUGEINT) << 59 AS DOUBLE))
+                     / CAST((64 - present) * (CAST(1 AS HUGEINT) << 59) + s_present AS DOUBLE) AS e
+              FROM agg
+            ), fixed AS (
+              SELECT source,
+                     CASE WHEN e <= 2.5 * 64 AND v > 0
+                          THEN 64 * ln(64.0 / v) ELSE e END AS est
+              FROM est
+            ), mreg AS (
+              SELECT bucket, max(m) AS m FROM reg GROUP BY bucket
+            ), magg AS (
+              SELECT count(*) AS present,
+                     sum(CAST(1 AS HUGEINT) << (59 - m)) AS s_present
+              FROM mreg
+            ), mest AS (
+              SELECT 64 - present AS v,
+                     (CAST(0.709 AS DOUBLE) * 64 * 64 * CAST(CAST(1 AS HUGEINT) << 59 AS DOUBLE))
+                     / CAST((64 - present) * (CAST(1 AS HUGEINT) << 59) + s_present AS DOUBLE) AS e
+              FROM magg
+            ), mfixed AS (
+              SELECT CASE WHEN e <= 2.5 * 64 AND v > 0
+                          THEN 64 * ln(64.0 / v) ELSE e END AS est
+              FROM mest
+            )
+            SELECT CAST((SELECT count(*) FROM fixed) AS BIGINT) AS n_groups,
+                   round((SELECT sum(est) FROM fixed), 3) AS sum_group_est,
+                   round((SELECT est FROM mfixed), 3) AS union_est,
+                   round((SELECT sum(est) FROM fixed)
+                         / (SELECT est FROM mfixed), 4) AS dup_factor
         """,
         "decontaminate": r"""
             WITH toks AS (

@@ -296,3 +296,48 @@ def hll_count_by(ds: rd.Dataset, group_col: str, value_col: str) -> rd.Dataset:
         return res
 
     return groupby_buckets(regs, [group_col], finalize)
+
+
+def _hll_estimate(present: int, rhos) -> float:
+    """Shared HLL estimate: exact integer harmonic sum + linear-counting
+    correction (identical arithmetic to :func:`hll_count_by` and the SQL
+    twins)."""
+    s = (M - present) * (1 << L) + sum(1 << (L - int(m_)) for m_ in rhos)
+    est = (ALPHA * M * M * float(1 << L)) / float(s)
+    v = M - present
+    if est <= 2.5 * M and v > 0:
+        est = M * math.log(M / v)
+    return est
+
+
+def hll_union_by(ds: rd.Dataset, group_col: str, value_col: str) -> pd.DataFrame:
+    """Cross-group distinct-union audit from ONE register pass — the HLL
+    mergeability payoff (registers merge by per-bucket MAX, so the union
+    estimate needs no second corpus scan): per-group registers reduce
+    keys-only, the global register table is a second ≤ 64-row max-reduce
+    over THOSE, and ``dup_factor = Σ per-group estimates / union
+    estimate`` measures cross-group vocabulary overlap (1.0 = disjoint;
+    G = identical).  Returns one row
+    ``(n_groups, sum_group_est, union_est, dup_factor)``."""
+    from .relational import grouped_agg
+
+    def to_rows(df: pd.DataFrame) -> pd.DataFrame:
+        r = _rho_rows(df[value_col].astype(str))
+        r[group_col] = df[group_col].to_numpy()
+        return r[[group_col, "bucket", "rho"]]
+
+    regs = grouped_agg(ds.map_batches(to_rows, batch_format="pandas"),
+                       [group_col, "bucket"], {"M": ("max", "rho")}).to_pandas()
+    # per-group estimates (register table is ≤ groups × 64 rows)
+    ests = [
+        _hll_estimate(len(grp), grp["M"])
+        for _, grp in regs.groupby(group_col, sort=False)
+    ]
+    merged = regs.groupby("bucket", sort=False)["M"].max()
+    union_est = _hll_estimate(len(merged), merged)
+    return pd.DataFrame({
+        "n_groups": pd.Series([regs[group_col].nunique()], dtype="int64"),
+        "sum_group_est": [round(sum(sorted(ests)), 3)],
+        "union_est": [round(union_est, 3)],
+        "dup_factor": [round(sum(sorted(ests)) / union_est, 4)],
+    })

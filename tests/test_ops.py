@@ -2875,3 +2875,20 @@ def test_leakfree_split_keeps_clusters_together(ray_session):
         assert sub["split"].nunique() == 1, f"cluster {c} leaks across splits"
     assert set(out["split"]) <= {"train", "val", "test"}
     assert (out["split"] == "train").mean() > 0.5
+
+
+def test_hll_union_merge_equals_global(ray_session):
+    """Register-merge union estimate must equal the estimate HLL would
+    give over the concatenated corpus, and disjoint vocabularies give
+    dup_factor ≈ 1."""
+    from borges_ray.ops.sketch import hll_count_by, hll_union_by
+
+    rows = ([("a", f"x{i}") for i in range(800)]
+            + [("b", f"y{i}") for i in range(800)])
+    df = pd.DataFrame(rows, columns=["g", "v"])
+    out = hll_union_by(rd.from_pandas(df).repartition(6), "g", "v")
+    glob = hll_count_by(
+        rd.from_pandas(df.assign(g="all")).repartition(3),
+        "g", "v").to_pandas()
+    assert out["union_est"][0] == glob["est_distinct"][0]
+    assert 0.8 < out["dup_factor"][0] < 1.3
