@@ -189,6 +189,10 @@ QUERY_SUBSET = [
     "crawl_depth", "mirror_detect", "phrase_search", "containment_docs",
     "proximity_search", "pipeline_funnel", "triangle_census",
     "graph_components", "degree_powerlaw", "reciprocity",
+    # r04m additions: MOSS winnowing overlap, sorted-neighborhood blocking,
+    # k-core peeling, KMV sketch similarity, cluster-aware leak-free split
+    "winnow_overlap", "sorted_neighborhood", "kcore",
+    "kmv_jaccard", "leakfree_split",
 ]
 
 
