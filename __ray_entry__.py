@@ -3467,6 +3467,40 @@ def _q_hll_union(sf_dir: str):
                         "source", "tok")
 
 
+def _q_lang_segments(sf_dir: str):
+    """CCNet-style language segmentation over synthetic BILINGUAL pages
+    (each page = its own text + the text of the doc n/2 further on, so
+    language runs genuinely flip mid-document): 10-token chunks labeled
+    by the heuristic lang-id, consecutive same-language chunks merged
+    into maximal segments.  Segmentation is exchange-free; the page
+    construction is one hash join."""
+    from borges_ray.ops.relational import hash_join, load
+    from borges_ray.ops.textops import lang_segments
+
+    docs = load(sf_dir, "documents", columns=["doc_id", "text"])
+    n = int(docs.count())
+
+    left = docs.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy("int64"),
+            "text": df["text"].fillna(""),
+            "pid": (df["doc_id"].to_numpy("int64") + n // 2) % n}),
+        batch_format="pandas")
+    right = docs.map_batches(
+        lambda df: pd.DataFrame({
+            "pid": df["doc_id"].to_numpy("int64"),
+            "text2": df["text"].fillna("")}),
+        batch_format="pandas")
+    pages = hash_join(left, right, on=["pid"]).map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy("int64"),
+            "text": df["text"].astype(str) + " " + df["text2"].astype(str)}),
+        batch_format="pandas")
+
+    out = lang_segments(pages, chunk_tokens=10).to_pandas()
+    return out.sort_values(["doc_id", "seg_idx"], ignore_index=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "redirect_resolve": _q_redirect_resolve,
@@ -3630,6 +3664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rendezvous_shards": _q_rendezvous,
         "leakfree_split": _q_leakfree_split,
         "hll_union": _q_hll_union,
+        "lang_segments": _q_lang_segments,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "bpe_merge_counts": _q_bpe_merge_counts,
         "bitext_candidates": _q_bitext_candidates,
@@ -4940,6 +4975,59 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN e <= 2.5 * 64 AND v > 0
                               THEN 64 * ln(64.0 / v) ELSE e END, 3) AS est_distinct
             FROM est
+        """,
+        "lang_segments": rf"""
+            WITH pages AS (
+              SELECT d1.doc_id,
+                     coalesce(d1.text, '') || ' ' || coalesce(d2.text, '') AS text
+              FROM documents d1
+              JOIN documents d2
+                ON d2.doc_id = (d1.doc_id
+                                + (SELECT count(*) FROM documents) // 2)
+                               % (SELECT count(*) FROM documents)
+            ), toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS w
+              FROM pages
+            ), pos AS (
+              SELECT doc_id, unnest(w) AS tok, generate_subscripts(w, 1) AS p
+              FROM toks
+            ), ch AS (
+              SELECT doc_id, (p - 1) // 10 AS chunk,
+                     string_agg(tok, ' ' ORDER BY p) AS ct,
+                     count(*) FILTER (lower(tok) IN ('the','and','of','to','in','that','with','for','is','are')) AS s_en,
+                     count(*) FILTER (lower(tok) IN ('der','die','das','und','ist','mit','für','nicht','von','ein')) AS s_de,
+                     count(*) FILTER (lower(tok) IN ('le','la','les','et','de','des','est','pour','avec','une')) AS s_fr,
+                     count(*) FILTER (lower(tok) IN ('el','la','los','y','de','en','que','es','para','con','una')) AS s_es
+              FROM pos GROUP BY doc_id, (p - 1) // 10
+            ), pred AS (
+              SELECT doc_id, chunk,
+                     CASE WHEN length(regexp_replace(ct, '[^{_CJK_CLASS}]', '', 'g')) * 1.0
+                               / length(ct) >= 0.25 THEN 'zh'
+                          WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                          WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                          WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                          WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                          ELSE 'de' END AS lang
+              FROM ch
+            ), isl AS (
+              SELECT doc_id, chunk, lang,
+                     chunk - row_number() OVER (PARTITION BY doc_id, lang
+                                                ORDER BY chunk) AS grp
+              FROM pred
+            ), seg AS (
+              SELECT doc_id, lang, min(chunk) AS start_chunk,
+                     count(*) AS n_chunks
+              FROM isl GROUP BY doc_id, lang, grp
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY start_chunk) - 1 AS BIGINT)
+                       AS seg_idx,
+                   lang, CAST(start_chunk AS BIGINT) AS start_chunk,
+                   CAST(n_chunks AS BIGINT) AS n_chunks
+            FROM seg ORDER BY doc_id, seg_idx
         """,
         "hll_union": r"""
             WITH tok AS (

@@ -918,3 +918,72 @@ def winnow_fingerprints(ds: rd.Dataset, *, id_col: str = "doc_id",
                              "fp": np.concatenate(fp_out)})
 
     return ds.map_batches(per_batch, batch_format="pandas")
+
+
+def lang_segments(ds: rd.Dataset, *, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  chunk_tokens: int = 10) -> rd.Dataset:
+    """CCNet-style language SEGMENTATION: label every ``chunk_tokens``-token
+    chunk with the heuristic language ID (CJK share ≥ 0.25 → zh, else
+    stopword-bank argmax with the fr>es>en>de tie order — the same rules
+    as :class:`LangId`), then merge consecutive same-language chunks into
+    maximal segments.  Multilingual pages are routine in web crawls;
+    per-DOCUMENT lang tags mislabel half of a bilingual page, and CCNet
+    splits on language runs before per-language LM filtering.
+
+    Exchange-free: each document segments inside one ``map_batches`` call
+    (token chunking, per-chunk counts and the gaps-and-islands merge are
+    all per-doc vectorized).  Returns
+    ``(id, seg_idx, lang, start_chunk, n_chunks)``."""
+    banks = LangId.BANKS
+    order = ["fr", "es", "en", "de"]  # SQL CASE tie order
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"__id": [], "seg_idx": [], "lang": [],
+                "start_chunk": [], "n_chunks": []}
+        for rid, text in zip(df[id_col], df[text_col].fillna("").astype(str)):
+            toks = text.split()
+            if not toks:
+                continue
+            n_chunks = (len(toks) + chunk_tokens - 1) // chunk_tokens
+            preds = []
+            for c in range(n_chunks):
+                ch = toks[c * chunk_tokens:(c + 1) * chunk_tokens]
+                joined = " ".join(ch)
+                cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+                is_cjk = np.zeros(len(cp), dtype=bool)
+                for lo, hi in CJK_RANGES:
+                    is_cjk |= (cp >= lo) & (cp <= hi)
+                if len(cp) and is_cjk.mean() >= 0.25:
+                    preds.append("zh")
+                    continue
+                low = [t.lower() for t in ch]
+                scores = {g: sum(1 for w in low if w in banks[g])
+                          for g in banks}
+                best = max(scores.values())
+                if best == 0:
+                    preds.append("und")
+                else:
+                    preds.append(next(g for g in order if scores[g] == best))
+            # gaps-and-islands over the chunk label sequence
+            seg = 0
+            start = 0
+            for c in range(1, n_chunks + 1):
+                if c == n_chunks or preds[c] != preds[start]:
+                    rows["__id"].append(rid)
+                    rows["seg_idx"].append(seg)
+                    rows["lang"].append(preds[start])
+                    rows["start_chunk"].append(start)
+                    rows["n_chunks"].append(c - start)
+                    seg += 1
+                    start = c
+        out = pd.DataFrame({
+            id_col: pd.Series(rows["__id"],
+                              dtype=df[id_col].dtype if len(rows["__id"]) else "int64"),
+            "seg_idx": pd.Series(rows["seg_idx"], dtype="int64"),
+            "lang": pd.Series(rows["lang"], dtype="object"),
+            "start_chunk": pd.Series(rows["start_chunk"], dtype="int64"),
+            "n_chunks": pd.Series(rows["n_chunks"], dtype="int64")})
+        return out
+
+    return ds.map_batches(per_batch, batch_format="pandas")

@@ -2892,3 +2892,23 @@ def test_hll_union_merge_equals_global(ray_session):
         "g", "v").to_pandas()
     assert out["union_est"][0] == glob["est_distinct"][0]
     assert 0.8 < out["dup_factor"][0] < 1.3
+
+
+def test_lang_segments_bilingual_doc(ray_session):
+    """An en→de→en document segments into exactly three runs with correct
+    chunk extents; a pure-CJK block labels zh."""
+    from borges_ray.ops.textops import lang_segments
+
+    en = "the cat and the dog went to the house in"           # 10 toks, en
+    de = "der hund und die katze ist mit für nicht von"        # 10 toks, de
+    zh = " ".join(["你好世界"] * 10)
+    df = pd.DataFrame({"doc_id": [7, 8],
+                       "text": [f"{en} {de} {en}", zh]})
+    out = lang_segments(rd.from_pandas(df).repartition(2),
+                        chunk_tokens=10).to_pandas()
+    d7 = out[out["doc_id"] == 7].sort_values("seg_idx")
+    assert list(d7["lang"]) == ["en", "de", "en"]
+    assert list(d7["start_chunk"]) == [0, 1, 2]
+    assert list(d7["n_chunks"]) == [1, 1, 1]
+    d8 = out[out["doc_id"] == 8]
+    assert list(d8["lang"]) == ["zh"] and list(d8["n_chunks"]) == [1]
