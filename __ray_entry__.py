@@ -3501,6 +3501,19 @@ def _q_lang_segments(sf_dir: str):
     return out.sort_values(["doc_id", "seg_idx"], ignore_index=True)
 
 
+def _q_encode_docs(sf_dir: str):
+    """Corpus → dictionary-id sequences (OOV −1 below min_df=2): one
+    word-keyed hash join against the `global_rank_str` id table (no
+    broadcast dictionary — a web vocabulary doesn't fit a worker), one
+    per-doc regroup ordered by token position."""
+    from borges_ray.ops.relational import load
+    from borges_ray.ops.textops import encode_docs
+
+    out = encode_docs(load(sf_dir, "documents", columns=["doc_id", "text"]),
+                      min_df=2).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "redirect_resolve": _q_redirect_resolve,
@@ -3665,6 +3678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakfree_split": _q_leakfree_split,
         "hll_union": _q_hll_union,
         "lang_segments": _q_lang_segments,
+        "encode_docs": _q_encode_docs,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "bpe_merge_counts": _q_bpe_merge_counts,
         "bitext_candidates": _q_bitext_candidates,
@@ -4975,6 +4989,32 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN e <= 2.5 * 64 AND v > 0
                               THEN 64 * ln(64.0 / v) ELSE e END, 3) AS est_distinct
             FROM est
+        """,
+        "encode_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), occ AS (
+              SELECT doc_id, unnest(w) AS word,
+                     generate_subscripts(w, 1) AS p
+              FROM toks
+            ), wc AS (
+              SELECT word, count(*) AS cnt FROM occ GROUP BY 1
+            ), ids AS (
+              SELECT word,
+                     row_number() OVER (ORDER BY word) - 1 AS term_id
+              FROM wc WHERE cnt >= 2
+            ), enc AS (
+              SELECT o.doc_id, o.p, coalesce(i.term_id, -1) AS tid
+              FROM occ o LEFT JOIN ids i ON i.word = o.word
+            )
+            SELECT doc_id,
+                   array_to_string(list(tid ORDER BY p), ',') AS ids,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(*) FILTER (tid = -1) AS BIGINT) AS n_oov
+            FROM enc GROUP BY doc_id ORDER BY doc_id
         """,
         "lang_segments": rf"""
             WITH pages AS (

@@ -987,3 +987,64 @@ def lang_segments(ds: rd.Dataset, *, id_col: str = "doc_id",
         return out
 
     return ds.map_batches(per_batch, batch_format="pandas")
+
+
+def encode_docs(ds: rd.Dataset, *, id_col: str = "doc_id",
+                text_col: str = "text", min_df: int = 2) -> rd.Dataset:
+    """Corpus tokenization to DICTIONARY IDS — the bridge from vocabulary
+    construction to sequence packing: lowercase whitespace tokens map to
+    the dense ids :func:`global_rank_str` assigns the min_df-pruned
+    vocabulary (OOV → -1), and each document comes back as its id
+    sequence plus OOV diagnostics.
+
+    Scale shape — no broadcast dictionary (a web-corpus vocabulary does
+    not fit a worker): token occurrences join the id table by ONE
+    word-keyed hash join, then regroup per document with a bucketed
+    exchange, ordered by token position.  The id sequence serializes as
+    a comma-joined string (`ids`), the layout a data loader or the SQL
+    twin can consume byte-identically.  Returns
+    ``(id, ids, n_tokens, n_oov)``."""
+    from .relational import (global_rank_str, groupby_buckets, grouped_agg,
+                             hash_join)
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        t = df.set_index(id_col)[text_col].fillna("").astype(str) \
+            .str.lower().str.split().explode().dropna()
+        out = pd.DataFrame({id_col: t.index.to_numpy(), "word": t.to_numpy()})
+        out["p"] = out.groupby(id_col, sort=False).cumcount().astype("int64")
+        return out
+
+    occ = ds.map_batches(toks, batch_format="pandas")
+
+    def wc(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["word"].value_counts()
+        return pd.DataFrame({"word": vc.index.astype(str),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    vocab = grouped_agg(occ.map_batches(wc, batch_format="pandas"),
+                        ["word"], {"cnt": ("sum", "cnt")})
+    kept = vocab.map_batches(
+        lambda df: df.loc[df["cnt"] >= min_df, ["word", "cnt"]],
+        batch_format="pandas")
+    ids = global_rank_str(kept, "word", "cnt", "term_id").map_batches(
+        lambda df: df[["word", "term_id"]], batch_format="pandas")
+
+    enc = hash_join(occ, ids, on=["word"], join_type="left")
+
+    def regroup(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "ids": pd.Series(dtype="object"),
+                                 "n_tokens": pd.Series(dtype="int64"),
+                                 "n_oov": pd.Series(dtype="int64")})
+        df = df.sort_values([id_col, "p"], kind="mergesort")
+        tid = df["term_id"].fillna(-1).astype("int64")
+        out = []
+        for did, grp in tid.groupby(df[id_col].to_numpy(), sort=False):
+            vals = grp.to_numpy()
+            out.append((did, ",".join(map(str, vals)), len(vals),
+                        int((vals == -1).sum())))
+        return pd.DataFrame(out, columns=[id_col, "ids", "n_tokens", "n_oov"]) \
+            .astype({id_col: "int64", "n_tokens": "int64", "n_oov": "int64"})
+
+    return groupby_buckets(enc, [id_col], regroup)

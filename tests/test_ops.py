@@ -2912,3 +2912,32 @@ def test_lang_segments_bilingual_doc(ray_session):
     assert list(d7["n_chunks"]) == [1, 1, 1]
     d8 = out[out["doc_id"] == 8]
     assert list(d8["lang"]) == ["zh"] and list(d8["n_chunks"]) == [1]
+
+
+def test_encode_docs_roundtrip(ray_session):
+    """Ids decode back to the original lowercased tokens; below-min_df
+    tokens map to -1 and are counted as OOV."""
+    from borges_ray.ops.textops import encode_docs
+
+    df = pd.DataFrame({"doc_id": [0, 1, 2],
+                       "text": ["Apple banana apple", "banana Cherry rare",
+                                "cherry apple banana"]})
+    out = encode_docs(rd.from_pandas(df).repartition(3),
+                      min_df=2).to_pandas().sort_values("doc_id",
+                                                        ignore_index=True)
+    # vocab (cnt>=2, sorted): apple=0, banana=1, cherry=2; 'rare' is OOV
+    assert list(out["ids"]) == ["0,1,0", "1,2,-1", "2,0,1"]
+    assert list(out["n_tokens"]) == [3, 3, 3]
+    assert list(out["n_oov"]) == [0, 1, 0]
+
+
+def test_global_rank_str_single_prefix_skew(ray_session):
+    """Adversarial skew: every key shares one 2-char prefix (single
+    ranking task) — results must still be exact."""
+    from borges_ray.ops.relational import global_rank_str
+
+    keys = [f"aa{i:05d}" for i in range(500)]
+    df = pd.DataFrame({"id": np.arange(500, dtype=np.int64), "key": keys})
+    ds = rd.from_pandas(df.sample(frac=1.0, random_state=2)).repartition(8)
+    out = global_rank_str(ds, "key", "id").to_pandas()
+    assert out.sort_values("rnk")["id"].tolist() == list(range(500))
