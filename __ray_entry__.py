@@ -3514,6 +3514,30 @@ def _q_encode_docs(sf_dir: str):
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def _q_scc(sf_dir: str):
+    """Strongly connected components of a sparse 2048-host directed link
+    graph by forward-backward min-label coloring (link rings vs one-way
+    tendrils — the Broder bowtie decomposition's core step).  Per outer
+    round: two label-propagation fixpoints (node-keyed joins, keys-only
+    mins) over the unassigned residual; oracle recomputes mutual
+    reachability from the recursive-CTE transitive closure."""
+    from borges_ray.ops.graph import scc
+    from borges_ray.ops.relational import load
+
+    li = load(sf_dir, "lineitem",
+              columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["l_orderkey"].to_numpy("int64") % 8 == 0
+        p = ((df["l_orderkey"].to_numpy("int64") * 3
+              + df["l_linenumber"].to_numpy("int64")) % 2048)[keep]
+        q = ((df["l_partkey"].to_numpy("int64") * 7) % 2048)[keep]
+        return pd.DataFrame({"src": p, "dst": q})
+
+    out = scc(li.map_batches(to_edges, batch_format="pandas")).to_pandas()
+    return out.sort_values("node", ignore_index=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "redirect_resolve": _q_redirect_resolve,
@@ -3679,6 +3703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_union": _q_hll_union,
         "lang_segments": _q_lang_segments,
         "encode_docs": _q_encode_docs,
+        "scc": _q_scc,
         "sorted_neighborhood": _q_sorted_neighborhood,
         "bpe_merge_counts": _q_bpe_merge_counts,
         "bitext_candidates": _q_bitext_candidates,
@@ -4989,6 +5014,29 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN e <= 2.5 * 64 AND v > 0
                               THEN 64 * ln(64.0 / v) ELSE e END, 3) AS est_distinct
             FROM est
+        """,
+        "scc": """
+            WITH RECURSIVE raw AS (
+              SELECT (l_orderkey * 3 + l_linenumber) % 2048 AS p,
+                     (l_partkey * 7) % 2048 AS q
+              FROM lineitem WHERE l_orderkey % 8 = 0
+            ), e AS (
+              SELECT DISTINCT p AS u, q AS v FROM raw WHERE p <> q
+            ), nodes AS (
+              SELECT DISTINCT u AS n FROM e
+              UNION SELECT DISTINCT v FROM e
+            ), reach(a, b) AS (
+              SELECT u, v FROM e
+              UNION
+              SELECT r.a, e.v FROM reach r JOIN e ON e.u = r.b
+            ), mutual AS (
+              SELECT f.a AS v, f.b AS w
+              FROM reach f JOIN reach r ON r.a = f.b AND r.b = f.a
+            )
+            SELECT n.n AS node,
+                   CAST(least(n.n, coalesce(min(mu.w), n.n)) AS BIGINT) AS scc
+            FROM nodes n LEFT JOIN mutual mu ON mu.v = n.n
+            GROUP BY n.n ORDER BY node
         """,
         "encode_docs": r"""
             WITH toks AS (

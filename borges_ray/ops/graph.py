@@ -1618,3 +1618,183 @@ def kcore(
         lambda df: df.rename(columns={"u": "node"}).astype(
             {"node": "int64", "deg": "int64"}),
         batch_format="pandas")
+
+
+def scc(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_outer: int = 16,
+    max_inner: int = 64,
+) -> rd.Dataset:
+    """Strongly connected components by min-label FORWARD-BACKWARD
+    coloring (the Orzan/FW-BW family adapted to label propagation):
+    per outer round, propagate the minimum node id forward along edges
+    and backward along reversed edges to fixpoint over the UNASSIGNED
+    subgraph; a node whose forward and backward minima agree on ``c``
+    is mutually reachable with ``c`` and joins SCC(c).  Assigned nodes
+    leave the graph and the residual repeats — each round settles at
+    least the SCC of the globally smallest unassigned id, so ≤ #SCC
+    outer rounds (``max_outer`` caps pathological SCC chains).
+
+    Distributed shape: labels are a node-keyed table; one propagation
+    step = one edge join + one grouped min (keys only, no payload);
+    the inner fixpoint detects convergence with a label-table
+    self-join diff COUNT (one driver scalar per step, same discipline
+    as :func:`kcore`).  Dense web link graphs have one giant SCC and
+    shallow diameters, so rounds stay few; the SQL twin recomputes
+    mutual reachability from the transitive closure.
+
+    Returns ``(node, scc)`` — scc is the smallest member id.
+    """
+    from .relational import (grouped_agg, hash_join, hash_semi_join,
+                             schema_anchor, spill_point)
+
+    uv_tmpl = pd.DataFrame({"u": pd.Series(dtype="int64"),
+                            "v": pd.Series(dtype="int64")})
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[src_col].to_numpy("int64")
+        v = df[dst_col].to_numpy("int64")
+        keep = u != v
+        return pd.DataFrame({"u": u[keep], "v": v[keep]}).drop_duplicates()
+
+    base = spill_point(
+        grouped_agg(edges.map_batches(clean, batch_format="pandas"),
+                    ["u", "v"], {"n": ("count", "u")})
+        .select_columns(["u", "v"]), "scc_e")
+
+    nodes = spill_point(
+        grouped_agg(
+            base.map_batches(
+                lambda df: pd.DataFrame(
+                    {"node": np.concatenate([df["u"].to_numpy("int64"),
+                                             df["v"].to_numpy("int64")])}),
+                batch_format="pandas"),
+            ["node"], {"n": ("count", "node")}).select_columns(["node"]),
+        "scc_nodes")
+
+    def _propagate(nodes_ds: rd.Dataset, edges_ds: rd.Dataset,
+                   tag: str) -> rd.Dataset:
+        """Min-label fixpoint: L(v) = min(v, min_{(u,v)∈E} L(u))."""
+        lab = spill_point(
+            nodes_ds.map_batches(
+                lambda df: pd.DataFrame(
+                    {"node": df["node"].to_numpy("int64"),
+                     "lab": df["node"].to_numpy("int64")}),
+                batch_format="pandas"), f"{tag}_l0")
+        renamed = schema_anchor(
+            edges_ds.map_batches(
+                lambda df: df.rename(columns={"u": "node"}),
+                batch_format="pandas"),
+            pd.DataFrame({"node": pd.Series(dtype="int64"),
+                          "v": pd.Series(dtype="int64")}))
+        for it in range(max_inner):
+            msgs = hash_join(renamed, lab, on=["node"]).map_batches(
+                lambda df: pd.DataFrame({"node": df["v"].to_numpy("int64"),
+                                         "lab": df["lab"].to_numpy("int64")}),
+                batch_format="pandas")
+            # spill reads back as ARROW blocks; the msgs leg is pandas —
+            # normalize before the union (mixed block types assert in
+            # Ray's batcher)
+            lab_pd = lab.map_batches(lambda df: df, batch_format="pandas")
+            new = spill_point(
+                grouped_agg(msgs.union(lab_pd), ["node"],
+                            {"lab": ("min", "lab")}),
+                f"{tag}_l{it + 1}")
+            diff = hash_join(
+                new.map_batches(lambda df: df.rename(columns={"lab": "nl"}),
+                                batch_format="pandas"),
+                lab, on=["node"])
+            n_changed = int(diff.map_batches(
+                lambda df: pd.DataFrame(
+                    {"c": [int((df["nl"].to_numpy("int64")
+                                != df["lab"].to_numpy("int64")).sum())]}),
+                batch_format="pandas").sum("c"))
+            lab = new
+            if n_changed == 0:
+                break
+        return lab
+
+    done: list[rd.Dataset] = []
+    unassigned = nodes
+    cur = base  # residual edges — always between CURRENT unassigned nodes
+    for rnd in range(max_outer):
+        n_un = int(unassigned.count())
+        if n_un == 0:
+            break
+        if int(cur.count()) == 0:
+            # no residual edges: every remaining node is its own SCC
+            done.append(unassigned.map_batches(
+                lambda df: pd.DataFrame(
+                    {"node": df["node"].to_numpy("int64"),
+                     "scc": df["node"].to_numpy("int64")}),
+                batch_format="pandas"))
+            break
+        rcur = cur.map_batches(
+            lambda df: pd.DataFrame({"u": df["v"].to_numpy("int64"),
+                                     "v": df["u"].to_numpy("int64")}),
+            batch_format="pandas")
+
+        fwd = _propagate(unassigned, cur, f"scc_f{rnd}")
+        bwd = _propagate(unassigned, rcur, f"scc_b{rnd}")
+        both = hash_join(
+            fwd.map_batches(lambda df: df.rename(columns={"lab": "lf"}),
+                            batch_format="pandas"),
+            bwd.map_batches(lambda df: df.rename(columns={"lab": "lb"}),
+                            batch_format="pandas"), on=["node"])
+        both = spill_point(both, f"scc_c{rnd}")
+        assigned = both.map_batches(
+            lambda df: df.loc[df["lf"].to_numpy("int64")
+                              == df["lb"].to_numpy("int64")]
+            .rename(columns={"lf": "scc"})[["node", "scc"]]
+            .astype({"node": "int64", "scc": "int64"}),
+            batch_format="pandas")
+        assigned = spill_point(assigned, f"scc_a{rnd}")
+        done.append(assigned)
+
+        # FW-BW COLOR SPLIT — the convergence accelerator: SCC members
+        # share BOTH minima (their reach / reached-by sets coincide
+        # outside the SCC), so an edge whose endpoints disagree on
+        # (lf, lb) can never be intra-SCC and is dropped; tendril chains
+        # shatter into singleton colors and finish next round via the
+        # empty-residual early-out, instead of one SCC per round.
+        rest = spill_point(
+            both.map_batches(
+                lambda df: df.loc[df["lf"].to_numpy("int64")
+                                  != df["lb"].to_numpy("int64")]
+                [["node", "lf", "lb"]].astype("int64"),
+                batch_format="pandas"),
+            f"scc_r{rnd}")
+        unassigned = rest.map_batches(lambda df: df[["node"]],
+                                      batch_format="pandas")
+        cu = hash_join(
+            cur.map_batches(lambda df: df.rename(columns={"u": "node"}),
+                            batch_format="pandas"),
+            rest, on=["node"]).map_batches(
+            lambda df: df.rename(columns={"node": "u", "lf": "lfu",
+                                          "lb": "lbu"}),
+            batch_format="pandas")
+        cuv = hash_join(
+            cu.map_batches(lambda df: df.rename(columns={"v": "node"}),
+                           batch_format="pandas"),
+            rest, on=["node"]).map_batches(
+            lambda df: df.loc[(df["lfu"].to_numpy("int64")
+                               == df["lf"].to_numpy("int64"))
+                              & (df["lbu"].to_numpy("int64")
+                                 == df["lb"].to_numpy("int64"))]
+            .rename(columns={"node": "v"})[["u", "v"]].astype("int64"),
+            batch_format="pandas")
+        cur = schema_anchor(spill_point(cuv, f"scc_e{rnd}"), uv_tmpl)
+    else:
+        if int(unassigned.count()) > 0:
+            raise RuntimeError(
+                "scc: max_outer rounds exhausted with unassigned nodes — "
+                "raise max_outer (color splitting normally converges in "
+                "O(log n) rounds)")
+
+    out = done[0]
+    for d in done[1:]:
+        out = out.union(d)
+    return out

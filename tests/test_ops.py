@@ -2941,3 +2941,59 @@ def test_global_rank_str_single_prefix_skew(ray_session):
     ds = rd.from_pandas(df.sample(frac=1.0, random_state=2)).repartition(8)
     out = global_rank_str(ds, "key", "id").to_pandas()
     assert out.sort_values("rnk")["id"].tolist() == list(range(500))
+
+
+def test_scc_vs_tarjan(ray_session):
+    """Random sparse digraph across 5 partitions: labels must equal the
+    SCCs of a sequential Tarjan-style reference (min member id)."""
+    import sys
+    from borges_ray.ops.graph import scc as scc_op
+
+    rng = np.random.default_rng(41)
+    e = rng.integers(0, 40, size=(70, 2))
+    df = pd.DataFrame({"src": e[:, 0].astype("int64"),
+                       "dst": e[:, 1].astype("int64")})
+    out = scc_op(rd.from_pandas(df).repartition(5)).to_pandas()
+    got = dict(zip(out["node"], out["scc"]))
+
+    # iterative Tarjan
+    adj = {}
+    nodes = set()
+    for u, v in e.tolist():
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            nodes.update((u, v))
+    index = {}; low = {}; on = set(); stack = []; counter = [0]; comp = {}
+    for s in sorted(nodes):
+        if s in index:
+            continue
+        work = [(s, iter(sorted(adj.get(s, ()))))]
+        index[s] = low[s] = counter[0]; counter[0] += 1
+        stack.append(s); on.add(s)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]; counter[0] += 1
+                    stack.append(w); on.add(w)
+                    work.append((w, iter(sorted(adj.get(w, ())))))
+                    advanced = True
+                    break
+                elif w in on:
+                    low[v] = min(low[v], index[w])
+            if not advanced:
+                work.pop()
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+                if low[v] == index[v]:
+                    members = []
+                    while True:
+                        w = stack.pop(); on.discard(w); members.append(w)
+                        if w == v:
+                            break
+                    m = min(members)
+                    for w in members:
+                        comp[w] = m
+    assert got == comp
