@@ -1620,6 +1620,245 @@ def kcore(
         batch_format="pandas")
 
 
+def _scc_fixpoint(
+    nodes_ds: rd.Dataset,
+    edges_ds: rd.Dataset,
+    tag: str,
+    *,
+    n_buckets: int = 16,
+    max_inner: int = 64,
+) -> rd.Dataset:
+    """Fused forward/backward min-label fixpoint over a directed edge set,
+    in the PageRank BSP layout (edges hive-bucketed ONCE; per step only the
+    node-sized label table moves, via one linear hive write).
+
+    State per node: ``(lf, lb)`` — the minimum id known to REACH the node
+    (forward, along edges) and the minimum id the node is known to reach
+    (backward, along reversed edges).  Both directions propagate through
+    the SAME exchange: the tagged bidirectional edge list ``(frm, to,
+    dir)`` is bucketed by ``frm`` once; each step zips label buckets with
+    edge buckets, min-combines last step's messages locally (the combine
+    happens at bucket-READ time, so there is no separate groupby shuffle),
+    emits pre-aggregated ``(to, lf, lb)`` candidates, and hive-writes the
+    stream back by ``hash(node)`` — ONE materialization per step.  The
+    convergence scalar is a distributed ``sum`` of the per-node ``ch``
+    flag already present in the written files.
+
+    Raises ``RuntimeError`` if ``max_inner`` steps pass without
+    convergence (a silent partial propagation would emit one SCC under
+    several labels — see kcore's peel-cap note for the same discipline).
+
+    Returns ``(node int64, lf int64, lb int64)`` at fixpoint.
+    """
+    from .relational import schema_anchor
+
+    INF = np.iinfo(np.int64).max
+
+    def mk_tagged(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy("int64")
+        v = df["v"].to_numpy("int64")
+        return pd.DataFrame({
+            "frm": np.concatenate([u, v]),
+            "to": np.concatenate([v, u]),
+            "dir": np.concatenate([np.zeros(len(u), np.int8),
+                                   np.ones(len(v), np.int8)])})
+
+    edge_dir = _bucket_write(
+        edges_ds.map_batches(mk_tagged, batch_format="pandas"),
+        "frm", n_buckets, f"{tag}_t")
+    ebkts = _bucket_dirs(edge_dir)
+
+    seed = nodes_ds.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["node"].to_numpy("int64"),
+            "lf": df["node"].to_numpy("int64"),
+            "lb": df["node"].to_numpy("int64"),
+            "old": np.full(len(df), 1, dtype="int8"),
+            "ch": np.zeros(len(df), dtype="int64")}),
+        batch_format="pandas")
+    cur_dir = _bucket_write(seed, "node", n_buckets, f"{tag}_m0")
+
+    empty_tmpl = pd.DataFrame({
+        "node": pd.Series(dtype="int64"), "lf": pd.Series(dtype="int64"),
+        "lb": pd.Series(dtype="int64"), "old": pd.Series(dtype="int8"),
+        "ch": pd.Series(dtype="int64")})
+
+    last_files: list[str] = _leaf_files(cur_dir)
+    n_changed = -1
+    for it in range(max_inner):
+        mbkts = _bucket_dirs(cur_dir)
+        work = sorted(mbkts)
+        if not work:
+            n_changed = 0
+            break
+        paths = rd.from_items(
+            [{"m": mbkts[b], "e": ebkts.get(b, "")} for b in work])
+
+        def step(df: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for mdir, edir in zip(df["m"], df["e"]):
+                m = pq.read_table(
+                    mdir, columns=["node", "lf", "lb", "old"]).to_pandas()
+                if not len(m):
+                    continue
+                # combine last step's messages with the old labels
+                comb = (m.groupby("node", sort=False)
+                        .agg(lf=("lf", "min"), lb=("lb", "min"))
+                        .reset_index())
+                old = (m.loc[m["old"] == 1, ["node", "lf", "lb"]]
+                       .set_index("node").reindex(comb["node"]))
+                ch = ((comb["lf"].to_numpy("int64")
+                       < old["lf"].to_numpy("int64"))
+                      | (comb["lb"].to_numpy("int64")
+                         < old["lb"].to_numpy("int64"))).astype("int64")
+                lab = pd.DataFrame({
+                    "node": comb["node"].to_numpy("int64"),
+                    "lf": comb["lf"].to_numpy("int64"),
+                    "lb": comb["lb"].to_numpy("int64"),
+                    "old": np.full(len(comb), 1, dtype="int8"),
+                    "ch": ch})
+                outs.append(lab)
+                if edir:
+                    e = pq.read_table(edir).to_pandas()
+                    j = e.merge(lab[["node", "lf", "lb"]],
+                                left_on="frm", right_on="node")
+                    f = j["dir"].to_numpy() == 0
+                    msg = pd.DataFrame({
+                        "node": j["to"].to_numpy("int64"),
+                        "lf": np.where(f, j["lf"].to_numpy("int64"), INF),
+                        "lb": np.where(f, INF, j["lb"].to_numpy("int64"))})
+                    # combiner: pre-min by destination before the exchange
+                    mg = (msg.groupby("node", sort=False)
+                          .agg(lf=("lf", "min"), lb=("lb", "min"))
+                          .reset_index())
+                    mg["old"] = np.int8(0)
+                    mg["ch"] = np.int64(0)
+                    outs.append(mg[["node", "lf", "lb", "old", "ch"]])
+            if not outs:
+                return empty_tmpl.copy()
+            return pd.concat(outs, ignore_index=True)
+
+        stream = paths.repartition(max(1, len(work))).map_batches(
+            step, batch_format="pandas")
+        cur_dir = _bucket_write(stream, "node", n_buckets, f"{tag}_m{it + 1}")
+        last_files = _leaf_files(cur_dir)
+        if it == 0 or it % 2 == 1:
+            # step 0 only rebuilds the seed labels (ch is 0 by
+            # construction); convergence is probed every SECOND step —
+            # one extra 0.1 s propagation beats a scheduled sum job per
+            # step, and the final check still gates the raise below
+            continue
+        n_changed = (int(rd.read_parquet(last_files, columns=["ch"])
+                         .sum("ch"))
+                     if last_files else 0)
+        if n_changed == 0:
+            break
+    else:
+        # the loop may end on an unprobed step — take the authoritative
+        # count from the final written labels before deciding to raise
+        n_changed = (int(rd.read_parquet(last_files, columns=["ch"])
+                         .sum("ch"))
+                     if last_files else 0)
+        if n_changed != 0:
+            raise RuntimeError(
+                f"scc: label fixpoint did not converge in {max_inner} "
+                f"steps ({n_changed} labels still changing) — residual "
+                "diameter exceeds max_inner; raise max_inner (a partial "
+                "propagation would silently split one SCC across labels)")
+
+    lab_tmpl = pd.DataFrame({
+        "node": pd.Series(dtype="int64"), "lf": pd.Series(dtype="int64"),
+        "lb": pd.Series(dtype="int64")})
+    if not last_files:
+        return schema_anchor(rd.from_pandas(lab_tmpl), lab_tmpl)
+    out = rd.read_parquet(last_files).map_batches(
+        lambda df: df.loc[df["old"] == 1, ["node", "lf", "lb"]]
+        .astype("int64"),
+        batch_format="pandas")
+    return schema_anchor(out, lab_tmpl)
+
+
+def _scc_local(nodes_ds: rd.Dataset, edges_ds: rd.Dataset,
+               ns_tmpl: pd.DataFrame) -> rd.Dataset:
+    """Single-task SCC finish for a small residual: union the node and
+    edge streams (edges tagged with ``v >= 0``, isolated nodes as
+    ``v = -1``), coalesce to ONE block, and run an iterative Tarjan over
+    it — the standard last-reducer endgame once the distributed rounds
+    have shrunk the problem below one worker's heap."""
+    from .relational import schema_anchor
+
+    tagged_n = nodes_ds.map_batches(
+        lambda df: pd.DataFrame({"u": df["node"].to_numpy("int64"),
+                                 "v": np.full(len(df), -1, "int64")}),
+        batch_format="pandas")
+    tagged_e = edges_ds.map_batches(
+        lambda df: df[["u", "v"]].astype("int64"), batch_format="pandas")
+
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["u"].to_numpy("int64")
+        v = df["v"].to_numpy("int64")
+        is_edge = v >= 0
+        adj: dict[int, list[int]] = {}
+        for a, b in zip(u[is_edge].tolist(), v[is_edge].tolist()):
+            adj.setdefault(a, []).append(b)
+        all_nodes = sorted(set(u.tolist()) | set(v[is_edge].tolist()))
+        # iterative Tarjan (explicit stack; no recursion limit hazard)
+        index: dict[int, int] = {}
+        low: dict[int, int] = {}
+        on: set[int] = set()
+        stack: list[int] = []
+        nxt = [0]
+        comp: dict[int, int] = {}
+        for s in all_nodes:
+            if s in index:
+                continue
+            work = [(s, iter(adj.get(s, ())))]
+            index[s] = low[s] = nxt[0]
+            nxt[0] += 1
+            stack.append(s)
+            on.add(s)
+            while work:
+                x, it = work[-1]
+                advanced = False
+                for w in it:
+                    if w not in index:
+                        index[w] = low[w] = nxt[0]
+                        nxt[0] += 1
+                        stack.append(w)
+                        on.add(w)
+                        work.append((w, iter(adj.get(w, ()))))
+                        advanced = True
+                        break
+                    elif w in on:
+                        low[x] = min(low[x], index[w])
+                if not advanced:
+                    work.pop()
+                    if low[x] == index[x]:
+                        members = []
+                        while True:
+                            y = stack.pop()
+                            on.discard(y)
+                            members.append(y)
+                            if y == x:
+                                break
+                        root = min(members)
+                        for y in members:
+                            comp[y] = root
+                    if work:
+                        p = work[-1][0]
+                        low[p] = min(low[p], low[x])
+        if not comp:
+            return ns_tmpl.iloc[0:0].copy()
+        items = sorted(comp.items())
+        return pd.DataFrame({"node": [k for k, _ in items],
+                             "scc": [c for _, c in items]}).astype("int64")
+
+    return schema_anchor(
+        tagged_n.union(tagged_e).repartition(1).map_batches(
+            solve, batch_size=None, batch_format="pandas"),
+        ns_tmpl)
+
+
 def scc(
     edges: rd.Dataset,
     *,
@@ -1627,6 +1866,8 @@ def scc(
     dst_col: str = "dst",
     max_outer: int = 16,
     max_inner: int = 64,
+    n_buckets: int = 16,
+    local_threshold: int = 5_000,
 ) -> rd.Dataset:
     """Strongly connected components by min-label FORWARD-BACKWARD
     coloring (the Orzan/FW-BW family adapted to label propagation):
@@ -1634,25 +1875,40 @@ def scc(
     and backward along reversed edges to fixpoint over the UNASSIGNED
     subgraph; a node whose forward and backward minima agree on ``c``
     is mutually reachable with ``c`` and joins SCC(c).  Assigned nodes
-    leave the graph and the residual repeats — each round settles at
-    least the SCC of the globally smallest unassigned id, so ≤ #SCC
-    outer rounds (``max_outer`` caps pathological SCC chains).
+    leave the graph; surviving edges are COLOR-SPLIT (an edge whose
+    endpoints disagree on ``(lf, lb)`` can never be intra-SCC and is
+    dropped), so tendril chains shatter into singletons and the residual
+    converges in few outer rounds (``max_outer`` caps pathology, and
+    exhaustion RAISES rather than returning partial labels).
 
-    Distributed shape: labels are a node-keyed table; one propagation
-    step = one edge join + one grouped min (keys only, no payload);
-    the inner fixpoint detects convergence with a label-table
-    self-join diff COUNT (one driver scalar per step, same discipline
-    as :func:`kcore`).  Dense web link graphs have one giant SCC and
-    shallow diameters, so rounds stay few; the SQL twin recomputes
-    mutual reachability from the transitive closure.
+    Distributed shape (see :func:`_scc_fixpoint`): forward and backward
+    propagation share ONE tagged bidirectional edge list, hive-bucketed
+    by source once per outer round; each inner step moves only the
+    node-sized ``(node, lf, lb)`` label table through one linear disk
+    exchange, with the min-combine applied at bucket-read time — no
+    per-step join or groupby shuffle, and one driver scalar per step
+    (the summed change flag) instead of a label-table self-join diff.
+    Dense web link graphs have one giant SCC and shallow diameters, so
+    steps stay few; the SQL twin recomputes mutual reachability from
+    the transitive closure.
+
+    A residual with ``<= local_threshold`` edges skips the BSP rounds
+    and finishes in ONE task via iterative Tarjan
+    (:func:`_scc_local`) — set ``local_threshold=0`` to force the
+    distributed path everywhere (tests do).
 
     Returns ``(node, scc)`` — scc is the smallest member id.
     """
-    from .relational import (grouped_agg, hash_join, hash_semi_join,
+    from .relational import (BROADCAST_MAX_ROWS, grouped_agg, hash_join,
                              schema_anchor, spill_point)
 
     uv_tmpl = pd.DataFrame({"u": pd.Series(dtype="int64"),
                             "v": pd.Series(dtype="int64")})
+    ns_tmpl = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                            "scc": pd.Series(dtype="int64")})
+    rest_tmpl = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                              "lf": pd.Series(dtype="int64"),
+                              "lb": pd.Series(dtype="int64")})
 
     def clean(df: pd.DataFrame) -> pd.DataFrame:
         u = df[src_col].to_numpy("int64")
@@ -1675,118 +1931,107 @@ def scc(
             ["node"], {"n": ("count", "node")}).select_columns(["node"]),
         "scc_nodes")
 
-    def _propagate(nodes_ds: rd.Dataset, edges_ds: rd.Dataset,
-                   tag: str) -> rd.Dataset:
-        """Min-label fixpoint: L(v) = min(v, min_{(u,v)∈E} L(u))."""
-        lab = spill_point(
-            nodes_ds.map_batches(
-                lambda df: pd.DataFrame(
-                    {"node": df["node"].to_numpy("int64"),
-                     "lab": df["node"].to_numpy("int64")}),
-                batch_format="pandas"), f"{tag}_l0")
-        renamed = schema_anchor(
-            edges_ds.map_batches(
-                lambda df: df.rename(columns={"u": "node"}),
-                batch_format="pandas"),
-            pd.DataFrame({"node": pd.Series(dtype="int64"),
-                          "v": pd.Series(dtype="int64")}))
-        for it in range(max_inner):
-            msgs = hash_join(renamed, lab, on=["node"]).map_batches(
-                lambda df: pd.DataFrame({"node": df["v"].to_numpy("int64"),
-                                         "lab": df["lab"].to_numpy("int64")}),
-                batch_format="pandas")
-            # spill reads back as ARROW blocks; the msgs leg is pandas —
-            # normalize before the union (mixed block types assert in
-            # Ray's batcher)
-            lab_pd = lab.map_batches(lambda df: df, batch_format="pandas")
-            new = spill_point(
-                grouped_agg(msgs.union(lab_pd), ["node"],
-                            {"lab": ("min", "lab")}),
-                f"{tag}_l{it + 1}")
-            diff = hash_join(
-                new.map_batches(lambda df: df.rename(columns={"lab": "nl"}),
-                                batch_format="pandas"),
-                lab, on=["node"])
-            n_changed = int(diff.map_batches(
-                lambda df: pd.DataFrame(
-                    {"c": [int((df["nl"].to_numpy("int64")
-                                != df["lab"].to_numpy("int64")).sum())]}),
-                batch_format="pandas").sum("c"))
-            lab = new
-            if n_changed == 0:
-                break
-        return lab
-
     done: list[rd.Dataset] = []
-    unassigned = nodes
-    cur = base  # residual edges — always between CURRENT unassigned nodes
+    unassigned = schema_anchor(nodes, rest_tmpl[["node"]])
+    cur = schema_anchor(base, uv_tmpl)
     for rnd in range(max_outer):
-        n_un = int(unassigned.count())
-        if n_un == 0:
+        if int(unassigned.count()) == 0:
             break
-        if int(cur.count()) == 0:
+        n_e = int(cur.count())
+        if n_e == 0:
             # no residual edges: every remaining node is its own SCC
-            done.append(unassigned.map_batches(
+            done.append(schema_anchor(unassigned.map_batches(
                 lambda df: pd.DataFrame(
                     {"node": df["node"].to_numpy("int64"),
                      "scc": df["node"].to_numpy("int64")}),
-                batch_format="pandas"))
+                batch_format="pandas"), ns_tmpl))
+            unassigned = rd.from_pandas(rest_tmpl[["node"]].iloc[0:0])
             break
-        rcur = cur.map_batches(
-            lambda df: pd.DataFrame({"u": df["v"].to_numpy("int64"),
-                                     "v": df["u"].to_numpy("int64")}),
-            batch_format="pandas")
+        if n_e <= local_threshold:
+            # "last reducer" finish: a residual this small (≤ threshold
+            # edges ≈ 16 B each) fits one task's heap — a single-task
+            # Tarjan beats O(diameter) more barriered exchanges.  At
+            # 100 TB the round-0 graph takes the BSP path; the round-1+
+            # residual (colored tendrils) collapses here.
+            done.append(_scc_local(unassigned, cur, ns_tmpl))
+            unassigned = rd.from_pandas(rest_tmpl[["node"]].iloc[0:0])
+            break
 
-        fwd = _propagate(unassigned, cur, f"scc_f{rnd}")
-        bwd = _propagate(unassigned, rcur, f"scc_b{rnd}")
-        both = hash_join(
-            fwd.map_batches(lambda df: df.rename(columns={"lab": "lf"}),
-                            batch_format="pandas"),
-            bwd.map_batches(lambda df: df.rename(columns={"lab": "lb"}),
-                            batch_format="pandas"), on=["node"])
-        both = spill_point(both, f"scc_c{rnd}")
-        assigned = both.map_batches(
+        lab = _scc_fixpoint(unassigned, cur, f"scc{rnd}",
+                            n_buckets=n_buckets, max_inner=max_inner)
+
+        assigned = schema_anchor(lab.map_batches(
             lambda df: df.loc[df["lf"].to_numpy("int64")
                               == df["lb"].to_numpy("int64")]
             .rename(columns={"lf": "scc"})[["node", "scc"]]
-            .astype({"node": "int64", "scc": "int64"}),
-            batch_format="pandas")
-        assigned = spill_point(assigned, f"scc_a{rnd}")
+            .astype("int64"),
+            batch_format="pandas"), ns_tmpl)
         done.append(assigned)
 
-        # FW-BW COLOR SPLIT — the convergence accelerator: SCC members
-        # share BOTH minima (their reach / reached-by sets coincide
-        # outside the SCC), so an edge whose endpoints disagree on
-        # (lf, lb) can never be intra-SCC and is dropped; tendril chains
-        # shatter into singleton colors and finish next round via the
-        # empty-residual early-out, instead of one SCC per round.
-        rest = spill_point(
-            both.map_batches(
-                lambda df: df.loc[df["lf"].to_numpy("int64")
-                                  != df["lb"].to_numpy("int64")]
-                [["node", "lf", "lb"]].astype("int64"),
-                batch_format="pandas"),
-            f"scc_r{rnd}")
-        unassigned = rest.map_batches(lambda df: df[["node"]],
-                                      batch_format="pandas")
-        cu = hash_join(
-            cur.map_batches(lambda df: df.rename(columns={"u": "node"}),
-                            batch_format="pandas"),
-            rest, on=["node"]).map_batches(
-            lambda df: df.rename(columns={"node": "u", "lf": "lfu",
-                                          "lb": "lbu"}),
-            batch_format="pandas")
-        cuv = hash_join(
-            cu.map_batches(lambda df: df.rename(columns={"v": "node"}),
-                           batch_format="pandas"),
-            rest, on=["node"]).map_batches(
-            lambda df: df.loc[(df["lfu"].to_numpy("int64")
-                               == df["lf"].to_numpy("int64"))
-                              & (df["lbu"].to_numpy("int64")
-                                 == df["lb"].to_numpy("int64"))]
-            .rename(columns={"node": "v"})[["u", "v"]].astype("int64"),
-            batch_format="pandas")
-        cur = schema_anchor(spill_point(cuv, f"scc_e{rnd}"), uv_tmpl)
+        rest = spill_point(schema_anchor(lab.map_batches(
+            lambda df: df.loc[df["lf"].to_numpy("int64")
+                              != df["lb"].to_numpy("int64")]
+            [["node", "lf", "lb"]].astype("int64"),
+            batch_format="pandas"), rest_tmpl), f"scc_r{rnd}")
+        n_rest = int(rest.count())
+        if n_rest == 0:
+            unassigned = rd.from_pandas(rest_tmpl[["node"]].iloc[0:0])
+            break
+        unassigned = schema_anchor(
+            rest.map_batches(lambda df: df[["node"]],
+                             batch_format="pandas"),
+            rest_tmpl[["node"]])
+
+        # COLOR SPLIT — keep only edges whose endpoints share (lf, lb):
+        # SCC members have identical minima in both directions, so a
+        # disagreeing edge is provably cross-color and is dropped.
+        if n_rest <= BROADCAST_MAX_ROWS:
+            # the residual color table is node-sized (24 B/row): put it
+            # ONCE and filter the edge stream map-side — zero shuffles
+            # (J3/J4 discipline; the guard keeps huge residuals on the
+            # two-shuffle hash-join path below)
+            import ray as _ray
+            rest_pd = rest.to_pandas()[["node", "lf", "lb"]]
+            ref = _ray.put(rest_pd)
+
+            def split(df: pd.DataFrame) -> pd.DataFrame:
+                r = _ray.get(ref)
+                m = (df.merge(r, left_on="u", right_on="node")
+                     .merge(r, left_on="v", right_on="node",
+                            suffixes=("_u", "_v")))
+                keep = ((m["lf_u"].to_numpy("int64")
+                         == m["lf_v"].to_numpy("int64"))
+                        & (m["lb_u"].to_numpy("int64")
+                           == m["lb_v"].to_numpy("int64")))
+                return m.loc[keep, ["u", "v"]].astype("int64")
+
+            cuv = cur.map_batches(split, batch_format="pandas")
+        else:
+            # NOTE: every hash_join input is schema_anchor'd as the
+            # OUTERMOST op — a map_batches AFTER an anchor re-loses the
+            # schema when all real blocks are empty (the anchor's empty
+            # block doesn't survive schema inference through a later map).
+            jl1 = schema_anchor(
+                cur.map_batches(lambda df: df.rename(columns={"u": "node"}),
+                                batch_format="pandas"),
+                pd.DataFrame({c: pd.Series(dtype="int64")
+                              for c in ("node", "v")}))
+            jl2 = schema_anchor(
+                hash_join(jl1, rest, on=["node"]).map_batches(
+                    lambda df: df.rename(columns={"node": "u", "lf": "lfu",
+                                                  "lb": "lbu", "v": "node"})
+                    [["u", "node", "lfu", "lbu"]],
+                    batch_format="pandas"),
+                pd.DataFrame({c: pd.Series(dtype="int64")
+                              for c in ("u", "node", "lfu", "lbu")}))
+            cuv = hash_join(jl2, rest, on=["node"]).map_batches(
+                lambda df: df.loc[(df["lfu"].to_numpy("int64")
+                                   == df["lf"].to_numpy("int64"))
+                                  & (df["lbu"].to_numpy("int64")
+                                     == df["lb"].to_numpy("int64"))]
+                .rename(columns={"node": "v"})[["u", "v"]].astype("int64"),
+                batch_format="pandas")
+        cur = schema_anchor(spill_point(cuv, f"scc_ce{rnd}"), uv_tmpl)
     else:
         if int(unassigned.count()) > 0:
             raise RuntimeError(
@@ -1797,4 +2042,4 @@ def scc(
     out = done[0]
     for d in done[1:]:
         out = out.union(d)
-    return out
+    return schema_anchor(out, ns_tmpl)

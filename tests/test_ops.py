@@ -2997,3 +2997,33 @@ def test_scc_vs_tarjan(ray_session):
                     for w in members:
                         comp[w] = m
     assert got == comp
+
+
+def test_scc_distributed_path(ray_session):
+    """Force the BSP fixpoint + color split (local_threshold=0) on a graph
+    with planted rings, a one-way tendril chain, and cross links; labels
+    must equal the local-Tarjan result of the default path."""
+    from borges_ray.ops.graph import scc as scc_op
+
+    rows = []
+    # two disjoint directed rings (SCCs of size 6 and 4)
+    ring1 = [10, 11, 12, 13, 14, 15]
+    ring2 = [30, 31, 32, 33]
+    for r in (ring1, ring2):
+        rows += [(a, b) for a, b in zip(r, r[1:] + r[:1])]
+    # tendril chain into ring1 (never part of an SCC)
+    rows += [(50, 51), (51, 52), (52, 10)]
+    # cross link between rings (one-way: not an SCC merge)
+    rows += [(12, 30)]
+    df = pd.DataFrame({"src": [a for a, _ in rows],
+                       "dst": [b for _, b in rows]}, dtype="int64")
+    ds = rd.from_pandas(df).repartition(3)
+    got = (scc_op(ds, local_threshold=0, n_buckets=4)
+           .to_pandas().sort_values("node", ignore_index=True))
+    want = (scc_op(rd.from_pandas(df))  # default path: single-task Tarjan
+            .to_pandas().sort_values("node", ignore_index=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert set(got.loc[got["node"].isin(ring1), "scc"]) == {min(ring1)}
+    assert set(got.loc[got["node"].isin(ring2), "scc"]) == {min(ring2)}
+    assert (got.loc[got["node"].isin([50, 51, 52]), "scc"].to_numpy()
+            == [50, 51, 52]).all()

@@ -7,6 +7,8 @@ distributed shapes:
   rank-group boundaries are load-bearing at this size).
 * ``--kcore``: k-core peeling at ~2M edges / 200k nodes — core node set
   + degrees must EXACTLY equal a sequential peeling reference.
+* ``--scc``: strongly connected components at ~1.1M edges — 100k planted
+  rings under a random id permutation, closed-form ground truth.
 
 Usage: PYTHONPATH=/root/repo python tools/stress_r4_ops.py [--snm] [--kcore]
 """
@@ -91,6 +93,63 @@ def stress_kcore() -> None:
           f"(single-process ref {ref_wall:.1f}s) EXACT")
 
 
+def stress_scc() -> None:
+    """SCC at ~1.1M edges with a CLOSED-FORM ground truth: 100k planted
+    directed rings (length 10) under a random id permutation, plus one-way
+    tendril chains and sparse cross-ring edges (neither may merge or split
+    an SCC).  Every ring must come back labeled with its min member id,
+    every non-ring node as a singleton.  ``local_threshold=0`` forces the
+    distributed FW-BW path (round 0 colors, round 1 settles the rings)."""
+    from borges_ray.ops.graph import scc
+
+    rng = np.random.default_rng(11)
+    n_rings, ring_len = 100_000, 10
+    n_ring_nodes = n_rings * ring_len
+    n_tendrils, tendril_len = 30_000, 3
+    n_cross = 5_000
+    n_nodes = n_ring_nodes + n_tendrils * tendril_len
+    perm = rng.permutation(n_nodes).astype(np.int64)
+
+    base = np.arange(n_ring_nodes, dtype=np.int64)
+    ring_id = base // ring_len
+    nxt = ring_id * ring_len + (base + 1) % ring_len
+    src = [perm[base]]
+    dst = [perm[nxt]]
+    # tendril chains: t0 -> t1 -> t2 -> (random ring node); one-way
+    tb = n_ring_nodes + np.arange(n_tendrils * tendril_len,
+                                  dtype=np.int64).reshape(n_tendrils,
+                                                          tendril_len)
+    for i in range(tendril_len - 1):
+        src.append(perm[tb[:, i]])
+        dst.append(perm[tb[:, i + 1]])
+    src.append(perm[tb[:, -1]])
+    dst.append(perm[rng.integers(0, n_ring_nodes, n_tendrils)])
+    # sparse one-way cross-ring edges (condensation stays a shallow DAG)
+    src.append(perm[rng.integers(0, n_ring_nodes, n_cross)])
+    dst.append(perm[rng.integers(0, n_ring_nodes, n_cross)])
+
+    df = pd.DataFrame({"src": np.concatenate(src),
+                       "dst": np.concatenate(dst)})
+    n_edges = len(df)
+
+    # ground truth: ring members -> min permuted member id; others -> self
+    ring_min = perm[:n_ring_nodes].reshape(n_rings, ring_len).min(axis=1)
+    want = dict(zip(perm[:n_ring_nodes].tolist(),
+                    np.repeat(ring_min, ring_len).tolist()))
+    for t in perm[n_ring_nodes:].tolist():
+        want[t] = t
+
+    t0 = time.time()
+    out = scc(rd.from_pandas(df).repartition(64),
+              local_threshold=0, max_inner=256).to_pandas()
+    wall = time.time() - t0
+
+    got = dict(zip(out["node"].tolist(), out["scc"].tolist()))
+    assert got == want, (len(got), len(want))
+    print(f"scc {n_edges} edges / {n_nodes} nodes: "
+          f"sccs={len(set(got.values()))} wall={wall:.1f}s EXACT")
+
+
 if __name__ == "__main__":
     ray.init(address="local", num_cpus=32, include_dashboard=False,
              logging_level="ERROR")
@@ -100,4 +159,6 @@ if __name__ == "__main__":
         stress_snm()
     if "--kcore" in sys.argv or len(sys.argv) == 1:
         stress_kcore()
+    if "--scc" in sys.argv:
+        stress_scc()
     ray.shutdown()
