@@ -1723,6 +1723,12 @@ def sorted_neighborhood_pairs_ds(
     """
     from .relational import global_rank_str, groupby_buckets, schema_anchor
 
+    if window >= group_rows:
+        # ghost rows only replicate the NEXT group's first ``window`` rows
+        # into the previous group — a window spanning two group boundaries
+        # would silently drop candidate pairs, so grow the group instead
+        group_rows = window + 1
+
     ranked = global_rank_str(ds, key_col, id_col, "rnk")
 
     def to_groups(df: pd.DataFrame) -> pd.DataFrame:

@@ -921,8 +921,8 @@ def degree_powerlaw(ids: rd.Dataset, *, id_col: str = "node",
         with np.errstate(divide="ignore", invalid="ignore"):
             slope = np.where(den != 0.0, (n * sxy - sx * sy) / den, np.nan)
             intercept = np.where(n > 0, (sy - slope * sx) / n, np.nan)
-        return pd.DataFrame({"slope": np.round(slope, round_to),
-                             "intercept": np.round(intercept, round_to),
+        return pd.DataFrame({"slope": np.round(slope, round_to) + 0.0,
+                             "intercept": np.round(intercept, round_to) + 0.0,
                              "n_points": n.astype("int64")})
 
     return sums.map_batches(finish, batch_format="pandas")
@@ -1590,6 +1590,7 @@ def kcore(
     def _swap(df: pd.DataFrame) -> pd.DataFrame:
         return df.rename(columns={"u": "v", "v": "u"})[["u", "v"]]
 
+    n_dead = 0
     for rnd in range(max_rounds):
         # one degree count per round; the DEAD set (usually a small
         # fringe after round 1) is the anti-join build side — its
@@ -1612,6 +1613,18 @@ def kcore(
                 .map_batches(_swap, batch_format="pandas"),
                 f"kcore_e{rnd + 1}"),
             uv_tmpl)
+    else:
+        if n_dead > 0:
+            # peel fixpoint not reached: surviving "core" still contains
+            # sub-k-degree nodes.  The SQL twin reproduces the same
+            # truncation so oracle checks stay comparable, but library
+            # callers must not mistake this for a true k-core.
+            import logging
+            logging.getLogger(__name__).warning(
+                "kcore: max_rounds=%d exhausted with %d sub-k nodes still "
+                "peeling — result is NOT a true %d-core; raise max_rounds "
+                "(a path graph needs ~diameter/2 rounds)",
+                max_rounds, n_dead, k)
 
     out = grouped_agg(surv, ["u"], {"deg": ("count", "v")})
     return out.map_batches(

@@ -787,8 +787,10 @@ def zipf_fit(ds: rd.Dataset, *, text_col: str = "text", top: int = 1000,
     den = n * (x * x).sum() - x.sum() ** 2
     slope = (n * (x * y).sum() - x.sum() * y.sum()) / den
     intercept = (y.sum() - slope * x.sum()) / n
-    return pd.DataFrame({"slope": [round(slope, round_to)],
-                         "intercept": [round(intercept, round_to)],
+    # + 0.0 canonicalizes IEEE -0.0 (round() of a tiny negative slope
+    # string-hashes differently from 0.0 in the conformance compare)
+    return pd.DataFrame({"slope": [round(slope, round_to) + 0.0],
+                         "intercept": [round(intercept, round_to) + 0.0],
                          "n_points": pd.Series([n], dtype="int64")})
 
 
@@ -852,8 +854,8 @@ def heaps_law(ds: rd.Dataset, *, id_col: str = "doc_id",
     den = n * (x * x).sum() - x.sum() ** 2
     beta = (n * (x * y).sum() - x.sum() * y.sum()) / den
     lnk = (y.sum() - beta * x.sum()) / n
-    return pd.DataFrame({"beta": [round(beta, round_to)],
-                         "lnk": [round(lnk, round_to)],
+    return pd.DataFrame({"beta": [round(beta, round_to) + 0.0],
+                         "lnk": [round(lnk, round_to) + 0.0],
                          "n_points": pd.Series([n], dtype="int64")})
 
 
