@@ -33,6 +33,8 @@ import xml.etree.ElementTree as ET
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 
@@ -151,16 +153,21 @@ def merge_abstract_fulltext(abstract_xml: str, fulltext_xml: str) -> tuple[str, 
 def merge_abstract_stage(pairs: rd.Dataset) -> rd.Dataset:
     """(doc_id, abstract_xml, fulltext_xml) rows → (doc_id, merged, error)."""
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
+    def fn(t: pa.Table) -> pa.Table:
+        # XML parsing is per-row by nature, but the payload columns enter
+        # zero-copy from the object store and leave as Arrow strings —
+        # no pandas object-column detour around the per-row kernel
         merged, errors = [], []
-        for a, f in zip(df["abstract_xml"], df["fulltext_xml"]):
+        for a, f in zip(t["abstract_xml"].to_pylist(),
+                        t["fulltext_xml"].to_pylist()):
             m, e = merge_abstract_fulltext(a, f)
             merged.append(m)
             errors.append(e)
-        return pd.DataFrame({"doc_id": df["doc_id"], "merged": merged,
-                             "error": errors})
+        return pa.table({"doc_id": t["doc_id"],
+                         "merged": pa.array(merged, pa.string()),
+                         "error": pa.array(errors, pa.string())})
 
-    return pairs.map_batches(fn, batch_format="pandas")
+    return pairs.map_batches(fn, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -236,19 +243,24 @@ def cap_payload_rows(ds: rd.Dataset, payload_col: str, *,
     Adds ``n_payload_bytes`` (size BEFORE the drop) so metrics and the
     missed/error sink can account for what was discarded."""
 
-    def cap(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        vals = out[payload_col]
-        sizes = [0 if v is None or (isinstance(v, float) and pd.isna(v))
-                 else len(v.encode("utf-8")) if isinstance(v, str) else len(v)
-                 for v in vals]
-        over = [s > max_bytes for s in sizes]
-        out["n_payload_bytes"] = pd.Series(sizes, index=out.index, dtype="int64")
-        out[payload_col] = [None if o else v for o, v in zip(over, vals)]
-        out[error_col] = ["payload_too_large" if o else None for o in over]
-        return out
+    def cap(t: pa.Table) -> pa.Table:
+        # vectorized Arrow kernels end-to-end: byte sizes via
+        # binary_length (bytes for string AND binary columns), the cap
+        # via if_else — the payload column is never converted to Python
+        v = t[payload_col]
+        v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        sizes = pc.coalesce(pc.cast(pc.binary_length(v), pa.int64()),
+                            pa.scalar(0, pa.int64()))
+        over = pc.greater(sizes, pa.scalar(max_bytes, pa.int64()))
+        capped = pc.if_else(over, pa.nulls(len(t), v.type), v)
+        err = pc.if_else(over, pa.scalar("payload_too_large", pa.string()),
+                         pa.nulls(len(t), pa.string()))
+        out = t.set_column(t.schema.get_field_index(payload_col),
+                           payload_col, capped)
+        return (out.append_column("n_payload_bytes", sizes)
+                .append_column(error_col, err))
 
-    return ds.map_batches(cap, batch_format="pandas")
+    return ds.map_batches(cap, batch_format="pyarrow")
 
 
 def snapshot_diff(old: rd.Dataset, new: rd.Dataset, key: str,

@@ -92,6 +92,19 @@ class EngineConfig:
     render: bool = False         # S12: browser-render actor fetch path
     seen_filter: str = "bloom"   # "bloom" | "cuckoo" (deletable — recrawl)
     parse_block_rows: int = 512  # split fetched blocks before parse (skew fix)
+    # Pluggable fetch seam (S10-S12 deployment point): any callable
+    # ``(selected: rd.Dataset, cfg: EngineConfig, rnd: int) -> rd.Dataset``
+    # whose output adds the fetch-contract columns (status, attempts, html)
+    # — e.g. ``stages.fetch.fetch_selected_http`` wrapped with a real
+    # transport.  None → the built-in dispatch (render / api_keys / probe).
+    fetcher: object = None
+    # Downloader-middleware hook points (the reference's Scrapy middleware
+    # stack surface, Borges/settings.py:93-104): request middlewares map
+    # over the SELECTION before fetch (drop/rewrite rows), response
+    # middlewares over the fetched rows before parse.  Each entry is a
+    # pandas-batch callable ``df -> df``.
+    request_middlewares: tuple = ()
+    response_middlewares: tuple = ()
 
 
 def _count_rows(path: str) -> int:
@@ -391,7 +404,11 @@ def run_crawl(
         key pool configured, fetch runs on session actors (T2/S13); with
         ``render``, on browser-handle actors (S12) — identical rows,
         bookkeeping columns dropped before parse."""
-        if cfg.render:
+        for mw in cfg.request_middlewares:
+            sel = sel.map_batches(mw, batch_format="pandas")
+        if cfg.fetcher is not None:
+            fetched = cfg.fetcher(sel, cfg, rnd_tag)
+        elif cfg.render:
             from ..stages.fetch import fetch_selected_render
 
             fetched = fetch_selected_render(
@@ -406,6 +423,8 @@ def run_crawl(
         else:
             fetched = fetch_selected(sel, pages_root, cfg.num_buckets,
                                      flaky=cfg.flaky)
+        for mw in cfg.response_middlewares:
+            fetched = fetched.map_batches(mw, batch_format="pandas")
         # The fetch emits ONE block per corpus bucket, so parse parallelism
         # was capped at num_buckets and skewed by the hottest bucket (a
         # single 3k-row block serialized 5+ s of per-page extraction).

@@ -12,10 +12,12 @@ frontier by bucket (tiny shuffle), then each group reads ONLY its bucket's
 files with an ``isin`` filter pushed into the Parquet scan.  The 100 TB
 corpus is never shuffled and never fully scanned per round.
 
-A pluggable real fetcher (actor pool with HTTP session state, the T1/T2
-login/key-rotation analogue) would replace ``fetch_selected`` with
-``map_batches(FetchActor, concurrency=N)``; everything downstream is
-unchanged.
+The fetch stage is PLUGGABLE: ``EngineConfig.fetcher`` selects any
+callable ``(selected, cfg, rnd) -> Dataset`` honoring the fetch contract
+(status/attempts/html) — :class:`HttpFetchSession` below is the actor-pool
+HTTP skeleton (session state in ``__init__``, per-host token bucket) a
+real deployment selects; everything downstream is unchanged.  Request /
+response middleware hooks wrap the stage (``Borges/settings.py:93-104``).
 """
 
 from __future__ import annotations
@@ -105,38 +107,53 @@ def fetch_selected(selected: rd.Dataset, pages_root: str, num_buckets: int,
     error-row-and-continue, SURVEY.md §4 Retries).
     """
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        out[BUCKET_COL] = bucket_of_urls(df["url"], num_buckets)
-        return out
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pa.array(bucket_of_urls(t["url"].to_pylist(), num_buckets),
+                     pa.int32())
+        return t.append_column(BUCKET_COL, b)
 
-    bucketed = selected.map_batches(add_bucket, batch_format="pandas")
+    bucketed = selected.map_batches(add_bucket, batch_format="pyarrow")
 
-    def probe(df: pd.DataFrame) -> pd.DataFrame:
-        b = int(df[BUCKET_COL].iloc[0])
-        path = os.path.join(pages_root, f"{BUCKET_COL}={b}")
-        urls = df["url"].tolist()
+    def probe(t: pa.Table) -> pa.Table:
+        """Arrow end-to-end: the bucket's hits stay an Arrow string column
+        from the Parquet scan through the output block (no Python dict of
+        page payloads), matched back to the frontier order with
+        ``index_in`` + ``take`` — nulls are the 404s."""
+        b = t[BUCKET_COL][0].as_py()
+        path = os.path.join(pages_root, f"{BUCKET_COL}={int(b)}")
+        out = t.drop_columns([BUCKET_COL])
+        urls = out["url"].combine_chunks() if out["url"].num_chunks != 1 \
+            else out["url"].chunk(0)
         if os.path.isdir(path):
             dset = pads.dataset(path, format="parquet")
             hit = dset.to_table(columns=["url", "html"],
                                 filter=pc.field("url").isin(urls))
-            hits = dict(zip(hit["url"].to_pylist(), hit["html"].to_pylist()))
         else:
-            hits = {}
-        out = df.drop(columns=[BUCKET_COL]).copy()
-        statuses = [200 if u in hits else 404 for u in urls]
+            hit = pa.table({"url": pa.array([], pa.string()),
+                            "html": pa.array([], pa.binary())})
+        idx = pc.index_in(urls, value_set=hit["url"].combine_chunks())
+        html = pc.take(hit["html"].combine_chunks(), idx)
+        status = pc.if_else(pc.is_valid(html),
+                            pa.scalar(200, pa.int64()),
+                            pa.scalar(404, pa.int64()))
         if flaky:
-            pairs = [apply_flaky(u, s) for u, s in zip(urls, statuses)]
-            statuses = [p[0] for p in pairs]
-            out["attempts"] = [p[1] for p in pairs]
+            # the retry model hashes each url (T6) — per-row by nature,
+            # but the selection is politeness-bounded so the loop is tiny
+            # relative to the payload column, which never leaves Arrow
+            pairs = [apply_flaky(u, s) for u, s in
+                     zip(urls.to_pylist(), status.to_pylist())]
+            status = pa.array([p[0] for p in pairs], pa.int64())
+            attempts = pa.array([p[1] for p in pairs], pa.int64())
+            html = pc.if_else(pc.equal(status, 200), html,
+                              pa.nulls(len(out), html.type))
         else:
-            out["attempts"] = 1
-        out["html"] = [hits.get(u) if s == 200 else None
-                       for u, s in zip(urls, statuses)]
-        out["status"] = statuses
-        return out
+            attempts = pa.array([1] * len(out), pa.int64())
+        return (out.append_column("attempts", attempts)
+                .append_column("html", html)
+                .append_column("status", status))
 
-    return bucketed.groupby(BUCKET_COL).map_groups(probe, batch_format="pandas")
+    return bucketed.groupby(BUCKET_COL).map_groups(probe,
+                                                   batch_format="pyarrow")
 
 
 class FetchSession:
@@ -380,3 +397,121 @@ def fetch_selected_render(selected: rd.Dataset, pages_root: str,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Pluggable fetcher seam (the "real HTTP" deployment path)
+# ---------------------------------------------------------------------------
+#
+# The engine selects its fetch stage through ``EngineConfig.fetcher`` — any
+# callable ``(selected: rd.Dataset, cfg, rnd: int) -> rd.Dataset`` whose
+# output carries the fetch contract columns ``status`` (int), ``attempts``
+# (int) and ``html`` (string, null on non-200) alongside the selection's
+# passthrough columns.  The in-corpus probe (:func:`fetch_selected`) is the
+# default implementation; :class:`HttpFetchSession` below is the actor-pool
+# HTTP skeleton a real deployment would select (reference:
+# ``Borges/spiders/Elsevier/paper_xml.py:73-76``,
+# ``AIP/aip_spider.py:16-64`` — session bootstrap + per-request GETs).
+
+FETCH_CONTRACT_COLS = ("status", "attempts", "html")
+
+
+class HttpFetchSession:
+    """Actor-pool HTTP fetch SKELETON (T1/T2 deployment seam).
+
+    One actor = one HTTP session: the session/opener is built ONCE in
+    ``__init__`` (the login-bootstrap point — cookies, bearer tokens, the
+    reference's ``aip_spider.py:16-64`` POST) and every batch row is
+    fetched through it, paced by a per-host token bucket.
+
+    No network exists in this sandbox, so the transport is INJECTED: pass
+    ``transport(url) -> (status, body)``.  With ``transport=None`` the
+    actor builds a stdlib ``urllib`` opener and performs real GETs — the
+    production path, exercised here only at the interface level (pytest
+    injects a deterministic transport and asserts pacing + contract).
+
+    Pacing: ``min_interval_ms`` per host on a virtual clock.  Each row's
+    scheduled time is ``max(now, next_allowed[host])``; with
+    ``sleep=True`` the actor really waits (deployment), with ``False`` it
+    only records the schedule in ``sched_ms`` (tests assert the per-host
+    gaps without wall-clock cost).  Selection order within a batch is
+    preserved — politeness already interleaves hosts upstream, so the
+    bucket rarely actually blocks.
+    """
+
+    def __init__(self, transport=None, *, min_interval_ms: int = 1000,
+                 max_attempts: int = MAX_FETCH_ATTEMPTS,
+                 timeout_s: float = 30.0, sleep: bool = False,
+                 headers: tuple = ()):
+        if transport is None:
+            import urllib.request
+            opener = urllib.request.build_opener()
+            opener.addheaders = list(headers) or opener.addheaders
+
+            def transport(url: str) -> tuple[int, str | None]:
+                try:
+                    with opener.open(url, timeout=timeout_s) as r:
+                        return r.status, r.read().decode("utf-8", "replace")
+                except Exception:
+                    return 599, None
+
+        self.transport = transport
+        self.min_interval_ms = int(min_interval_ms)
+        self.max_attempts = int(max_attempts)
+        self.sleep = bool(sleep)
+        self.next_allowed: dict[str, float] = {}
+        self.clock_ms = 0.0
+
+    def _schedule(self, host: str) -> float:
+        t = max(self.clock_ms, self.next_allowed.get(host, 0.0))
+        self.next_allowed[host] = t + self.min_interval_ms
+        self.clock_ms = t
+        return t
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import time as _time
+
+        urls = t["url"].to_pylist()
+        hosts = (t["host"].to_pylist() if "host" in t.column_names
+                 else [u.split("/")[2] if "//" in u else u for u in urls])
+        statuses, attempts, htmls, sched = [], [], [], []
+        for u, h in zip(urls, hosts):
+            at = self._schedule(h)
+            if self.sleep:
+                _time.sleep(self.min_interval_ms / 1000.0)
+            s, body, n = 0, None, 0
+            for n in range(1, self.max_attempts + 1):
+                s, body = self.transport(u)
+                if s == 200 or s == 404:
+                    break
+            statuses.append(int(s))
+            attempts.append(int(n))
+            if s == 200 and body is not None:
+                # html is BINARY engine-wide (the corpus column type)
+                htmls.append(body.encode("utf-8") if isinstance(body, str)
+                             else bytes(body))
+            else:
+                htmls.append(None)
+            sched.append(at)
+        return (t.append_column("attempts", pa.array(attempts, pa.int64()))
+                .append_column("html", pa.array(htmls, pa.binary()))
+                .append_column("status", pa.array(statuses, pa.int64()))
+                .append_column("sched_ms", pa.array(sched, pa.float64())))
+
+
+def fetch_selected_http(selected: rd.Dataset, *, transport=None,
+                        min_interval_ms: int = 1000, sleep: bool = False,
+                        concurrency=(1, 4)) -> rd.Dataset:
+    """HTTP-skeleton fetch path behind the same seam as
+    :func:`fetch_selected` — an actor pool of :class:`HttpFetchSession`.
+    The ``sched_ms`` bookkeeping column is dropped so downstream sees the
+    standard fetch contract."""
+    return selected.map_batches(
+        HttpFetchSession,
+        fn_constructor_kwargs={"transport": transport,
+                               "min_interval_ms": min_interval_ms,
+                               "sleep": sleep},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    ).drop_columns(["sched_ms"])
