@@ -1327,10 +1327,16 @@ def containment_pairs(
     max(cont_a, cont_b) ≥ ``min_containment`` — cont_a = shared/|S(A)|
     (how much of A sits inside B).
     """
-    from .relational import distinct, grouped_agg, groupby_buckets, hash_join
+    from .relational import grouped_agg, groupby_buckets, schema_anchor
 
+    # Two exchanges TOTAL.  featurize already dedups shingles PER DOC (the
+    # per-doc ``seen`` set) and each doc row exists once, so (id, fp) is
+    # globally distinct with no distinct exchange; the per-doc set size is
+    # known at featurize time and RIDES ALONG with every fp row, so the
+    # pair-count reduce carries (n_a, n_b) in its key and the two
+    # size-attach hash joins disappear.
     def featurize(df: pd.DataFrame) -> pd.DataFrame:
-        ids, fps = [], []
+        ids, fps, szs = [], [], []
         for did, text in zip(df[id_col].to_numpy("int64"),
                              df[text_col].fillna("")):
             toks = text.split()
@@ -1338,59 +1344,62 @@ def containment_pairs(
                     for i in range(max(len(toks) - width + 1, 0))}
             ids.append(np.full(len(seen), did, dtype=np.int64))
             fps.append(np.fromiter(seen, dtype=np.uint64, count=len(seen)))
+            szs.append(np.full(len(seen), len(seen), dtype=np.int64))
         if not ids:
             return pd.DataFrame({id_col: pd.Series(dtype="int64"),
-                                 "fp": pd.Series(dtype="uint64")})
+                                 "fp": pd.Series(dtype="uint64"),
+                                 "n": pd.Series(dtype="int64")})
         return pd.DataFrame({id_col: np.concatenate(ids),
-                             "fp": np.concatenate(fps)})
+                             "fp": np.concatenate(fps),
+                             "n": np.concatenate(szs)})
 
-    hf = distinct(docs.map_batches(featurize, batch_format="pandas"),
-                  [id_col, "fp"])
-    sizes = grouped_agg(hf, [id_col], {"n": ("count", "fp")})
+    hf = docs.map_batches(featurize, batch_format="pandas")
 
     def spawn(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                               "id_b": pd.Series(dtype="int64"),
+                              "n_a": pd.Series(dtype="int64"),
+                              "n_b": pd.Series(dtype="int64"),
                               "shared": pd.Series(dtype="int64")})
         if not len(df):
             return empty
         order = np.lexsort((df[id_col].to_numpy(), df["fp"].to_numpy()))
         fps = df["fp"].to_numpy()[order]
         ids = df[id_col].to_numpy()[order]
+        ns = df["n"].to_numpy("int64")[order]
         cut = np.flatnonzero(fps[1:] != fps[:-1]) + 1
         starts = np.concatenate(([0], cut))
         ends = np.concatenate((cut, [len(fps)]))
-        out_a, out_b = [], []
+        out_a, out_b, out_na, out_nb = [], [], [], []
         for s, e in zip(starts, ends):
             m = e - s
             if m < 2 or m > max_fp_docs:
                 continue  # singleton or stop-shingle
             grp = ids[s:e]  # sorted, distinct by construction
+            gn = ns[s:e]
             ia, ib = np.triu_indices(m, k=1)
             out_a.append(grp[ia])
             out_b.append(grp[ib])
+            out_na.append(gn[ia])
+            out_nb.append(gn[ib])
         if not out_a:
             return empty
         pairs = pd.DataFrame({"id_a": np.concatenate(out_a),
-                              "id_b": np.concatenate(out_b)})
-        g = pairs.groupby(["id_a", "id_b"], sort=False).size()
+                              "id_b": np.concatenate(out_b),
+                              "n_a": np.concatenate(out_na),
+                              "n_b": np.concatenate(out_nb)})
+        g = pairs.groupby(["id_a", "id_b", "n_a", "n_b"], sort=False).size()
         return g.rename("shared").reset_index()
 
     partial = groupby_buckets(hf, ["fp"], spawn)
-    from .relational import schema_anchor
     counts = schema_anchor(
-        grouped_agg(partial, ["id_a", "id_b"], {"shared": ("sum", "shared")}),
+        grouped_agg(partial, ["id_a", "id_b", "n_a", "n_b"],
+                    {"shared": ("sum", "shared")}),
         pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                       "id_b": pd.Series(dtype="int64"),
+                      "n_a": pd.Series(dtype="int64"),
+                      "n_b": pd.Series(dtype="int64"),
                       "shared": pd.Series(dtype="int64")}))
-
-    sz_a = sizes.map_batches(
-        lambda df: pd.DataFrame({"id_a": df[id_col], "n_a": df["n"]}),
-        batch_format="pandas")
-    sz_b = sizes.map_batches(
-        lambda df: pd.DataFrame({"id_b": df[id_col], "n_b": df["n"]}),
-        batch_format="pandas")
-    j = hash_join(hash_join(counts, sz_a, on=["id_a"]), sz_b, on=["id_b"])
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         sh = df["shared"].to_numpy("int64")
@@ -1402,7 +1411,7 @@ def containment_pairs(
             "id_b": df["id_b"].to_numpy("int64")[keep],
             "shared": sh[keep], "cont_a": ca[keep], "cont_b": cb[keep]})
 
-    return j.map_batches(finish, batch_format="pandas")
+    return counts.map_batches(finish, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -571,9 +571,9 @@ def triangle_counts(
 
     Returns ``(node int64, n_triangles int64)`` for nodes in ≥1 triangle.
     """
-    from .relational import (distinct, grouped_agg, groupby_buckets,
-                             hash_join, run_pair_indices, schema_anchor,
-                             spill_point)
+    from .relational import (BROADCAST_MAX_ROWS as _BCAST_MAX, distinct,
+                             grouped_agg, groupby_buckets, hash_join,
+                             run_pair_indices, schema_anchor, spill_point)
 
     def undirect(df: pd.DataFrame) -> pd.DataFrame:
         a = df[src_col].to_numpy("int64")
@@ -582,10 +582,22 @@ def triangle_counts(
         a, b = a[keep], b[keep]
         return pd.DataFrame({"u": np.minimum(a, b), "v": np.maximum(a, b)})
 
+    raw = None
     if undirected:
         # caller guarantees a distinct non-loop (u, v) edge set, already
         # pinned — skip the re-scan and the distinct exchange
         und = edges
+    elif deg_ds is None:
+        # defer the distinct: the broadcast-orient path below dedups LATE
+        # (inside the wedge bucket + the driver closing set), so the
+        # multigraph never pays an edge-sized distinct exchange.  Degrees
+        # counted over the multigraph still give a valid deterministic
+        # total order for orientation (the Suri-Vassilvitskii bound is a
+        # balance heuristic, not a correctness condition).  ``raw`` stays
+        # LAZY — its two consumers re-run a cheap pruned read + numpy map
+        # rather than paying a spill.
+        raw = edges.map_batches(undirect, batch_format="pandas")
+        und = None
     else:
         und = spill_point(distinct(
             edges.map_batches(undirect, batch_format="pandas"), ["u", "v"]),
@@ -621,7 +633,55 @@ def triangle_counts(
 
         oriented = spill_point(
             withdeg.map_batches(orient, batch_format="pandas"), "tri_or")
+    elif (_rng := raw.map_batches(
+            lambda df: pd.DataFrame(
+                {"lo": [np.int64(min(df["u"].min(), df["v"].min()))],
+                 "hi": [np.int64(max(df["u"].max(), df["v"].max()))]})
+            if len(df) else
+            pd.DataFrame({"lo": pd.Series(dtype="int64"),
+                          "hi": pd.Series(dtype="int64")}),
+            batch_format="pandas").to_pandas()) is not None \
+            and len(_rng) \
+            and int(_rng["hi"].max()) - int(_rng["lo"].min()) < _BCAST_MAX:
+        # broadcast-orient path, guarded by the node-ID RANGE (an upper
+        # bound on node count readable from one cheap min/max pass — no
+        # count job, no spilled degree table): the degree table is
+        # node-sized and combiner-bounded (per-block partial counts → one
+        # tiny merge), so put it ONCE as two sorted arrays and orient
+        # every edge map-side — no edge-sized exchange at all.  Past the
+        # guard the fused tagged-exchange path handles the 10^8+-node
+        # case (sparse-but-small-id corpora fall back conservatively).
+        import ray as _ray
+
+        deg_pd = grouped_agg(
+            raw.map_batches(
+                lambda df: pd.DataFrame({"node": np.concatenate(
+                    [df["u"].to_numpy("int64"),
+                     df["v"].to_numpy("int64")])}),
+                batch_format="pandas"),
+            ["node"], {"deg": ("count", "node")}).to_pandas() \
+            .sort_values("node")
+        ref_deg = _ray.put((deg_pd["node"].to_numpy("int64"),
+                            deg_pd["deg"].to_numpy("int64")))
+
+        def orient_bcast(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({c: pd.Series(dtype="int64")
+                                     for c in ("a", "b", "deg_b")})
+            keys, vals = _ray.get(ref_deg)
+            u = df["u"].to_numpy("int64")
+            v = df["v"].to_numpy("int64")
+            return orient_arrays(u, v, vals[np.searchsorted(keys, u)],
+                                 vals[np.searchsorted(keys, v)])
+
+        oriented = spill_point(
+            raw.map_batches(orient_bcast, batch_format="pandas"), "tri_or")
+        dedup_late = True
     else:
+        if raw is not None:
+            # node table too big to broadcast: fall back to the fused
+            # exchanges, which REQUIRE a distinct edge set
+            und = spill_point(distinct(raw, ["u", "v"]), "tri_und")
         # fused path, two exchanges instead of degree-agg + two joins:
         # ONE node-keyed exchange counts each endpoint's degree in-bucket
         # and re-emits the edge tagged with that endpoint's degree; ONE
@@ -677,6 +737,8 @@ def triangle_counts(
         oriented = spill_point(
             groupby_buckets(tagged, ["u", "v"], merge_orient), "tri_or")
 
+    dedup_late = locals().get("dedup_late", False)
+
     # packed fast path: when node ids fit in 31 bits, the wedge pair
     # (x, y) travels as ONE int64 and the closing probe joins on a
     # single key — fewer wire bytes and a single-column bucket merge.
@@ -719,6 +781,73 @@ def triangle_counts(
         if packable:
             return pd.DataFrame({"xy": x * PACK + y, "center": c})
         return pd.DataFrame({"x": x, "y": y, "center": c})
+
+    n_edges_or = int(oriented.count()) if packable else 0
+    if dedup_late and not (packable and n_edges_or <= _BCAST_MAX):
+        # the join paths below require distinct oriented edges
+        oriented = spill_point(
+            distinct(oriented, ["a", "b", "deg_b"]), "tri_or_d")
+    if packable and n_edges_or <= _BCAST_MAX:
+        # broadcast closing probe: the oriented edge set packs to ONE
+        # sorted int64 array (8 B/edge — ~5 MB at 600k edges), put ONCE;
+        # each wedge task spawns, closes (searchsorted membership) and
+        # pre-counts corners IN PLACE, so the O(Σ outdeg²) wedge pairs
+        # never cross the wire at all.  Past the guard the pair-shuffle
+        # hash-join path below takes over (the 100 TB shape).
+        import ray as _ray
+
+        closing_xy = np.unique(oriented.map_batches(
+            lambda df: pd.DataFrame(
+                {"xy": df["a"].to_numpy("int64") * PACK
+                       + df["b"].to_numpy("int64")}),
+            batch_format="pandas").to_pandas()["xy"].to_numpy("int64"))
+        ref = _ray.put(closing_xy)
+
+        def wedges_closed(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                  "n_partial": pd.Series(dtype="int64")})
+            if not len(df):
+                return empty
+            order = np.lexsort((df["b"].to_numpy(), df["deg_b"].to_numpy(),
+                                df["a"].to_numpy()))
+            a = df["a"].to_numpy("int64")[order]
+            b = df["b"].to_numpy("int64")[order]
+            if dedup_late and len(a) > 1:
+                # multigraph edges sort adjacent — drop exact repeats so
+                # each undirected edge spawns wedges exactly once
+                keep = np.concatenate(
+                    ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+                a, b = a[keep], b[keep]
+            cut = np.flatnonzero(a[1:] != a[:-1]) + 1
+            starts = np.concatenate(([0], cut))
+            ends_ = np.concatenate((cut, [len(a)]))
+            fst, snd = run_pair_indices(ends_ - starts)
+            if not len(fst):
+                return empty
+            x, y, c = b[fst], b[snd], a[fst]
+            cs = _ray.get(ref)
+            xy = x * PACK + y
+            pos = np.searchsorted(cs, xy)
+            pos_c = np.minimum(pos, len(cs) - 1)
+            m = (pos < len(cs)) & (cs[pos_c] == xy)
+            if not m.any():
+                return empty
+            uq, cnt = np.unique(
+                np.concatenate([x[m], y[m], c[m]]), return_counts=True)
+            return pd.DataFrame({"node": uq.astype("int64"),
+                                 "n_partial": cnt.astype("int64")})
+
+        partials = schema_anchor(
+            groupby_buckets(oriented, ["a"], wedges_closed),
+            pd.DataFrame({"node": pd.Series(dtype="int64"),
+                          "n_partial": pd.Series(dtype="int64")}))
+        out = grouped_agg(partials, ["node"],
+                          {"n_triangles": ("sum", "n_partial")})
+        return out.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["node"].astype("int64"),
+                 "n_triangles": df["n_triangles"].astype("int64")}),
+            batch_format="pandas")
 
     if packable:
         wset = schema_anchor(
