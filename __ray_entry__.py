@@ -3538,11 +3538,92 @@ def _q_scc(sf_dir: str):
     return out.sort_values("node", ignore_index=True)
 
 
+
+_INGEST_Q_SEED, _INGEST_Q_PAGES, _INGEST_Q_SHARDS = 17, 800, 4
+
+
+def _ingest_q_src_dir() -> str:
+    """Deterministic synthetic pages corpus for the ``bulk_ingest_resumable``
+    twins, written ONCE to a fixed /tmp dir as 8 parquet files (so the
+    shard grouping is meaningful).  Both twins read the same files: the Ray
+    side featurizes ``html``; the SQL side recomputes the projection from
+    the GOLDEN columns (``text`` is exactly ``extract_text(html)`` and
+    ``lang`` the tagger output — borges_ray.synth's generator contract).
+    Cache key covers the generating code so edits invalidate it."""
+    import hashlib
+    import tempfile
+
+    from borges_ray import synth as _synth
+
+    h = hashlib.blake2b(digest_size=6)
+    with open(_synth.__file__, "rb") as fp:
+        h.update(fp.read())
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"borges_ingest_src_{_INGEST_Q_SEED}_{_INGEST_Q_PAGES}"
+        f"_{h.hexdigest()}")
+    if os.path.isdir(d) and len(os.listdir(d)) == 8:
+        return d
+    import pyarrow.parquet as _pq
+
+    from borges_ray.synth import synth_pages
+
+    pages = synth_pages(_INGEST_Q_SEED, _INGEST_Q_PAGES)
+    tmp = d + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    n = pages.num_rows
+    step = (n + 7) // 8
+    for k in range(8):
+        _pq.write_table(pages.slice(k * step, step),
+                        os.path.join(tmp, f"part-{k}.parquet"))
+    if os.path.isdir(d):
+        import shutil
+        shutil.rmtree(d)
+    os.replace(tmp, d)
+    return d
+
+
+def _q_bulk_ingest_resumable(sf_dir: str):
+    """Shard-resumable bulk ingest driven through a KILL + RESUME cycle:
+    run to completion, unseal one shard (delete its marker + output — the
+    crash model), rerun, and assert the rerun skipped every sealed shard.
+    Returns the SQL-comparable projection of the final features (url,
+    lang, whitespace-token count, payload bytes); the oracle recomputes it
+    from the synth corpus's golden columns, so a resume that dropped or
+    duplicated shard rows hash-mismatches."""
+    import shutil
+    import tempfile
+
+    from borges_ray.pipelines.ingest import bulk_ingest_resumable
+
+    src = _ingest_q_src_dir()
+    out = tempfile.mkdtemp(prefix="borges_q_ingest_")
+    bulk_ingest_resumable(src, out, dedup=False,
+                          num_shards=_INGEST_Q_SHARDS)
+    feat = os.path.join(out, "features")
+    # crash model: shard 2 lost its seal and (partially) its output
+    os.remove(os.path.join(feat, "_SHARD_DONE_2"))
+    shutil.rmtree(os.path.join(feat, "shard=2"), ignore_errors=True)
+    r2 = bulk_ingest_resumable(src, out, dedup=False,
+                               num_shards=_INGEST_Q_SHARDS)
+    assert r2["shards_skipped"] == _INGEST_Q_SHARDS - 1, r2
+    import ray.data as rd
+
+    files = sorted(
+        os.path.join(dp, f) for dp, _dn, fs in os.walk(feat)
+        for f in fs if f.endswith(".parquet"))
+    return (rd.read_parquet(files,
+                            columns=["url", "lang", "n_ws_tokens",
+                                     "n_html_bytes"])
+            .to_pandas().sort_values("url", ignore_index=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
 
         # --- never driver-sampled first: the correctness gate reads
         # --- the registry in order, so rotate coverage onto these
+        "bulk_ingest_resumable": _q_bulk_ingest_resumable,
         "exact_substr": _q_exact_substr,
         "epoch_shuffle": _q_epoch_shuffle,
         "anchor_text": _q_anchor_text,
@@ -3972,6 +4053,16 @@ def oracle_sql() -> dict[str, str]:
         # SQL reads it so the driver gates rows+schema+hash like any query
         "crawl_pipeline": (
             f"SELECT * FROM read_parquet('{_crawl_oracle_parquet()}')"),
+        "bulk_ingest_resumable": f"""
+            SELECT url, lang,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(list_filter(
+                               regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '')) END AS BIGINT) AS n_ws_tokens,
+                   CAST(octet_length(html) AS BIGINT) AS n_html_bytes
+            FROM read_parquet('{_ingest_q_src_dir()}/*.parquet')
+            ORDER BY url
+        """,
         "redirect_resolve": r"""
             WITH RECURSIVE edges AS (
               SELECT doc_id AS src,
