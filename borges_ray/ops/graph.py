@@ -616,23 +616,48 @@ def triangle_counts(
 
     if deg_ds is not None:
         # caller supplies the (node, deg) table of ``und`` (already
-        # pinned) — attach via two hash joins
-        du = deg_ds.map_batches(
-            lambda df: pd.DataFrame({"u": df["node"], "deg_u": df["deg"]}),
-            batch_format="pandas")
-        dv = deg_ds.map_batches(
-            lambda df: pd.DataFrame({"v": df["node"], "deg_v": df["deg"]}),
-            batch_format="pandas")
-        withdeg = hash_join(hash_join(und, du, on=["u"]), dv, on=["v"])
+        # pinned).  Node-sized and usually broadcastable: put it once as
+        # two sorted arrays and orient map-side; past the guard, attach
+        # via two hash joins.
+        n_nodes_d = int(deg_ds.count())
+        if n_nodes_d <= _BCAST_MAX:
+            import ray as _ray
 
-        def orient(df: pd.DataFrame) -> pd.DataFrame:
-            return orient_arrays(df["u"].to_numpy("int64"),
-                                 df["v"].to_numpy("int64"),
-                                 df["deg_u"].to_numpy("int64"),
-                                 df["deg_v"].to_numpy("int64"))
+            dpd = deg_ds.to_pandas().sort_values("node")
+            ref_d = _ray.put((dpd["node"].to_numpy("int64"),
+                              dpd["deg"].to_numpy("int64")))
 
-        oriented = spill_point(
-            withdeg.map_batches(orient, batch_format="pandas"), "tri_or")
+            def orient_b(df: pd.DataFrame) -> pd.DataFrame:
+                if not len(df):
+                    return pd.DataFrame({c: pd.Series(dtype="int64")
+                                         for c in ("a", "b", "deg_b")})
+                keys, vals = _ray.get(ref_d)
+                u = df["u"].to_numpy("int64")
+                v = df["v"].to_numpy("int64")
+                return orient_arrays(u, v, vals[np.searchsorted(keys, u)],
+                                     vals[np.searchsorted(keys, v)])
+
+            oriented = spill_point(
+                und.map_batches(orient_b, batch_format="pandas"), "tri_or")
+        else:
+            du = deg_ds.map_batches(
+                lambda df: pd.DataFrame({"u": df["node"],
+                                         "deg_u": df["deg"]}),
+                batch_format="pandas")
+            dv = deg_ds.map_batches(
+                lambda df: pd.DataFrame({"v": df["node"],
+                                         "deg_v": df["deg"]}),
+                batch_format="pandas")
+            withdeg = hash_join(hash_join(und, du, on=["u"]), dv, on=["v"])
+
+            def orient(df: pd.DataFrame) -> pd.DataFrame:
+                return orient_arrays(df["u"].to_numpy("int64"),
+                                     df["v"].to_numpy("int64"),
+                                     df["deg_u"].to_numpy("int64"),
+                                     df["deg_v"].to_numpy("int64"))
+
+            oriented = spill_point(
+                withdeg.map_batches(orient, batch_format="pandas"), "tri_or")
     elif (_rng := raw.map_batches(
             lambda df: pd.DataFrame(
                 {"lo": [np.int64(min(df["u"].min(), df["v"].min()))],
