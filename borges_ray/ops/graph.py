@@ -1091,53 +1091,44 @@ def reciprocity(edges: rd.Dataset, *, src_col: str = "src",
     near-symmetric subgraphs (the same intuition as Bharat-Broder mirror
     detection, but purely structural).
 
-    Keys-only end-to-end: distinct edges (combiner + one bucketed
-    exchange), reversed copy, one semi-join co-locating each edge with
-    its reverse (``hash_semi_join``: build side reduced to distinct keys
-    before the shuffle), then per-batch (n_edges, n_recip) partials
-    reduce through a single-key exchange of two scalars per block.
+    ONE keys-only exchange end-to-end: every raw edge maps to its
+    UNDIRECTED key plus a direction bit ``(lo, hi, dir)`` with per-block
+    dedup; a single bucketed exchange co-locates each unordered pair,
+    where the number of distinct direction bits (1 or 2) yields both the
+    distinct-directed-edge count and the reciprocal count in place —
+    the distinct exchange, the reversed copy and the semi-join of the
+    naive plan all collapse into this one shuffle, and only two scalars
+    per bucket block reduce through the final single-key exchange.
 
     Returns one row ``(n_edges, n_recip, reciprocity)``; an empty edge
     set yields ``(0, 0, NaN)`` (SQL's NULL ratio).
     """
-    from .relational import distinct, grouped_agg, hash_semi_join, spill_point
+    from .relational import grouped_agg, groupby_buckets
 
     def clean(df: pd.DataFrame) -> pd.DataFrame:
-        keep = df[src_col].to_numpy() != df[dst_col].to_numpy()
-        return pd.DataFrame({"src": df[src_col].to_numpy("int64")[keep],
-                             "dst": df[dst_col].to_numpy("int64")[keep]})
+        u = df[src_col].to_numpy("int64")
+        v = df[dst_col].to_numpy("int64")
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pd.DataFrame({"lo": np.minimum(u, v),
+                             "hi": np.maximum(u, v),
+                             "d": (u > v).astype(np.int8)}).drop_duplicates()
 
-    from .relational import schema_anchor
+    tagged = edges.map_batches(clean, batch_format="pandas")
 
-    # spill: e is consumed three times (probe side, reversed build side,
-    # edge tally) — without the pin the distinct exchange runs three times.
-    # anchor: a loop-only input leaves distinct with zero rows, whose
-    # exchange emits a schema-less dataset that breaks hash_semi_join.
-    e = schema_anchor(
-        spill_point(distinct(edges.map_batches(clean, batch_format="pandas"),
-                             ["src", "dst"]), "recip_e"),
-        pd.DataFrame({"src": pd.Series(dtype="int64"),
-                      "dst": pd.Series(dtype="int64")}))
-    rev = e.map_batches(
-        lambda df: pd.DataFrame({"src": df["dst"], "dst": df["src"]}),
-        batch_format="pandas")
-    recip = hash_semi_join(e, rev, on=["src", "dst"])
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"__k": pd.Series(dtype="int64"),
+                              "n_edges": pd.Series(dtype="int64"),
+                              "n_recip": pd.Series(dtype="int64")})
+        if not len(df):
+            return empty
+        g = df.drop_duplicates()  # cross-block dupes are co-located here
+        nd = g.groupby(["lo", "hi"], sort=False)["d"].nunique()
+        return pd.DataFrame({"__k": [np.int64(0)],
+                             "n_edges": [np.int64(nd.sum())],
+                             "n_recip": [np.int64(2 * (nd == 2).sum())]})
 
-    def tally(which: str):
-        def part(df: pd.DataFrame) -> pd.DataFrame:
-            if not len(df):
-                return pd.DataFrame({"__k": pd.Series(dtype="int64"),
-                                     "n_edges": pd.Series(dtype="int64"),
-                                     "n_recip": pd.Series(dtype="int64")})
-            n = len(df)
-            return pd.DataFrame({
-                "__k": np.int64(0),
-                "n_edges": [n if which == "e" else 0],
-                "n_recip": [n if which == "r" else 0]})
-        return part
-
-    parts = (e.map_batches(tally("e"), batch_format="pandas")
-             .union(recip.map_batches(tally("r"), batch_format="pandas")))
+    parts = groupby_buckets(tagged, ["lo", "hi"], part)
     # zero-row anchor: an empty graph still yields the (0, 0, NaN) row
     anchor = pd.DataFrame({"__k": [np.int64(0)], "n_edges": [np.int64(0)],
                            "n_recip": [np.int64(0)]})
