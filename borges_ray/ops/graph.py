@@ -936,8 +936,10 @@ def mirror_hosts(
     fingerprints page content (e.g. token-window hashes).  Pipeline, all
     keys-only exchanges (host string + u64 fp):
 
-    1. DISTINCT (host, fp) — per-host content set.
-    2. per-host set sizes via combiner-bounded ``grouped_agg``.
+    1. per-block pre-dedup of (host, fp); the cross-block residue drops
+       inside each bucketed consumer (no standalone distinct exchange —
+       both exchanges below co-locate duplicates by construction).
+    2. per-host distinct-fp sizes via a host-bucketed grouped map.
     3. bucketed groupby on fp spawns host PAIRS per shared fingerprint —
        one lexsort + run-length segments per bucket block (the MinHash
        band-spawn shape).  Fingerprints on more than ``max_fp_hosts``
@@ -947,16 +949,36 @@ def mirror_hosts(
        stop-list rule, applied identically in the SQL twin.
     4. pair counts sum through one combiner-bounded shuffle; pairs
        under ``min_shared`` drop.
-    5. two hash-joins attach set sizes; Jaccard = shared/(|A|+|B|-shared).
+    5. set sizes attach via a size-guarded BROADCAST of the host table
+       (24 B/host, ray.put once) — or two hash-joins past the guard;
+       Jaccard = shared/(|A|+|B|-shared).
 
     Returns ``(host_a, host_b, shared int64, jaccard float)`` with
-    host_a < host_b.  No driver state at any step — at web scale hosts
-    number 10^8+, so even the size table stays a Dataset.
+    host_a < host_b.  No driver state at any step past the broadcast
+    guard — at 10^8+ hosts the size table stays a Dataset.
     """
-    from .relational import distinct, grouped_agg, groupby_buckets, hash_join
+    from .relational import (BROADCAST_MAX_ROWS, grouped_agg,
+                             groupby_buckets, hash_join, spill_point)
 
-    hf = distinct(pages, [host_col, fp_col])
-    sizes = grouped_agg(hf, [host_col], {"n": ("count", fp_col)})
+    # per-block pre-dedup only — BOTH downstream consumers key their
+    # bucketed exchange by a superset-colocating key (host for sizes, fp
+    # for the pair spawn), so cross-block duplicates land in one block
+    # and drop there: the standalone distinct exchange disappears
+    pre = spill_point(
+        pages.map_batches(
+            lambda df: df[[host_col, fp_col]].drop_duplicates(),
+            batch_format="pandas"), "mh_pre")
+
+    def host_sizes(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({host_col: pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        g = (df.drop_duplicates().groupby(host_col, sort=False)[fp_col]
+             .nunique().astype("int64"))
+        return g.rename("n").reset_index()
+
+    sizes = spill_point(groupby_buckets(pre, [host_col], host_sizes),
+                        "mh_sz")
 
     def spawn(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"host_a": pd.Series(dtype="object"),
@@ -964,6 +986,7 @@ def mirror_hosts(
                               "shared": pd.Series(dtype="int64")})
         if not len(df):
             return empty
+        df = df.drop_duplicates()  # cross-block dups co-located by fp
         order = np.lexsort((df[host_col].to_numpy(),
                             df[fp_col].to_numpy()))
         fps = df[fp_col].to_numpy()[order]
@@ -987,7 +1010,7 @@ def mirror_hosts(
         g = pairs.groupby(["host_a", "host_b"], sort=False).size()
         return g.rename("shared").reset_index()
 
-    partial = groupby_buckets(hf, [fp_col], spawn)
+    partial = groupby_buckets(pre, [fp_col], spawn)
     from .relational import schema_anchor
     counts = schema_anchor(
         grouped_agg(partial, ["host_a", "host_b"],
@@ -998,6 +1021,35 @@ def mirror_hosts(
     counts = counts.map_batches(
         lambda df: df[df["shared"] >= min_shared],
         batch_format="pandas")
+
+    n_hosts = int(sizes.count())
+    if n_hosts <= BROADCAST_MAX_ROWS:
+        # the host-size table broadcasts (24 B/host): attach both sides
+        # map-side instead of two shuffle joins.  Past the guard (10^8+
+        # hosts) the join path below keeps everything distributed.
+        import ray as _ray
+
+        szpd = sizes.to_pandas()
+        ref_sz = _ray.put(dict(zip(szpd[host_col], szpd["n"].astype(int))))
+
+        def finish_b(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({
+                    "host_a": pd.Series(dtype="object"),
+                    "host_b": pd.Series(dtype="object"),
+                    "shared": pd.Series(dtype="int64"),
+                    "jaccard": pd.Series(dtype="float64")})
+            lut = _ray.get(ref_sz)
+            sh = df["shared"].to_numpy("int64")
+            na = df["host_a"].map(lut).to_numpy("int64")
+            nb = df["host_b"].map(lut).to_numpy("int64")
+            un = na + nb - sh
+            return pd.DataFrame({
+                "host_a": df["host_a"], "host_b": df["host_b"],
+                "shared": sh,
+                "jaccard": np.round(sh / un.astype("float64"), round_to)})
+
+        return counts.map_batches(finish_b, batch_format="pandas")
 
     sz_a = sizes.map_batches(
         lambda df: pd.DataFrame({"host_a": df[host_col], "n_a": df["n"]}),
