@@ -150,6 +150,50 @@ def stress_scc() -> None:
           f"sccs={len(set(got.values()))} wall={wall:.1f}s EXACT")
 
 
+def stress_triangles() -> None:
+    """triangle_counts at ~8M edges / 6M nodes with a CLOSED-FORM ground
+    truth, sized past BOTH broadcast guards (node range > BROADCAST_MAX_ROWS
+    and closing-edge count > BROADCAST_MAX_ROWS) so the fused
+    tagged-exchange orientation AND the packed hash-join closing probe —
+    the 100 TB fallback paths — are the ones under test.
+
+    Graph: 1M disjoint K4 cliques (every member is in exactly 3
+    triangles) + 2M random bipartite noise edges over 2M fresh nodes
+    (bipartite => triangle-free, and the parts are disjoint from the
+    cliques so no accidental triangle can form)."""
+    from borges_ray.ops.graph import triangle_counts
+
+    rng = np.random.default_rng(23)
+    n_cliques = 1_000_000
+    base = np.arange(n_cliques, dtype=np.int64) * 4
+    src, dst = [], []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            src.append(base + i)
+            dst.append(base + j)
+    n_clique_nodes = n_cliques * 4
+    nL = nR = 1_000_000
+    n_noise = 2_000_000
+    L0 = n_clique_nodes
+    R0 = n_clique_nodes + nL
+    src.append(L0 + rng.integers(0, nL, n_noise))
+    dst.append(R0 + rng.integers(0, nR, n_noise))
+    df = pd.DataFrame({"src": np.concatenate(src),
+                       "dst": np.concatenate(dst)})
+    n_edges = len(df)
+
+    t0 = time.time()
+    out = triangle_counts(rd.from_pandas(df).repartition(64)).to_pandas()
+    wall = time.time() - t0
+
+    assert len(out) == n_clique_nodes, (len(out), n_clique_nodes)
+    assert (out["n_triangles"].to_numpy("int64") == 3).all()
+    assert out["node"].min() >= 0 and out["node"].max() < n_clique_nodes
+    assert out["node"].nunique() == n_clique_nodes
+    print(f"triangles {n_edges} edges / {n_clique_nodes + nL + nR} nodes: "
+          f"core={len(out)} wall={wall:.1f}s EXACT (fallback paths)")
+
+
 if __name__ == "__main__":
     ray.init(address="local", num_cpus=32, include_dashboard=False,
              logging_level="ERROR")
@@ -161,4 +205,6 @@ if __name__ == "__main__":
         stress_kcore()
     if "--scc" in sys.argv:
         stress_scc()
+    if "--triangles" in sys.argv:
+        stress_triangles()
     ray.shutdown()
