@@ -1884,7 +1884,15 @@ def _q_graph_components(sf_dir: str):
         lambda df: df.loc[df["l_linenumber"] == 1, ["l_orderkey"]]
         .rename(columns={"l_orderkey": "o_orderkey"}),
         batch_format="pandas")
-    hooked = hash_join(first, orders, on=["o_orderkey"])
+    # orders is the dimension side (16 B/row): broadcast under the guard,
+    # shuffle-join past it
+    from borges_ray.ops.relational import BROADCAST_MAX_ROWS, broadcast_join
+
+    if int(orders.count()) <= BROADCAST_MAX_ROWS:
+        hooked = broadcast_join(first, orders.to_pandas(),
+                                on=["o_orderkey"])
+    else:
+        hooked = hash_join(first, orders, on=["o_orderkey"])
     hooks = hooked.map_batches(
         lambda df: pd.DataFrame({
             "id_a": -df["o_custkey"].to_numpy("int64"),

@@ -1301,14 +1301,38 @@ def degree_assortativity(edges: rd.Dataset, *, src_col: str = "src",
             {"node": np.concatenate([df["u"].to_numpy("int64"),
                                      df["v"].to_numpy("int64")])}),
         batch_format="pandas")
-    deg = grouped_agg(ends, ["node"], {"deg": ("count", "node")})
-    du = deg.map_batches(
-        lambda df: pd.DataFrame({"u": df["node"], "deg_u": df["deg"]}),
-        batch_format="pandas")
-    dv = deg.map_batches(
-        lambda df: pd.DataFrame({"v": df["node"], "deg_v": df["deg"]}),
-        batch_format="pandas")
-    withdeg = hash_join(hash_join(und, du, on=["u"]), dv, on=["v"])
+    deg = spill_point(
+        grouped_agg(ends, ["node"], {"deg": ("count", "node")}), "asrt_deg")
+    from .relational import BROADCAST_MAX_ROWS as _AS_BCAST
+    if int(deg.count()) <= _AS_BCAST:
+        # node-sized degree table: put once as two sorted arrays and
+        # attach both endpoints map-side — no edge-sized join exchanges
+        import ray as _ray
+
+        dpd = deg.to_pandas().sort_values("node")
+        ref_d = _ray.put((dpd["node"].to_numpy("int64"),
+                          dpd["deg"].to_numpy("int64")))
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({c: pd.Series(dtype="int64")
+                                     for c in ("u", "v", "deg_u", "deg_v")})
+            k, dv_ = _ray.get(ref_d)
+            u = df["u"].to_numpy("int64")
+            v = df["v"].to_numpy("int64")
+            return pd.DataFrame({"u": u, "v": v,
+                                 "deg_u": dv_[np.searchsorted(k, u)],
+                                 "deg_v": dv_[np.searchsorted(k, v)]})
+
+        withdeg = und.map_batches(attach, batch_format="pandas")
+    else:
+        du = deg.map_batches(
+            lambda df: pd.DataFrame({"u": df["node"], "deg_u": df["deg"]}),
+            batch_format="pandas")
+        dv = deg.map_batches(
+            lambda df: pd.DataFrame({"v": df["node"], "deg_v": df["deg"]}),
+            batch_format="pandas")
+        withdeg = hash_join(hash_join(und, du, on=["u"]), dv, on=["v"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         cols = ("pn", "sx", "sxx", "sxy")
@@ -1407,6 +1431,102 @@ def adamic_adar(edges: rd.Dataset, *, src_col: str = "src",
             "nbr": np.concatenate(
             [df["v"].to_numpy("int64"), df["u"].to_numpy("int64")])}),
         batch_format="pandas")
+
+    # broadcast fast path (both guards node/edge-sized): center weights
+    # attach via searchsorted instead of a shuffle join, and the packed
+    # edge set rides into the SPAWN task so already-linked pairs drop
+    # BEFORE the pair exchange — the anti-join stage disappears and the
+    # quadratic pair stream shrinks at its source.  Requires node ids in
+    # 31 bits for the x*2^32+y pack; falls back to the shuffle shape.
+    from .relational import BROADCAST_MAX_ROWS as _AA_BCAST
+    ctr_pd = None
+    rng_df = und.map_batches(
+        lambda df: pd.DataFrame(
+            {"lo": [np.int64(df["u"].min())] if len(df) else
+             pd.Series(dtype="int64"),
+             "hi": [np.int64(df["v"].max())] if len(df) else
+             pd.Series(dtype="int64")}),
+        batch_format="pandas").to_pandas()
+    packable_aa = (len(rng_df) and int(rng_df["lo"].min()) >= 0
+                   and int(rng_df["hi"].max()) < (1 << 31))
+    if packable_aa and int(und.count()) <= _AA_BCAST:
+        ctr_pd = ctr.to_pandas().sort_values("center")
+    if ctr_pd is not None and len(ctr_pd) <= _AA_BCAST:
+        import ray as _ray
+
+        PK = np.int64(1) << np.int64(32)
+        und_pd = und.to_pandas()
+        edge_pk = np.sort(und_pd["u"].to_numpy("int64") * PK
+                          + und_pd["v"].to_numpy("int64"))
+        ref_aa = _ray.put((ctr_pd["center"].to_numpy("int64"),
+                           ctr_pd["w"].to_numpy(np.float64), edge_pk))
+
+        def pairs_b(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"x": pd.Series(dtype="int64"),
+                                  "y": pd.Series(dtype="int64"),
+                                  "w": pd.Series(dtype="float64")})
+            if not len(df):
+                return empty
+            ck, cw, epk = _ray.get(ref_aa)
+            c0 = df["center"].to_numpy("int64")
+            pos = np.searchsorted(ck, c0)
+            pos_c = np.minimum(pos, max(len(ck) - 1, 0))
+            elig = (len(ck) > 0) & (pos < len(ck)) & (ck[pos_c] == c0)
+            if not elig.any():
+                return empty
+            sub = df.loc[elig]
+            order = np.lexsort((sub["nbr"].to_numpy(),
+                                sub["center"].to_numpy()))
+            c = sub["center"].to_numpy("int64")[order]
+            nb = sub["nbr"].to_numpy("int64")[order]
+            w = cw[np.searchsorted(ck, c)]
+            cut = np.flatnonzero(c[1:] != c[:-1]) + 1
+            starts = np.concatenate(([0], cut))
+            stops = np.concatenate((cut, [len(c)]))
+            xs, ys, ws = [], [], []
+            for s, e in zip(starts, stops):
+                m = e - s
+                if m < 2:
+                    continue
+                n_ = nb[s:e]      # sorted: x < y comes out of triu free
+                ia, ib = np.triu_indices(m, k=1)
+                xs.append(n_[ia])
+                ys.append(n_[ib])
+                ws.append(np.full(len(ia), w[s]))
+            if not xs:
+                return empty
+            x = np.concatenate(xs)
+            y = np.concatenate(ys)
+            wv = np.concatenate(ws)
+            pk = x * PK + y
+            p2 = np.searchsorted(epk, pk)
+            p2c = np.minimum(p2, len(epk) - 1)
+            linked = (p2 < len(epk)) & (epk[p2c] == pk)
+            keep = ~linked
+            # per-block pre-sum by pair before the exchange
+            g = (pd.DataFrame({"pk": pk[keep], "w": wv[keep]})
+                 .groupby("pk", sort=False)["w"].sum())
+            pks = g.index.to_numpy("int64")
+            return pd.DataFrame({"x": pks // PK, "y": pks % PK,
+                                 "w": g.to_numpy(np.float64)})
+
+        wset = schema_anchor(
+            groupby_buckets(adj, ["center"], pairs_b),
+            pd.DataFrame({"x": pd.Series(dtype="int64"),
+                          "y": pd.Series(dtype="int64"),
+                          "w": pd.Series(dtype="float64")}))
+        scored = grouped_agg(wset, ["x", "y"], {"score": ("sum", "w")})
+        rounded = scored.map_batches(
+            lambda df: pd.DataFrame({"x": df["x"].astype("int64"),
+                                     "y": df["y"].astype("int64"),
+                                     "score": df["score"].round(round_to)}),
+            batch_format="pandas")
+        rounded = schema_anchor(
+            rounded, pd.DataFrame({"x": pd.Series(dtype="int64"),
+                                   "y": pd.Series(dtype="int64"),
+                                   "score": pd.Series(dtype="float64")}))
+        return topk(rounded, ["score"], k, tiebreak=["x", "y"])
+
     wadj = hash_join(adj, ctr, on=["center"])
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
