@@ -194,6 +194,54 @@ def stress_triangles() -> None:
           f"core={len(out)} wall={wall:.1f}s EXACT (fallback paths)")
 
 
+def stress_wcc() -> None:
+    """Weakly-connected components (tree forest merge,
+    ``near_dup_labels_ds``) at ~10M edges / ~6M nodes with closed-form
+    truth: 1M planted chains (length 4), 500k planted rings (length 4,
+    redundant edges exercise the in-block union-find), plus 2M extra
+    random intra-component edges that must not change any label."""
+    from borges_ray.ops.dedup import near_dup_labels_ds
+
+    rng = np.random.default_rng(31)
+    n_chain, clen = 1_000_000, 4
+    n_ring, rlen = 500_000, 4
+    cn = n_chain * clen
+    src, dst = [], []
+    base = np.arange(n_chain, dtype=np.int64) * clen
+    for i in range(clen - 1):
+        src.append(base + i)
+        dst.append(base + i + 1)
+    rbase = cn + np.arange(n_ring, dtype=np.int64) * rlen
+    for i in range(rlen):
+        src.append(rbase + i)
+        dst.append(rbase + (i + 1) % rlen)
+    # redundant intra-component noise: random pairs WITHIN a chain
+    noise = 2_000_000
+    nc = rng.integers(0, n_chain, noise)
+    a = rng.integers(0, clen, noise)
+    b = rng.integers(0, clen, noise)
+    src.append(nc * clen + a)
+    dst.append(nc * clen + b)
+    df = pd.DataFrame({"id_a": np.concatenate(src),
+                       "id_b": np.concatenate(dst)})
+    n_edges = len(df)
+    n_nodes = cn + n_ring * rlen
+
+    t0 = time.time()
+    out = near_dup_labels_ds(
+        rd.from_pandas(df).repartition(64)).to_pandas()
+    wall = time.time() - t0
+
+    assert len(out) == n_nodes, (len(out), n_nodes)
+    node = out["id"].to_numpy("int64")
+    grp = out["group"].to_numpy("int64")
+    want = np.where(node < cn, (node // clen) * clen,
+                    cn + ((node - cn) // rlen) * rlen)
+    assert (grp == want).all()
+    print(f"wcc {n_edges} edges / {n_nodes} nodes: "
+          f"components={n_chain + n_ring} wall={wall:.1f}s EXACT")
+
+
 if __name__ == "__main__":
     ray.init(address="local", num_cpus=32, include_dashboard=False,
              logging_level="ERROR")
@@ -207,4 +255,6 @@ if __name__ == "__main__":
         stress_scc()
     if "--triangles" in sys.argv:
         stress_triangles()
+    if "--wcc" in sys.argv:
+        stress_wcc()
     ray.shutdown()
