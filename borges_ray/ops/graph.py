@@ -1643,10 +1643,31 @@ def cocitation(edges: rd.Dataset, *, src_col: str = "src",
         and int(rng["hi"].max()) < (1 << 31)
 
     outdeg = grouped_agg(e, ["s"], {"od": ("count", "d")})
-    elig = outdeg.map_batches(
+    elig = spill_point(outdeg.map_batches(
         lambda df: df[(df["od"] >= 2) & (df["od"] <= max_fanout)][["s"]],
-        batch_format="pandas")
-    el = hash_join(e, elig, on=["s"])
+        batch_format="pandas"), "cocite_el")
+    from .relational import BROADCAST_MAX_ROWS as _CC_BCAST
+    if int(elig.count()) <= _CC_BCAST:
+        # the eligible-source set is node-sized: one sorted id array put
+        # once, membership filter map-side — no edge-sized join exchange
+        import ray as _ray
+
+        el_ids = np.sort(elig.to_pandas()["s"].to_numpy("int64"))
+        ref_el = _ray.put(el_ids)
+
+        def keep_elig(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return df
+            ee = _ray.get(ref_el)
+            sv = df["s"].to_numpy("int64")
+            if not len(ee):
+                return df.iloc[0:0]
+            pos = np.minimum(np.searchsorted(ee, sv), len(ee) - 1)
+            return df.loc[ee[pos] == sv]
+
+        el = e.map_batches(keep_elig, batch_format="pandas")
+    else:
+        el = hash_join(e, elig, on=["s"])
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"x": pd.Series(dtype="int64"),
@@ -1921,15 +1942,42 @@ def kcore(
             break
         uv_tmpl = pd.DataFrame({"u": pd.Series(dtype="int64"),
                                 "v": pd.Series(dtype="int64")})
-        on_u = schema_anchor(
-            hash_semi_join(surv, dead, on=["u"], anti=True)
-            .map_batches(_swap, batch_format="pandas"), uv_tmpl)
-        surv = schema_anchor(
-            spill_point(
-                hash_semi_join(on_u, dead, on=["u"], anti=True)
-                .map_batches(_swap, batch_format="pandas"),
-                f"kcore_e{rnd + 1}"),
-            uv_tmpl)
+        from .relational import BROADCAST_MAX_ROWS
+        if n_dead <= BROADCAST_MAX_ROWS:
+            # the dead fringe is node-sized: put its sorted id array once
+            # and drop both endpoints in ONE map pass — the two anti
+            # semi-join exchanges collapse to zero shuffles per round
+            import ray as _ray
+
+            dead_ids = np.sort(dead.to_pandas()["u"].to_numpy("int64"))
+            ref_dead = _ray.put(dead_ids)
+
+            def drop_dead(df: pd.DataFrame) -> pd.DataFrame:
+                if not len(df):
+                    return df
+                dd = _ray.get(ref_dead)
+                u = df["u"].to_numpy("int64")
+                v = df["v"].to_numpy("int64")
+                pu = np.minimum(np.searchsorted(dd, u), len(dd) - 1)
+                pv = np.minimum(np.searchsorted(dd, v), len(dd) - 1)
+                keep = (dd[pu] != u) & (dd[pv] != v)
+                return pd.DataFrame({"u": u[keep], "v": v[keep]})
+
+            surv = schema_anchor(
+                spill_point(
+                    surv.map_batches(drop_dead, batch_format="pandas"),
+                    f"kcore_e{rnd + 1}"),
+                uv_tmpl)
+        else:
+            on_u = schema_anchor(
+                hash_semi_join(surv, dead, on=["u"], anti=True)
+                .map_batches(_swap, batch_format="pandas"), uv_tmpl)
+            surv = schema_anchor(
+                spill_point(
+                    hash_semi_join(on_u, dead, on=["u"], anti=True)
+                    .map_batches(_swap, batch_format="pandas"),
+                    f"kcore_e{rnd + 1}"),
+                uv_tmpl)
     else:
         if n_dead > 0:
             # peel fixpoint not reached: surviving "core" still contains
