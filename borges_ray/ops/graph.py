@@ -1468,10 +1468,12 @@ def adamic_adar(edges: rd.Dataset, *, src_col: str = "src",
             if not len(df):
                 return empty
             ck, cw, epk = _ray.get(ref_aa)
+            if not len(ck) or not len(epk):
+                return empty
             c0 = df["center"].to_numpy("int64")
             pos = np.searchsorted(ck, c0)
-            pos_c = np.minimum(pos, max(len(ck) - 1, 0))
-            elig = (len(ck) > 0) & (pos < len(ck)) & (ck[pos_c] == c0)
+            pos_c = np.minimum(pos, len(ck) - 1)
+            elig = (pos < len(ck)) & (ck[pos_c] == c0)
             if not elig.any():
                 return empty
             sub = df.loc[elig]
