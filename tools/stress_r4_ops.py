@@ -242,6 +242,63 @@ def stress_wcc() -> None:
           f"components={n_chain + n_ring} wall={wall:.1f}s EXACT")
 
 
+def stress_containment() -> None:
+    """containment_pairs (round-5 two-exchange shape) at 1M docs with a
+    CLOSED-FORM truth: 300k planted partial-copy pairs over pair-unique
+    vocabularies (doc B = the first H tokens of doc A + unique filler, so
+    the shingle intersection is exactly the shared segment's H-w+1
+    shingles and every score is analytic), plus 400k noise docs whose
+    vocabularies are globally unique (zero candidate pairs)."""
+    from borges_ray.ops.dedup import containment_pairs
+
+    W = 4
+    H, F, L = 23, 20, 40  # shared=20, |S(B)|=40, |S(A)|=37
+    n_pairs, n_noise = 300_000, 400_000
+
+    def doc_rows(start, count, kind):
+        rows = []
+        for i in range(start, start + count):
+            if kind == "pair":
+                s = [f"s{i}_{j}" for j in range(L)]
+                rows.append((2 * i, " ".join(s)))
+                b = s[:H] + [f"u{i}_{j}" for j in range(F)]
+                rows.append((2 * i + 1, " ".join(b)))
+            else:
+                rows.append((2 * n_pairs + i,
+                             " ".join(f"n{i}_{j}" for j in range(30))))
+        return rows
+
+    import pyarrow as pa
+
+    chunks = []
+    step = 50_000
+    for st in range(0, n_pairs, step):
+        chunks.append(doc_rows(st, step, "pair"))
+    for st in range(0, n_noise, step):
+        chunks.append(doc_rows(st, step, "noise"))
+    rows = [r for c in chunks for r in c]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })).repartition(64)
+
+    t0 = time.time()
+    out = containment_pairs(ds, width=W, min_containment=0.5).to_pandas()
+    wall = time.time() - t0
+
+    assert len(out) == n_pairs, (len(out), n_pairs)
+    shared = H - W + 1
+    ca = round(shared / (L - W + 1), 6)   # A is the even (lower) id
+    cb = round(shared / (H + F - W + 1), 6)
+    assert (out["shared"].to_numpy("int64") == shared).all()
+    assert (out["id_a"].to_numpy("int64") % 2 == 0).all()
+    assert (out["id_b"].to_numpy("int64")
+            == out["id_a"].to_numpy("int64") + 1).all()
+    assert np.allclose(out["cont_a"], ca) and np.allclose(out["cont_b"], cb)
+    print(f"containment {2 * n_pairs + n_noise} docs: pairs={len(out)} "
+          f"wall={wall:.1f}s EXACT")
+
+
 if __name__ == "__main__":
     ray.init(address="local", num_cpus=32, include_dashboard=False,
              logging_level="ERROR")
@@ -257,4 +314,6 @@ if __name__ == "__main__":
         stress_triangles()
     if "--wcc" in sys.argv:
         stress_wcc()
+    if "--containment" in sys.argv:
+        stress_containment()
     ray.shutdown()
