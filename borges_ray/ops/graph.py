@@ -461,86 +461,106 @@ def bfs_depths(
     that traversal and the classic crawl-depth prior for quality
     weighting).
 
-    Level-synchronous BSP BFS: the EDGE list is hash-bucketed by source
-    ONCE and never moves again.  Per hop, only the FRONTIER (node ids,
-    keys-only) is bucket-exchanged by the same hash; one task per
-    bucket expands its local adjacency; candidates then pass one
-    keys-only anti-join against the visited table so every node keeps
-    the FIRST (minimum) depth it was reached at.  Driver state: the
-    per-hop frontier row count (a scalar) — node and edge tables stay
-    Datasets end-to-end.
+    Level-synchronous BSP BFS in the :func:`_scc_fixpoint` layout: the
+    EDGE list is hash-bucketed by source ONCE and never moves again;
+    per hop ONE linear hive write exchanges the node-sized state
+    stream — last hop's candidate messages plus the carried visited
+    table — and the combine happens at bucket-READ time: the task
+    dedups candidates against its visited slice, marks the fresh nodes
+    (first = minimum depth), and expands them against its LOCAL edge
+    bucket in the same pass.  Driver state: one summed new-node flag
+    per hop, read from the written files.  (The previous shape paid a
+    frontier bucket-write plus a tagged dedup shuffle plus two spills
+    per hop — ~5 barriers; this is 2.)
 
     Returns ``(node int64, depth int64)`` for every node within
     ``max_hops`` of a seed, seeds at depth 0.  Unreachable nodes are
     absent (the SQL twin mirrors this).  Early-exits when a hop adds no
     new nodes.
     """
-    from .relational import distinct, hash_semi_join, spill_point
-
-    visited = rd.from_pandas(pd.DataFrame({
-        "node": pd.Series(sorted(set(int(s) for s in seeds)), dtype="int64"),
-        "depth": np.int64(0)}))
-    frontier = visited.select_columns(["node"])
-
     edir = _bucket_write(edges.select_columns([src_col, dst_col]),
                          src_col, n_buckets, "bfs_e")
     ebkts = _bucket_dirs(edir)
 
-    for hop in range(1, max_hops + 1):
-        fdir = _bucket_write(frontier, "node", n_buckets, f"bfs_f{hop}")
-        fbkts = _bucket_dirs(fdir)
-        work = sorted(set(ebkts) & set(fbkts))
+    seed_pd = pd.DataFrame({
+        "node": pd.Series(sorted(set(int(x) for x in seeds)), dtype="int64"),
+        "depth": np.int64(0)})
+    seed_pd["old"] = np.int8(0)   # seeds enter as depth-0 CANDIDATES
+    seed_pd["ch"] = np.int64(0)
+    cur_dir = _bucket_write(rd.from_pandas(seed_pd), "node", n_buckets,
+                            "bfs_m0")
+
+    empty_tmpl = pd.DataFrame({
+        "node": pd.Series(dtype="int64"), "depth": pd.Series(dtype="int64"),
+        "old": pd.Series(dtype="int8"), "ch": pd.Series(dtype="int64")})
+
+    last_files = _leaf_files(cur_dir)
+    for it in range(max_hops + 1):
+        mbkts = _bucket_dirs(cur_dir)
+        work = sorted(mbkts)
         if not work:
             break
         paths = rd.from_items(
-            [{"e": ebkts[b], "f": fbkts[b]} for b in work])
+            [{"m": mbkts[b], "e": ebkts.get(b, "")} for b in work])
+        expand_this = it < max_hops
 
-        def expand(df: pd.DataFrame) -> pd.DataFrame:
+        def step(df: pd.DataFrame, _d=it) -> pd.DataFrame:
             outs = []
-            for e_dir, f_dir in zip(df["e"], df["f"]):
-                e = pq.read_table(e_dir).to_pandas()
-                f = pq.read_table(f_dir).to_pandas()
-                if not len(e) or not len(f):
+            for mdir, edir_ in zip(df["m"], df["e"]):
+                m = pq.read_table(
+                    mdir, columns=["node", "depth", "old"]).to_pandas()
+                if not len(m):
                     continue
-                hit = e[e[src_col].isin(set(f["node"].tolist()))]
-                outs.append(pd.DataFrame(
-                    {"node": hit[dst_col].unique().astype("int64")}))
+                vis = m.loc[m["old"] == 1]
+                cand = m.loc[m["old"] == 0, "node"].unique()
+                fresh = (cand[~pd.Index(cand).isin(vis["node"])]
+                         if len(cand) else cand)
+                out_v = pd.DataFrame({
+                    "node": np.concatenate(
+                        [vis["node"].to_numpy("int64"),
+                         fresh.astype("int64")]),
+                    "depth": np.concatenate(
+                        [vis["depth"].to_numpy("int64"),
+                         np.full(len(fresh), _d, dtype="int64")]),
+                    "old": np.int8(1),
+                    "ch": np.concatenate(
+                        [np.zeros(len(vis), dtype="int64"),
+                         np.ones(len(fresh), dtype="int64")])})
+                outs.append(out_v)
+                if expand_this and edir_ and len(fresh):
+                    e = pq.read_table(edir_).to_pandas()
+                    hit = e.loc[e[src_col].isin(set(fresh.tolist())),
+                                dst_col].unique()
+                    if len(hit):
+                        outs.append(pd.DataFrame({
+                            "node": hit.astype("int64"),
+                            "depth": np.full(len(hit), _d + 1,
+                                             dtype="int64"),
+                            "old": np.int8(0),
+                            "ch": np.zeros(len(hit), dtype="int64")}))
             if not outs:
-                return pd.DataFrame({"node": pd.Series(dtype="int64")})
+                return empty_tmpl.copy()
             return pd.concat(outs, ignore_index=True)
 
-        cand = paths.repartition(max(1, len(work))).map_batches(
-            expand, batch_format="pandas")
-        # dedup + anti-join against visited fused into ONE bucketed
-        # exchange: tag the two keys-only streams, co-locate by node,
-        # keep candidate nodes the visited side doesn't cover
-        tagged_c = cand.map_batches(
-            lambda df: pd.DataFrame({"node": df["node"].astype("int64"),
-                                     "__side": np.int8(0)}),
-            batch_format="pandas")
-        tagged_v = visited.map_batches(
-            lambda df: pd.DataFrame({"node": df["node"].astype("int64"),
-                                     "__side": np.int8(1)}),
-            batch_format="pandas")
-
-        def fresh(df: pd.DataFrame, _h=hop) -> pd.DataFrame:
-            c = df.loc[df["__side"] == 0, "node"].unique()
-            v = df.loc[df["__side"] == 1, "node"]
-            nodes = c[~pd.Index(c).isin(v)] if len(c) else c
-            return pd.DataFrame(
-                {"node": nodes.astype("int64"),
-                 "depth": np.full(len(nodes), _h, dtype="int64")})
-
-        from .relational import groupby_buckets
-        new = spill_point(
-            groupby_buckets(tagged_c.union(tagged_v), ["node"], fresh),
-            f"bfs_new{hop}")
-        if not new.count():
+        stream = paths.repartition(max(1, len(work))).map_batches(
+            step, batch_format="pandas")
+        cur_dir = _bucket_write(stream, "node", n_buckets, f"bfs_m{it + 1}")
+        last_files = _leaf_files(cur_dir)
+        n_new = (int(rd.read_parquet(last_files, columns=["ch"]).sum("ch"))
+                 if last_files else 0)
+        if n_new == 0:
             break
-        visited = spill_point(visited.union(new), f"bfs_v{hop}")
-        frontier = new.select_columns(["node"])
 
-    return visited
+    out_tmpl = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                             "depth": pd.Series(dtype="int64")})
+    from .relational import schema_anchor
+    if not last_files:
+        return schema_anchor(rd.from_pandas(out_tmpl), out_tmpl)
+    out = rd.read_parquet(last_files).map_batches(
+        lambda df: df.loc[df["old"] == 1, ["node", "depth"]]
+        .astype("int64"),
+        batch_format="pandas")
+    return schema_anchor(out, out_tmpl)
 
 
 def triangle_counts(

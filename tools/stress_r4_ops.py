@@ -299,6 +299,73 @@ def stress_containment() -> None:
           f"wall={wall:.1f}s EXACT")
 
 
+def stress_r5graph() -> None:
+    """Closed-form scale proofs for the three graph ops rewritten in
+    round 5 (single-exchange reciprocity, fused-dedup mirror_hosts,
+    broadcast-spawn adamic_adar)."""
+    # --- reciprocity: 2M distinct directed edges, exactly 25% reciprocal
+    from borges_ray.ops.graph import adamic_adar, mirror_hosts, reciprocity
+
+    n_one, n_rec = 1_500_000, 250_000
+    b1 = np.arange(n_one, dtype=np.int64) * 2
+    b2 = (n_one + np.arange(n_rec, dtype=np.int64)) * 2
+    src = np.concatenate([b1, b2, b2 + 1])
+    dst = np.concatenate([b1 + 1, b2 + 1, b2])
+    # 20% duplicated rows exercise the in-exchange dedup
+    dup = np.arange(0, len(src), 5)
+    df = pd.DataFrame({"src": np.concatenate([src, src[dup]]),
+                       "dst": np.concatenate([dst, dst[dup]])})
+    t0 = time.time()
+    out = reciprocity(rd.from_pandas(df).repartition(64)).to_pandas()
+    w1 = time.time() - t0
+    assert int(out["n_edges"][0]) == n_one + 2 * n_rec
+    assert int(out["n_recip"][0]) == 2 * n_rec
+    assert abs(float(out["reciprocity"][0]) - 0.25) < 1e-9
+    print(f"reciprocity {len(df)} rows -> {n_one + 2 * n_rec} distinct: "
+          f"ratio=0.25 wall={w1:.1f}s EXACT")
+
+    # --- mirror_hosts: 50k planted mirror pairs, shared=5, J=1/3
+    n_mp = 50_000
+    hosts, fps = [], []
+    for i in range(n_mp):
+        base = i * 100
+        hosts += [f"a{i}"] * 10 + [f"b{i}"] * 10
+        fps += list(range(base, base + 10)) +             list(range(base, base + 5)) + list(range(base + 50, base + 55))
+    pages = pd.DataFrame({"host": hosts, "fp": np.array(fps, np.uint64)})
+    pages = pd.concat([pages, pages.iloc[::3]], ignore_index=True)  # dups
+    t0 = time.time()
+    out = mirror_hosts(rd.from_pandas(pages).repartition(64),
+                       min_shared=2).to_pandas()
+    w2 = time.time() - t0
+    assert len(out) == n_mp, (len(out), n_mp)
+    assert (out["shared"].to_numpy("int64") == 5).all()
+    assert np.allclose(out["jaccard"], round(5 / 15, 6))
+    print(f"mirror_hosts {len(pages)} obs / {2 * n_mp} hosts: "
+          f"pairs={len(out)} wall={w2:.1f}s EXACT")
+
+    # --- adamic_adar: 200k components (x, y share 4 deg-2 neighbors,
+    # no x-y edge) -> top-100 = the 100 lowest (x, y) at score 4/ln 2
+    n_c = 200_000
+    base = np.arange(n_c, dtype=np.int64) * 6
+    src, dst = [], []
+    for j in range(4):
+        z = base + 2 + j
+        src += [base, base + 1]
+        dst += [z, z]
+    df = pd.DataFrame({"src": np.concatenate(src),
+                       "dst": np.concatenate(dst)})
+    t0 = time.time()
+    out = adamic_adar(rd.from_pandas(df).repartition(64), k=100)
+    w3 = time.time() - t0
+    want_score = round(4 / np.log(2.0), 6)
+    assert len(out) == 100
+    assert np.allclose(out["score"], want_score)
+    assert (out["x"].to_numpy("int64") == base[:100]).all()
+    assert (out["y"].to_numpy("int64") == base[:100] + 1).all()
+    print(f"adamic_adar {len(df)} edges / {n_c * 6} nodes: top100 "
+          f"score={want_score} wall={w3:.1f}s EXACT")
+
+
 if __name__ == "__main__":
     ray.init(address="local", num_cpus=32, include_dashboard=False,
              logging_level="ERROR")
@@ -316,4 +383,6 @@ if __name__ == "__main__":
         stress_wcc()
     if "--containment" in sys.argv:
         stress_containment()
+    if "--r5graph" in sys.argv:
+        stress_r5graph()
     ray.shutdown()
