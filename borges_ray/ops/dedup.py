@@ -1509,7 +1509,8 @@ def editdist_pairs_ds(
     ``max_bucket`` (None = exact) caps one gram bucket's pair spawn for
     memory safety under adversarial skew (recall-only trade; verify
     keeps precision exact)."""
-    from .relational import (distinct, groupby_buckets, hash_join,
+    from .relational import (BROADCAST_MAX_BYTES, BROADCAST_MAX_ROWS,
+                             distinct, groupby_buckets, hash_join,
                              schema_anchor, spill_point)
 
     k = int(max_dist)
@@ -1649,6 +1650,45 @@ def editdist_pairs_ds(
 
     cands = distinct(groupby_buckets(cand_rows, ["gram"], gram_pairs),
                      ["id_a", "id_b"])
+
+    from .relational import _over_broadcast_limit
+
+    strs_pd = None
+    if int(strs.count()) <= BROADCAST_MAX_ROWS:
+        cand_pd = strs.to_pandas()[[id_col, "__s"]]
+        if not _over_broadcast_limit(cand_pd, BROADCAST_MAX_ROWS,
+                                     BROADCAST_MAX_BYTES):
+            strs_pd = cand_pd
+    if strs_pd is not None:
+        # string table fits the broadcast guard (rows AND payload bytes):
+        # put one id→string dict and attach both sides in the verify map
+        # — the two id-keyed string-payload shuffle joins disappear
+        import ray as _ray
+
+        ref_s = _ray.put(dict(zip(strs_pd[id_col].astype(int),
+                                  strs_pd["__s"])))
+
+        def verify_b(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                     "id_b": pd.Series(dtype="int64"),
+                                     "dist": pd.Series(dtype="int64")})
+            lut = _ray.get(ref_s)
+            ia = df["id_a"].to_numpy("int64")
+            ib = df["id_b"].to_numpy("int64")
+            dist = np.fromiter(
+                (_banded_levenshtein(lut[a], lut[b], k)
+                 for a, b in zip(ia.tolist(), ib.tolist())),
+                dtype=np.int64, count=len(df))
+            keep = dist <= k
+            return pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep],
+                                 "dist": dist[keep]})
+
+        return schema_anchor(
+            cands.map_batches(verify_b, batch_format="pandas"),
+            pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64"),
+                          "dist": pd.Series(dtype="int64")}))
 
     sa = strs.map_batches(
         lambda df: pd.DataFrame({"id_a": df[id_col], "s_a": df["__s"]}),
