@@ -3626,12 +3626,43 @@ def _q_bulk_ingest_resumable(sf_dir: str):
             .to_pandas().sort_values("url", ignore_index=True))
 
 
+
+def _q_image_features(sf_dir: str):
+    """REAL image decode pipeline: every doc gets a deterministic
+    closed-form netpbm P6 payload (a real binary image format, parsed
+    with a real comment-tolerant header parser — no image library),
+    decoded on an actor pool into per-channel means, dimensions, and an
+    integer-exact 8x8 average-hash; the oracle recomputes every value
+    from the pixel formula via generate_series."""
+    from borges_ray.ops.multimodal import image_features
+    from borges_ray.ops.relational import load
+
+    docs = load(sf_dir, "documents", columns=["doc_id"])
+    return (image_features(docs).to_pandas()
+            .sort_values("doc_id", ignore_index=True))
+
+
+def _q_audio_features(sf_dir: str):
+    """REAL audio decode pipeline: deterministic RIFF/WAVE PCM16 payloads
+    (real chunk-walking parser, stdlib-only), decoded on an actor pool
+    into duration / RMS / zero-crossing rate with integer-exact
+    arithmetic; oracle recomputes from the sample formula."""
+    from borges_ray.ops.multimodal import audio_features
+    from borges_ray.ops.relational import load
+
+    docs = load(sf_dir, "documents", columns=["doc_id"])
+    return (audio_features(docs).to_pandas()
+            .sort_values("doc_id", ignore_index=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
 
         # --- never driver-sampled first: the correctness gate reads
         # --- the registry in order, so rotate coverage onto these
         "bulk_ingest_resumable": _q_bulk_ingest_resumable,
+        "image_features": _q_image_features,
+        "audio_features": _q_audio_features,
         "exact_substr": _q_exact_substr,
         "epoch_shuffle": _q_epoch_shuffle,
         "anchor_text": _q_anchor_text,
@@ -4061,6 +4092,65 @@ def oracle_sql() -> dict[str, str]:
         # SQL reads it so the driver gates rows+schema+hash like any query
         "crawl_pipeline": (
             f"SELECT * FROM read_parquet('{_crawl_oracle_parquet()}')"),
+        "image_features": r"""
+            WITH px AS (
+              SELECT d.doc_id, g1.x, g2.y, g3.c,
+                     (d.doc_id*31 + g1.x*7 + g2.y*13 + g3.c*101) % 256 AS v
+              FROM documents d,
+                   generate_series(0, 15) g1(x),
+                   generate_series(0, 11) g2(y),
+                   generate_series(0, 2) g3(c)
+            ), means AS (
+              SELECT doc_id,
+                     sum(CASE WHEN c=0 THEN v END) / 192.0 AS mr,
+                     sum(CASE WHEN c=1 THEN v END) / 192.0 AS mg,
+                     sum(CASE WHEN c=2 THEN v END) / 192.0 AS mb
+              FROM px GROUP BY 1
+            ), gray AS (
+              SELECT d.doc_id, gj.j*8 + gi.i AS bit,
+                     ( (d.doc_id*31 + ((gi.i*16)//8)*7
+                        + ((gj.j*12)//8)*13) % 256
+                     + (d.doc_id*31 + ((gi.i*16)//8)*7
+                        + ((gj.j*12)//8)*13 + 101) % 256
+                     + (d.doc_id*31 + ((gi.i*16)//8)*7
+                        + ((gj.j*12)//8)*13 + 202) % 256 ) // 3 AS g
+              FROM documents d,
+                   generate_series(0, 7) gi(i), generate_series(0, 7) gj(j)
+            ), tot AS (
+              SELECT doc_id, sum(g) AS tot FROM gray GROUP BY 1
+            ), ah AS (
+              SELECT gray.doc_id,
+                     CAST(coalesce(sum(CASE WHEN bit <= 62 AND g*64 > tot
+                          THEN (CAST(1 AS BIGINT) << bit) END), 0)
+                       AS BIGINT) AS ahash
+              FROM gray JOIN tot USING (doc_id) GROUP BY gray.doc_id
+            )
+            SELECT m.doc_id,
+                   CAST(16 AS BIGINT) AS width, CAST(12 AS BIGINT) AS height,
+                   round(mr, 6) AS mean_r, round(mg, 6) AS mean_g,
+                   round(mb, 6) AS mean_b, ah.ahash
+            FROM means m JOIN ah USING (doc_id) ORDER BY doc_id
+        """,
+        "audio_features": r"""
+            WITH s AS (
+              SELECT d.doc_id, g.i,
+                     (d.doc_id*7 + g.i*13) % 4096 - 2048 AS v
+              FROM documents d, generate_series(0, 1023) g(i)
+            ), z AS (
+              SELECT doc_id, v,
+                     CASE WHEN v >= 0 THEN 1 ELSE 0 END AS nn,
+                     lag(CASE WHEN v >= 0 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY i) AS pnn
+              FROM s
+            )
+            SELECT doc_id,
+                   CAST(1024 AS BIGINT) AS n_samples,
+                   round(1024.0 / 8000, 6) AS duration_s,
+                   round(sqrt(sum(CAST(v AS DOUBLE)*v) / 1024.0), 6) AS rms,
+                   CAST(sum(CASE WHEN pnn IS NOT NULL AND nn <> pnn
+                            THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+            FROM z GROUP BY doc_id ORDER BY doc_id
+        """,
         "bulk_ingest_resumable": f"""
             SELECT url, lang,
                    CAST(CASE WHEN trim(text) = '' THEN 0

@@ -204,3 +204,188 @@ def sample_video_frames(media: rd.Dataset, *, n_frames: int = 4,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs: PPM (P6) images and RIFF/WAVE PCM16 audio — stdlib-only
+# ---------------------------------------------------------------------------
+#
+# Unlike the BORG container above (a deterministic stand-in for opaque
+# proprietary formats), these are the actual public binary formats: netpbm
+# P6 ("P6\n<w> <h>\n<maxval>\n" + raw RGB triples, comments allowed) and
+# canonical RIFF/WAVE with a PCM fmt chunk.  No image/audio library is
+# needed to parse either, so the decode stage is REAL in this sandbox —
+# the swap point for JPEG/MP3 etc. stays the same actor signature.
+
+def synth_ppm(d: int, width: int = 16, height: int = 12) -> bytes:
+    """Deterministic REAL P6 PPM for doc ``d``: pixel (x, y) channel c =
+    (d*31 + x*7 + y*13 + c*101) % 256 — closed-form, so the SQL twin
+    recomputes every feature from generate_series."""
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)
+    c = np.arange(3, dtype=np.int64)
+    px = (d * 31 + x[None, :, None] * 7 + y[:, None, None] * 13
+          + c[None, None, :] * 101) % 256
+    return (f"P6\n{width} {height}\n255\n".encode("ascii")
+            + px.astype(np.uint8).tobytes())
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL netpbm P6 parser → uint8 array (h, w, 3).  Handles arbitrary
+    whitespace and ``#`` comments in the header per the netpbm spec."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # tokenize header: magic, width, height, maxval; '#' starts a comment
+    toks: list[bytes] = []
+    i = 2
+    while len(toks) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = int(toks[0]), int(toks[1]), int(toks[2])
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    body = payload[i:i + w * h * 3]
+    if len(body) != w * h * 3:
+        raise ValueError("truncated PPM body")
+    return np.frombuffer(body, np.uint8).reshape(h, w, 3)
+
+
+def synth_wav(d: int, n_samples: int = 1024, rate: int = 8000) -> bytes:
+    """Deterministic REAL RIFF/WAVE (PCM16 mono) for doc ``d``: sample i =
+    ((d*7 + i*13) % 4096) - 2048."""
+    import struct
+
+    i = np.arange(n_samples, dtype=np.int64)
+    s = ((d * 7 + i * 13) % 4096 - 2048).astype("<i2")
+    data = s.tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2,
+                                   2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL RIFF/WAVE chunk walker → (int16 samples, sample_rate).  Walks
+    chunks (word-aligned) until ``data``; only PCM16 mono is accepted —
+    the honest boundary of a stdlib decoder."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, bits, channels = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1:
+                raise ValueError("only PCM supported")
+        elif cid == b"data":
+            if rate is None or bits != 16 or channels != 1:
+                raise ValueError("only PCM16 mono supported")
+            return np.frombuffer(body, "<i2"), int(rate)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+class PpmFeatures:
+    """Actor-pool stage: REAL P6 decode → per-channel integer means, an
+    exact 64·gray > sum threshold aHash (average hash, the classic
+    near-dup image fingerprint), and dimensions.  All math integer-exact
+    so the SQL twin matches bit-for-bit."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, payload in zip(df["doc_id"], df["payload"]):
+            img = decode_ppm(payload).astype(np.int64)
+            h, w, _ = img.shape
+            # exact integer sums first: sum/(h*w) is then ONE float64
+            # division with identical operands on both twins
+            sums = img.reshape(-1, 3).sum(axis=0)
+            means = sums / float(h * w)
+            # aHash over the 8x8 nearest-neighbor downsample of the
+            # integer gray plane; threshold compares 64*gray to the sum
+            # (exact integer arithmetic, no float ties)
+            gx = (np.arange(8) * w) // 8
+            gy = (np.arange(8) * h) // 8
+            gray = img[gy][:, gx].sum(axis=2) // 3
+            tot = int(gray.sum())
+            bits = (gray.reshape(-1) * 64 > tot).astype(np.uint64)
+            ah = int((bits << np.arange(64, dtype=np.uint64)).sum()
+                     % np.uint64(1 << 63))
+            rows.append((int(did), w, h,
+                         round(float(means[0]), 6),
+                         round(float(means[1]), 6),
+                         round(float(means[2]), 6), ah))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
+            "ahash"]).astype({"doc_id": "int64", "width": "int64",
+                              "height": "int64", "ahash": "int64"})
+
+
+class WavFeatures:
+    """Actor-pool stage: REAL RIFF/WAVE decode → duration, RMS and
+    zero-crossing rate (the standard cheap audio-quality trio)."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, payload in zip(df["doc_id"], df["payload"]):
+            s, rate = decode_wav(payload)
+            # exact integer sum-of-squares: sqrt(ss/n) sees identical
+            # float64 operands on both twins (n is a power of two here,
+            # and ss < 2^53 stays exact)
+            ss = int((s.astype(np.int64) ** 2).sum())
+            rms = float(np.sqrt(ss / len(s)))
+            nonneg = s >= 0
+            zc = int((nonneg[1:] != nonneg[:-1]).sum())
+            rows.append((int(did), len(s),
+                         round(len(s) / rate, 6), round(rms, 6), zc))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "n_samples", "duration_s", "rms", "zero_crossings"]) \
+            .astype({"doc_id": "int64", "n_samples": "int64",
+                     "zero_crossings": "int64"})
+
+
+def image_features(docs: rd.Dataset, *, batch_size: int = 256,
+                   concurrency=(1, 4)) -> rd.Dataset:
+    """documents(doc_id) → synth REAL PPM payloads → decoded features.
+    The synth step stands in for a binary-column read; decode + features
+    run on the actor pool exactly as a JPEG pipeline would."""
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "payload": [synth_ppm(int(d)) for d in df["doc_id"]]})
+
+    media = docs.map_batches(gen, batch_format="pandas")
+    return media.map_batches(PpmFeatures, batch_format="pandas",
+                             batch_size=batch_size, concurrency=concurrency,
+                             num_cpus=1)
+
+
+def audio_features(docs: rd.Dataset, *, batch_size: int = 256,
+                   concurrency=(1, 4)) -> rd.Dataset:
+    """documents(doc_id) → synth REAL WAV payloads → decoded features."""
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "payload": [synth_wav(int(d)) for d in df["doc_id"]]})
+
+    media = docs.map_batches(gen, batch_format="pandas")
+    return media.map_batches(WavFeatures, batch_format="pandas",
+                             batch_size=batch_size, concurrency=concurrency,
+                             num_cpus=1)

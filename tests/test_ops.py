@@ -3027,3 +3027,53 @@ def test_scc_distributed_path(ray_session):
     assert set(got.loc[got["node"].isin(ring2), "scc"]) == {min(ring2)}
     assert (got.loc[got["node"].isin([50, 51, 52]), "scc"].to_numpy()
             == [50, 51, 52]).all()
+
+
+def test_ppm_wav_codecs(ray_session):
+    """REAL netpbm P6 + RIFF/WAVE codecs: round-trip, comment-tolerant
+    headers, error paths, and actor-stage features vs hand computation."""
+    import numpy as np
+
+    from borges_ray.ops.multimodal import (PpmFeatures, WavFeatures,
+                                           decode_ppm, decode_wav,
+                                           synth_ppm, synth_wav)
+
+    img = decode_ppm(synth_ppm(42))
+    assert img.shape == (12, 16, 3)
+    assert img[5, 7, 2] == (42 * 31 + 7 * 7 + 5 * 13 + 2 * 101) % 256
+    # comment + odd whitespace in header per netpbm spec
+    wonky = b"P6 # c1\n# c2\n 16\t12 # c3\n255\n" + img.tobytes()
+    assert (decode_ppm(wonky) == img).all()
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError):
+        decode_ppm(synth_ppm(1)[:-5])
+
+    s, rate = decode_wav(synth_wav(7))
+    assert rate == 8000 and len(s) == 1024
+    assert s[3] == ((7 * 7 + 3 * 13) % 4096) - 2048
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVX")
+    # stereo rejected (honest PCM16-mono boundary)
+    import struct
+    stereo = (b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+              + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000,
+                                      32000, 4, 16)
+              + b"data" + struct.pack("<I", 4) + b"\0\0\0\0")
+    with pytest.raises(ValueError):
+        decode_wav(stereo)
+
+    pf = PpmFeatures()
+    out = pf(pd.DataFrame({"doc_id": [3], "payload": [synth_ppm(3)]}))
+    want_r = img_mean = sum((3 * 31 + x * 7 + y * 13) % 256
+                            for x in range(16) for y in range(12)) / 192.0
+    assert abs(out["mean_r"][0] - round(want_r, 6)) < 1e-9
+    wf = WavFeatures()
+    out = wf(pd.DataFrame({"doc_id": [3], "payload": [synth_wav(3)]}))
+    sam = np.array([((3 * 7 + i * 13) % 4096) - 2048 for i in range(1024)])
+    assert out["n_samples"][0] == 1024
+    assert abs(out["rms"][0]
+               - round(float(np.sqrt((sam.astype(float) ** 2).mean())), 6)) \
+        < 1e-6
+    nn = sam >= 0
+    assert out["zero_crossings"][0] == int((nn[1:] != nn[:-1]).sum())
