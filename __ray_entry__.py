@@ -3655,6 +3655,36 @@ def _q_audio_features(sf_dir: str):
             .sort_values("doc_id", ignore_index=True))
 
 
+
+def _q_image_neardup(sf_dir: str):
+    """Perceptual-hash image near-dup: quads of docs share a base image
+    with a small planted row-0 perturbation; REAL P6 decode → integer
+    aHash → multi-index Hamming banding (4×16-bit bands; pigeonhole-EXACT
+    recall for distance ≤ 3) → vectorized popcount verify.  Oracle
+    recomputes every hash from the pixel formula and brute-forces
+    bit_count(xor) over all pairs — the banded result must equal it
+    exactly."""
+    from borges_ray.ops.multimodal import PpmFeatures, ahash_neardup, synth_ppm
+    from borges_ray.ops.relational import load
+
+    docs = load(sf_dir, "documents", columns=["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "payload": [synth_ppm(int(d), base=int(d) // 4,
+                                  row0_boost=(int(d) % 4) * 17)
+                        for d in df["doc_id"]]})
+
+    hashes = (docs.map_batches(gen, batch_format="pandas")
+              .map_batches(PpmFeatures, batch_format="pandas",
+                           concurrency=(1, 4), num_cpus=1)
+              .map_batches(lambda df: df[["doc_id", "ahash"]],
+                           batch_format="pandas"))
+    out = ahash_neardup(hashes, max_dist=3, bands=4).to_pandas()
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
 
@@ -3663,6 +3693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bulk_ingest_resumable": _q_bulk_ingest_resumable,
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
+        "image_neardup": _q_image_neardup,
         "exact_substr": _q_exact_substr,
         "epoch_shuffle": _q_epoch_shuffle,
         "anchor_text": _q_anchor_text,
@@ -4092,6 +4123,39 @@ def oracle_sql() -> dict[str, str]:
         # SQL reads it so the driver gates rows+schema+hash like any query
         "crawl_pipeline": (
             f"SELECT * FROM read_parquet('{_crawl_oracle_parquet()}')"),
+        "image_neardup": r"""
+            WITH g AS (
+              SELECT d.doc_id, gj.j*8 + gi.i AS bit,
+                     ( ((d.doc_id//4)*31 + ((gi.i*16)//8)*7
+                        + ((gj.j*12)//8)*13
+                        + CASE WHEN (gj.j*12)//8 = 0
+                               THEN (d.doc_id%4)*17 ELSE 0 END) % 256
+                     + ((d.doc_id//4)*31 + ((gi.i*16)//8)*7
+                        + ((gj.j*12)//8)*13 + 101
+                        + CASE WHEN (gj.j*12)//8 = 0
+                               THEN (d.doc_id%4)*17 ELSE 0 END) % 256
+                     + ((d.doc_id//4)*31 + ((gi.i*16)//8)*7
+                        + ((gj.j*12)//8)*13 + 202
+                        + CASE WHEN (gj.j*12)//8 = 0
+                               THEN (d.doc_id%4)*17 ELSE 0 END) % 256
+                     ) // 3 AS gv
+              FROM documents d,
+                   generate_series(0, 7) gi(i), generate_series(0, 7) gj(j)
+            ), tot AS (
+              SELECT doc_id, sum(gv) AS tot FROM g GROUP BY 1
+            ), ah AS (
+              SELECT g.doc_id,
+                     CAST(coalesce(sum(CASE WHEN bit <= 62 AND gv*64 > tot
+                          THEN (CAST(1 AS BIGINT) << bit) END), 0)
+                       AS BIGINT) AS ahash
+              FROM g JOIN tot USING (doc_id) GROUP BY g.doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS dist
+            FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+            ORDER BY 1, 2
+        """,
         "image_features": r"""
             WITH px AS (
               SELECT d.doc_id, g1.x, g2.y, g3.c,

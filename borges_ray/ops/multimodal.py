@@ -36,6 +36,10 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+import logging
+
+logger = logging.getLogger(__name__)
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -217,15 +221,21 @@ def sample_video_frames(media: rd.Dataset, *, n_frames: int = 4,
 # needed to parse either, so the decode stage is REAL in this sandbox —
 # the swap point for JPEG/MP3 etc. stays the same actor signature.
 
-def synth_ppm(d: int, width: int = 16, height: int = 12) -> bytes:
+def synth_ppm(d: int, width: int = 16, height: int = 12, *,
+              base: int | None = None, row0_boost: int = 0) -> bytes:
     """Deterministic REAL P6 PPM for doc ``d``: pixel (x, y) channel c =
-    (d*31 + x*7 + y*13 + c*101) % 256 — closed-form, so the SQL twin
-    recomputes every feature from generate_series."""
+    (base*31 + x*7 + y*13 + c*101 + row0_boost·[y=0]) % 256 —
+    closed-form, so the SQL twin recomputes every feature from
+    generate_series.  ``base`` defaults to ``d``; the near-dup twins use
+    ``base = d // 4`` with a per-doc ``row0_boost`` so quads share a base
+    image with a small planted perturbation."""
+    b = d if base is None else base
     x = np.arange(width, dtype=np.int64)
     y = np.arange(height, dtype=np.int64)
     c = np.arange(3, dtype=np.int64)
-    px = (d * 31 + x[None, :, None] * 7 + y[:, None, None] * 13
-          + c[None, None, :] * 101) % 256
+    px = (b * 31 + x[None, :, None] * 7 + y[:, None, None] * 13
+          + c[None, None, :] * 101
+          + row0_boost * (y[:, None, None] == 0)) % 256
     return (f"P6\n{width} {height}\n255\n".encode("ascii")
             + px.astype(np.uint8).tobytes())
 
@@ -389,3 +399,89 @@ def audio_features(docs: rd.Dataset, *, batch_size: int = 256,
     return media.map_batches(WavFeatures, batch_format="pandas",
                              batch_size=batch_size, concurrency=concurrency,
                              num_cpus=1)
+
+
+def ahash_neardup(hashes: rd.Dataset, *, max_dist: int = 3,
+                  bands: int = 4, max_bucket: int = 256) -> rd.Dataset:
+    """Perceptual-hash image near-dup: pairs of docs whose 64-bit aHash
+    differs in ≤ ``max_dist`` bits, via MULTI-INDEX banding (the Hamming
+    analogue of MinHash LSH): the hash splits into ``bands`` equal-width
+    sub-keys; two hashes within ``max_dist`` ≤ bands-1 bits MUST agree on
+    at least one whole band (pigeonhole), so band-bucket pair spawn has
+    EXACT recall for that regime — no brute-force pair scan.  Hashes RIDE
+    with the band rows (8 B), so verification is a vectorized popcount in
+    the spawn output with no re-attach join.
+
+    Buckets over ``max_bucket`` members are capped with a warning (the
+    boilerplate-image stop rule — an all-black thumbnail bucket would
+    spawn O(n²)).  Returns ``(id_a < id_b, dist int64)``.
+    """
+    from .relational import distinct, groupby_buckets, schema_anchor
+
+    assert 64 % bands == 0, "bands must divide 64"
+    assert max_dist < bands, \
+        "multi-index recall is only exact for max_dist < bands"
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["ahash"].to_numpy("int64").view(np.uint64)
+        ids = df["doc_id"].to_numpy("int64")
+        outs = []
+        for b in range(bands):
+            key = (h >> np.uint64(b * width)) & mask
+            outs.append(pd.DataFrame({
+                "band": np.full(len(df), b, dtype="int64"),
+                "key": key.view(np.int64),
+                "doc_id": ids,
+                "h": h.view(np.int64)}))
+        return pd.concat(outs, ignore_index=True)
+
+    rows = hashes.map_batches(band_rows, batch_format="pandas")
+
+    def spawn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "dist": pd.Series(dtype="int64")})
+        if not len(df):
+            return empty
+        from .relational import run_pair_indices
+
+        order = np.lexsort((df["doc_id"].to_numpy(),
+                            df["key"].to_numpy(), df["band"].to_numpy()))
+        band = df["band"].to_numpy("int64")[order]
+        key = df["key"].to_numpy("int64")[order]
+        ids = df["doc_id"].to_numpy("int64")[order]
+        h = df["h"].to_numpy("int64")[order]
+        grp = np.concatenate(([True], (band[1:] != band[:-1])
+                              | (key[1:] != key[:-1])))
+        cut = np.flatnonzero(grp[1:]) + 1
+        starts = np.concatenate(([0], cut))
+        sizes = np.concatenate((cut, [len(key)])) - starts
+        if (sizes > max_bucket).any():
+            logger.warning(
+                "%d ahash band buckets capped at %d members",
+                int((sizes > max_bucket).sum()), max_bucket)
+            loc = np.arange(len(ids), dtype=np.int64) - np.repeat(starts,
+                                                                  sizes)
+            keep = loc < max_bucket
+            ids, h = ids[keep], h[keep]
+            sizes = np.minimum(sizes, max_bucket)
+        fst, snd = run_pair_indices(sizes)
+        if not len(fst):
+            return empty
+        x = np.bitwise_xor(h[fst].view(np.uint64), h[snd].view(np.uint64))
+        # vectorized popcount via byte view
+        xb = x.view(np.uint8).reshape(-1, 8)
+        dist = np.unpackbits(xb, axis=1).sum(axis=1).astype(np.int64)
+        km = dist <= max_dist
+        lo = np.minimum(ids[fst], ids[snd])[km]
+        hi = np.maximum(ids[fst], ids[snd])[km]
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "dist": dist[km]})
+
+    pairs = groupby_buckets(rows, ["band", "key"], spawn)
+    return schema_anchor(
+        distinct(pairs, ["id_a", "id_b", "dist"]),
+        pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                      "id_b": pd.Series(dtype="int64"),
+                      "dist": pd.Series(dtype="int64")}))

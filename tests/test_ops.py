@@ -3077,3 +3077,40 @@ def test_ppm_wav_codecs(ray_session):
         < 1e-6
     nn = sam >= 0
     assert out["zero_crossings"][0] == int((nn[1:] != nn[:-1]).sum())
+
+
+def test_ahash_neardup_exact_recall(ray_session):
+    """Multi-index Hamming banding must equal brute-force popcount pairs
+    for max_dist < bands (pigeonhole recall)."""
+    import numpy as np
+
+    from borges_ray.ops.multimodal import ahash_neardup
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 1 << 62, 40, dtype=np.int64)
+    # planted near-dups: flip ≤3 random bits of some hashes
+    rows = []
+    for i, h in enumerate(base.tolist()):
+        rows.append((2 * i, h))
+        flips = rng.integers(0, 63, rng.integers(0, 4))
+        h2 = h
+        for f in np.unique(flips):
+            h2 ^= 1 << int(f)
+        rows.append((2 * i + 1, h2))
+    df = pd.DataFrame(rows, columns=["doc_id", "ahash"]).astype("int64")
+    got = (ahash_neardup(rd.from_pandas(df).repartition(4),
+                         max_dist=3, bands=4).to_pandas()
+           .sort_values(["id_a", "id_b"], ignore_index=True))
+
+    want = []
+    hs = dict(zip(df["doc_id"], df["ahash"]))
+    ids = sorted(hs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((hs[a] ^ hs[b]) & ((1 << 63) - 1)).count("1") \
+                + (1 if ((hs[a] ^ hs[b]) >> 63) & 1 else 0)
+            if d <= 3:
+                want.append((a, b, d))
+    want_df = pd.DataFrame(want, columns=["id_a", "id_b", "dist"]) \
+        .astype("int64").sort_values(["id_a", "id_b"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want_df)
