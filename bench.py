@@ -193,6 +193,10 @@ QUERY_SUBSET = [
     # k-core peeling, KMV sketch similarity, cluster-aware leak-free split
     "winnow_overlap", "sorted_neighborhood", "kcore",
     "kmv_jaccard", "leakfree_split",
+    # r05 additions: real-codec multimodal decode + perceptual near-dup,
+    # shard-resumable ingest gate
+    "image_features", "audio_features", "image_neardup",
+    "bulk_ingest_resumable",
 ]
 
 
