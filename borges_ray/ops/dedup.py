@@ -1673,7 +1673,8 @@ def editdist_pairs_ds(
                 return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                      "id_b": pd.Series(dtype="int64"),
                                      "dist": pd.Series(dtype="int64")})
-            lut = _ray.get(ref_s)
+            from .relational import cached_get
+            lut = cached_get(ref_s)
             ia = df["id_a"].to_numpy("int64")
             ib = df["id_b"].to_numpy("int64")
             dist = np.fromiter(

@@ -603,10 +603,16 @@ def triangle_counts(
         return pd.DataFrame({"u": np.minimum(a, b), "v": np.maximum(a, b)})
 
     raw = None
+    dedup_late = False
     if undirected:
         # caller guarantees a distinct non-loop (u, v) edge set, already
-        # pinned — skip the re-scan and the distinct exchange
+        # pinned — skip the re-scan and the distinct exchange.  With no
+        # caller degree table the broadcast-orient dispatch below still
+        # needs an edge stream: the (already distinct) input serves as
+        # ``raw`` directly (late dedup is then a no-op).
         und = edges
+        if deg_ds is None:
+            raw = edges
     elif deg_ds is None:
         # defer the distinct: the broadcast-orient path below dedups LATE
         # (inside the wedge bucket + the driver closing set), so the
@@ -723,7 +729,7 @@ def triangle_counts(
             raw.map_batches(orient_bcast, batch_format="pandas"), "tri_or")
         dedup_late = True
     else:
-        if raw is not None:
+        if und is None:
             # node table too big to broadcast: fall back to the fused
             # exchanges, which REQUIRE a distinct edge set
             und = spill_point(distinct(raw, ["u", "v"]), "tri_und")
@@ -781,8 +787,6 @@ def triangle_counts(
 
         oriented = spill_point(
             groupby_buckets(tagged, ["u", "v"], merge_orient), "tri_or")
-
-    dedup_late = locals().get("dedup_late", False)
 
     # packed fast path: when node ids fit in 31 bits, the wedge pair
     # (x, y) travels as ONE int64 and the closing probe joins on a
@@ -1059,7 +1063,8 @@ def mirror_hosts(
                     "host_b": pd.Series(dtype="object"),
                     "shared": pd.Series(dtype="int64"),
                     "jaccard": pd.Series(dtype="float64")})
-            lut = _ray.get(ref_sz)
+            from .relational import cached_get
+            lut = cached_get(ref_sz)
             sh = df["shared"].to_numpy("int64")
             na = df["host_a"].map(lut).to_numpy("int64")
             nb = df["host_b"].map(lut).to_numpy("int64")

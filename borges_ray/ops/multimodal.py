@@ -287,28 +287,36 @@ def synth_wav(d: int, n_samples: int = 1024, rate: int = 8000) -> bytes:
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """REAL RIFF/WAVE chunk walker → (int16 samples, sample_rate).  Walks
-    chunks (word-aligned) until ``data``; only PCM16 mono is accepted —
-    the honest boundary of a stdlib decoder."""
+    ALL chunks first (word-aligned, so ``fmt`` after ``data`` still
+    parses), validates every chunk body against its declared size — a
+    payload cut mid-chunk RAISES instead of silently decoding short —
+    and accepts only PCM16 mono, the honest boundary of a stdlib
+    decoder."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
-    pos, rate, bits, channels = 12, None, None, None
+    pos, rate, bits, channels, data = 12, None, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
         body = payload[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {cid!r} chunk "
+                             f"({len(body)} of {size} bytes)")
         if cid == b"fmt ":
             fmt, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if fmt != 1:
                 raise ValueError("only PCM supported")
         elif cid == b"data":
-            if rate is None or bits != 16 or channels != 1:
-                raise ValueError("only PCM16 mono supported")
-            return np.frombuffer(body, "<i2"), int(rate)
+            data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    raise ValueError("no data chunk")
+    if data is None:
+        raise ValueError("no data chunk")
+    if rate is None or bits != 16 or channels != 1:
+        raise ValueError("only PCM16 mono supported")
+    return np.frombuffer(data, "<i2"), int(rate)
 
 
 class PpmFeatures:

@@ -257,8 +257,15 @@ def cap_payload_rows(ds: rd.Dataset, payload_col: str, *,
                          pa.nulls(len(t), pa.string()))
         out = t.set_column(t.schema.get_field_index(payload_col),
                            payload_col, capped)
-        return (out.append_column("n_payload_bytes", sizes)
-                .append_column(error_col, err))
+
+        def put(tbl: pa.Table, name: str, col) -> pa.Table:
+            # OVERWRITE an existing column (old pandas semantics) —
+            # append would create a duplicate field name
+            i = tbl.schema.get_field_index(name)
+            return (tbl.set_column(i, name, col) if i >= 0
+                    else tbl.append_column(name, col))
+
+        return put(put(out, "n_payload_bytes", sizes), error_col, err)
 
     return ds.map_batches(cap, batch_format="pyarrow")
 

@@ -443,6 +443,28 @@ BROADCAST_MAX_ROWS = 5_000_000
 BROADCAST_MAX_BYTES = 256 << 20
 
 
+_BCAST_CACHE: "dict[str, object]" = {}
+
+
+def cached_get(ref):
+    """Per-worker memoized ``ray.get`` for broadcast side tables.  Plain
+    numpy arrays come out of the object store zero-copy, but dicts and
+    object arrays re-DESERIALIZE on every ``ray.get`` — for a
+    near-guard-sized side table that cost repeats per batch.  Workers are
+    reused across batches, so one module-level cache entry per ref
+    amortizes it; a tiny LRU bounds worker memory to the last few
+    broadcasts."""
+    k = ref.hex()
+    v = _BCAST_CACHE.get(k)
+    if v is None:
+        import ray as _ray
+
+        if len(_BCAST_CACHE) >= 4:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
+        v = _BCAST_CACHE[k] = _ray.get(ref)
+    return v
+
+
 def schema_anchor(ds: rd.Dataset, template: pd.DataFrame) -> rd.Dataset:
     """Union a ZERO-ROW typed block in front of ``ds`` so the plan keeps a
     schema even when every upstream block is empty.  A ``sort`` over zero

@@ -133,7 +133,10 @@ def fetch_selected(selected: rd.Dataset, pages_root: str, num_buckets: int,
                             "html": pa.array([], pa.binary())})
         idx = pc.index_in(urls, value_set=hit["url"].combine_chunks())
         html = pc.take(hit["html"].combine_chunks(), idx)
-        status = pc.if_else(pc.is_valid(html),
+        # status comes from URL membership, not html validity: a corpus
+        # row with a stored-NULL payload is still a 200 (the old
+        # dict-membership contract)
+        status = pc.if_else(pc.is_valid(idx),
                             pa.scalar(200, pa.int64()),
                             pa.scalar(404, pa.int64()))
         if flaky:
@@ -463,7 +466,16 @@ class HttpFetchSession:
         self.clock_ms = 0.0
 
     def _schedule(self, host: str) -> float:
-        t = max(self.clock_ms, self.next_allowed.get(host, 0.0))
+        """Reserve the host's next slot.  With ``sleep=False`` time is a
+        VIRTUAL clock that only advances to reserved slots (tests read
+        the schedule); with ``sleep=True`` the clock is the real
+        monotonic clock and the caller sleeps until the reserved slot —
+        per HOST, so an interleaved selection of K hosts proceeds at
+        ~K requests per interval, and an idle host never waits."""
+        import time as _time
+
+        now = (_time.monotonic() * 1000.0 if self.sleep else self.clock_ms)
+        t = max(now, self.next_allowed.get(host, 0.0))
         self.next_allowed[host] = t + self.min_interval_ms
         self.clock_ms = t
         return t
@@ -478,7 +490,9 @@ class HttpFetchSession:
         for u, h in zip(urls, hosts):
             at = self._schedule(h)
             if self.sleep:
-                _time.sleep(self.min_interval_ms / 1000.0)
+                wait = at - _time.monotonic() * 1000.0
+                if wait > 0:
+                    _time.sleep(wait / 1000.0)
             s, body, n = 0, None, 0
             for n in range(1, self.max_attempts + 1):
                 s, body = self.transport(u)

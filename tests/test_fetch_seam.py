@@ -162,3 +162,29 @@ def test_http_fetcher_through_engine(web, ray_session, tmp_path):
     assert list(a.index) == list(b.index)
     for col in ("status", "extracted_text", "fetch_round", "host_seq"):
         assert (a[col].to_numpy() == b[col].to_numpy()).all(), col
+
+
+def test_http_fetch_session_real_clock_bucket(ray_session):
+    """sleep=True honors the PER-HOST schedule on the real clock: an
+    interleaved 2-host batch with min_interval=150ms needs ~1 interval
+    total (two hosts proceed in parallel slots), not one interval per
+    row — and per-host gaps stay >= the interval."""
+    import time as _time
+
+    from borges_ray.stages.fetch import HttpFetchSession
+
+    fs = HttpFetchSession(lambda u: (200, "<x>"), min_interval_ms=150,
+                          sleep=True)
+    t = pa.table({
+        "url": ["http://a.com/1", "http://b.com/1",
+                "http://a.com/2", "http://b.com/2"],
+        "host": ["a.com", "b.com", "a.com", "b.com"],
+    })
+    t0 = _time.monotonic()
+    out = fs(t).to_pandas()
+    elapsed = _time.monotonic() - t0
+    # second request per host waits one interval; hosts overlap
+    assert 0.10 <= elapsed < 0.60, elapsed
+    for host in ("a.com", "b.com"):
+        sc = sorted(out.loc[out["host"] == host, "sched_ms"])
+        assert all(b - a >= 150 for a, b in zip(sc, sc[1:])), (host, sc)

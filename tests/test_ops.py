@@ -3114,3 +3114,17 @@ def test_ahash_neardup_exact_recall(ray_session):
     want_df = pd.DataFrame(want, columns=["id_a", "id_b", "dist"]) \
         .astype("int64").sort_values(["id_a", "id_b"], ignore_index=True)
     pd.testing.assert_frame_equal(got, want_df)
+
+
+def test_triangle_counts_undirected_no_deg(ray_session):
+    """Regression: undirected=True without a caller degree table must not
+    crash (the broadcast-orient dispatch needs an edge stream) and must
+    count exactly."""
+    from borges_ray.ops.graph import triangle_counts
+
+    und = pd.DataFrame({"u": [0, 0, 1, 0, 2], "v": [1, 2, 2, 3, 3]})
+    out = (triangle_counts(rd.from_pandas(und), undirected=True)
+           .to_pandas().sort_values("node", ignore_index=True))
+    assert out.to_dict("records") == [
+        {"node": 0, "n_triangles": 2}, {"node": 1, "n_triangles": 1},
+        {"node": 2, "n_triangles": 2}, {"node": 3, "n_triangles": 1}]
