@@ -3685,6 +3685,21 @@ def _q_image_neardup(sf_dir: str):
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
+
+def _q_video_frame_stats(sf_dir: str):
+    """REAL video decode pipeline: deterministic YUV4MPEG2 (Y4M C444)
+    clips per doc — a real public raw-video format parsed with a real
+    header/FRAME-marker walker, no ffmpeg — frame-sampled (every 2nd
+    frame) on an actor pool into integer-exact per-plane means; the
+    oracle recomputes from the pixel formula."""
+    from borges_ray.ops.multimodal import video_frame_stats
+    from borges_ray.ops.relational import load
+
+    docs = load(sf_dir, "documents", columns=["doc_id"])
+    return (video_frame_stats(docs).to_pandas()
+            .sort_values(["doc_id", "frame_idx"], ignore_index=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
 
@@ -3694,6 +3709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _q_image_features,
         "audio_features": _q_audio_features,
         "image_neardup": _q_image_neardup,
+        "video_frame_stats": _q_video_frame_stats,
         "exact_substr": _q_exact_substr,
         "epoch_shuffle": _q_epoch_shuffle,
         "anchor_text": _q_anchor_text,
@@ -4123,6 +4139,27 @@ def oracle_sql() -> dict[str, str]:
         # SQL reads it so the driver gates rows+schema+hash like any query
         "crawl_pipeline": (
             f"SELECT * FROM read_parquet('{_crawl_oracle_parquet()}')"),
+        "video_frame_stats": r"""
+            WITH px AS (
+              SELECT d.doc_id, gf.f, gp.p,
+                     sum((d.doc_id*31 + gf.f*59 + gx.x*7 + gy.y*13
+                          + gp.p*101) % 256) AS s
+              FROM documents d,
+                   (SELECT unnest([0, 2, 4]) AS f) gf,
+                   generate_series(0, 2) gp(p),
+                   generate_series(0, 15) gx(x),
+                   generate_series(0, 11) gy(y)
+              GROUP BY 1, 2, 3
+            )
+            SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+                   round(max(CASE WHEN p=0 THEN s END) / 192.0, 6)
+                     AS luma_mean,
+                   round(max(CASE WHEN p=1 THEN s END) / 192.0, 6)
+                     AS u_mean,
+                   round(max(CASE WHEN p=2 THEN s END) / 192.0, 6)
+                     AS v_mean
+            FROM px GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "image_neardup": r"""
             WITH g AS (
               SELECT d.doc_id, gj.j*8 + gi.i AS bit,

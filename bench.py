@@ -196,7 +196,7 @@ QUERY_SUBSET = [
     # r05 additions: real-codec multimodal decode + perceptual near-dup,
     # shard-resumable ingest gate
     "image_features", "audio_features", "image_neardup",
-    "bulk_ingest_resumable",
+    "video_frame_stats", "bulk_ingest_resumable",
 ]
 
 

@@ -493,3 +493,102 @@ def ahash_neardup(hashes: rd.Dataset, *, max_dist: int = 3,
         pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                       "id_b": pd.Series(dtype="int64"),
                       "dist": pd.Series(dtype="int64")}))
+
+
+def synth_y4m(d: int, n_frames: int = 6, width: int = 16,
+              height: int = 12) -> bytes:
+    """Deterministic REAL YUV4MPEG2 (Y4M) clip for doc ``d``, C444: plane
+    p ∈ {Y=0, U=1, V=2} pixel (x, y) of frame f =
+    (d*31 + f*59 + x*7 + y*13 + p*101) % 256 — closed-form for the SQL
+    twin."""
+    x = np.arange(width, dtype=np.int64)
+    y = np.arange(height, dtype=np.int64)
+    p = np.arange(3, dtype=np.int64)
+    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A0:0 C444\n"
+           .encode("ascii")]
+    for f in range(n_frames):
+        px = (d * 31 + f * 59 + x[None, None, :] * 7
+              + y[None, :, None] * 13 + p[:, None, None] * 101) % 256
+        out.append(b"FRAME\n")
+        out.append(px.astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """REAL Y4M parser → (frames uint8 (F, 3, H, W), width, height).
+    Parses the stream header's W/H/C parameters (only C444 — full-res
+    chroma — is supported, the honest stdlib boundary) and walks FRAME
+    markers, validating each frame body length."""
+    nl = payload.index(b"\n")
+    head = payload[:nl].decode("ascii", "replace").split(" ")
+    if head[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    c = "C420"
+    for tok in head[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C"):
+            c = tok
+    if w is None or h is None:
+        raise ValueError("missing W/H in Y4M header")
+    if c != "C444":
+        raise ValueError("only C444 supported")
+    frame_bytes = 3 * w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        pos = payload.index(b"\n", pos) + 1  # frame params ignored
+        body = payload[pos:pos + frame_bytes]
+        if len(body) != frame_bytes:
+            raise ValueError(f"truncated frame ({len(body)} of "
+                             f"{frame_bytes} bytes)")
+        frames.append(np.frombuffer(body, np.uint8).reshape(3, h, w))
+        pos += frame_bytes
+    return np.stack(frames) if frames else \
+        np.empty((0, 3, h, w), np.uint8), w, h
+
+
+class Y4mFrameFeatures:
+    """Actor-pool stage: REAL Y4M decode → one row per SAMPLED frame
+    (every ``stride``-th) with integer-exact luma mean and chroma means —
+    the real-format counterpart of the BORG FrameSampler."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for did, payload in zip(df["doc_id"], df["payload"]):
+            frames, w, h = decode_y4m(payload)
+            for fi in range(0, len(frames), self.stride):
+                pl = frames[fi].astype(np.int64).reshape(3, -1).sum(axis=1)
+                denom = float(w * h)
+                rows.append((int(did), fi,
+                             round(pl[0] / denom, 6),
+                             round(pl[1] / denom, 6),
+                             round(pl[2] / denom, 6)))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "frame_idx", "luma_mean", "u_mean", "v_mean"]) \
+            .astype({"doc_id": "int64", "frame_idx": "int64"})
+
+
+def video_frame_stats(docs: rd.Dataset, *, stride: int = 2,
+                      batch_size: int = 128,
+                      concurrency=(1, 4)) -> rd.Dataset:
+    """documents(doc_id) → synth REAL Y4M clips → sampled-frame stats."""
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "payload": [synth_y4m(int(d)) for d in df["doc_id"]]})
+
+    media = docs.map_batches(gen, batch_format="pandas")
+    return media.map_batches(Y4mFrameFeatures,
+                             fn_constructor_kwargs={"stride": stride},
+                             batch_format="pandas", batch_size=batch_size,
+                             concurrency=concurrency, num_cpus=1)

@@ -3128,3 +3128,26 @@ def test_triangle_counts_undirected_no_deg(ray_session):
     assert out.to_dict("records") == [
         {"node": 0, "n_triangles": 2}, {"node": 1, "n_triangles": 1},
         {"node": 2, "n_triangles": 2}, {"node": 3, "n_triangles": 1}]
+
+
+def test_y4m_codec(ray_session):
+    """REAL YUV4MPEG2 codec: round-trip vs the pixel formula, truncation
+    raises, non-444 chroma rejected, actor-stage means exact."""
+    from borges_ray.ops.multimodal import (Y4mFrameFeatures, decode_y4m,
+                                           synth_y4m)
+
+    f, w, h = decode_y4m(synth_y4m(9, n_frames=4))
+    assert (f.shape, w, h) == ((4, 3, 12, 16), 16, 12)
+    assert f[3, 2, 11, 15] == (9 * 31 + 3 * 59 + 15 * 7 + 11 * 13
+                               + 2 * 101) % 256
+    with pytest.raises(ValueError):
+        decode_y4m(synth_y4m(1)[:-3])
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C420\nFRAME\n" + b"\0" * 6)
+
+    st = Y4mFrameFeatures(stride=3)
+    out = st(pd.DataFrame({"doc_id": [5], "payload": [synth_y4m(5)]}))
+    assert list(out["frame_idx"]) == [0, 3]
+    want = sum((5 * 31 + 0 * 59 + x * 7 + y * 13) % 256
+               for x in range(16) for y in range(12)) / 192.0
+    assert abs(out["luma_mean"][0] - round(want, 6)) < 1e-9
