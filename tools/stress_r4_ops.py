@@ -366,6 +366,36 @@ def stress_r5graph() -> None:
           f"score={want_score} wall={w3:.1f}s EXACT")
 
 
+def stress_hits() -> None:
+    """HITS at 2M edges with a CLOSED-FORM truth: on the complete
+    bipartite graph K(m, n) the L1-normalized iteration is stationary —
+    every source holds hub = 1/m with authority 0, every sink holds
+    authority = 1/n with hub 0, at every iteration.  Any mass mis-routing
+    in the bucket exchange or normalization would break uniformity."""
+    from borges_ray.ops.graph import hits
+
+    m, n = 1_000, 2_000
+    src = np.repeat(np.arange(m, dtype=np.int64), n)
+    dst = m + np.tile(np.arange(n, dtype=np.int64), m)
+    df = pd.DataFrame({"src": src, "dst": dst})
+
+    t0 = time.time()
+    out = hits(rd.from_pandas(df).repartition(64), iters=2).to_pandas()
+    wall = time.time() - t0
+
+    assert len(out) == m + n, (len(out), m + n)
+    node = out["node"].to_numpy("int64")
+    hub = out["hub"].to_numpy(np.float64)
+    auth = out["authority"].to_numpy(np.float64)
+    is_src = node < m
+    assert np.allclose(hub[is_src], round(1 / m, 6), atol=1e-9)
+    assert np.allclose(auth[is_src], 0.0, atol=1e-9)
+    assert np.allclose(auth[~is_src], round(1 / n, 6), atol=1e-9)
+    assert np.allclose(hub[~is_src], 0.0, atol=1e-9)
+    print(f"hits {len(df)} edges / {m + n} nodes: stationary "
+          f"hub=1/{m} auth=1/{n} wall={wall:.1f}s EXACT")
+
+
 if __name__ == "__main__":
     ray.init(address="local", num_cpus=32, include_dashboard=False,
              logging_level="ERROR")
@@ -385,4 +415,6 @@ if __name__ == "__main__":
         stress_containment()
     if "--r5graph" in sys.argv:
         stress_r5graph()
+    if "--hits" in sys.argv:
+        stress_hits()
     ray.shutdown()
